@@ -1,0 +1,96 @@
+"""RRDBNet — ESRGAN / RealESRGAN generator (reference: archs/rrdbnet_arch.py:67).
+
+23 RRDB trunk blocks, pixel-unshuffle input packing for x1/x2 scales, two
+nearest-up conv stages in the tail.  NHWC, flax.linen."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ssl_tpu.archs.arch_util import Conv3x3, pixel_unshuffle, resize_nearest
+from ssl_tpu.utils.registry import ARCH_REGISTRY
+
+
+class ResidualDenseBlock(nn.Module):
+    """5-conv dense block with 0.2 residual scaling (reference rrdbnet_arch.py:12-47)."""
+    num_feat: int = 64
+    num_grow_ch: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        lrelu = lambda v: nn.leaky_relu(v, 0.2)
+        x1 = lrelu(Conv3x3(self.num_grow_ch, init_scale=0.1)(x))
+        x2 = lrelu(Conv3x3(self.num_grow_ch, init_scale=0.1)(jnp.concatenate([x, x1], -1)))
+        x3 = lrelu(Conv3x3(self.num_grow_ch, init_scale=0.1)(jnp.concatenate([x, x1, x2], -1)))
+        x4 = lrelu(Conv3x3(self.num_grow_ch, init_scale=0.1)(jnp.concatenate([x, x1, x2, x3], -1)))
+        x5 = Conv3x3(self.num_feat, init_scale=0.1)(jnp.concatenate([x, x1, x2, x3, x4], -1))
+        return x5 * 0.2 + x
+
+
+class RRDB(nn.Module):
+    """Residual-in-residual dense block (reference rrdbnet_arch.py:50-64)."""
+    num_feat: int
+    num_grow_ch: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        out = ResidualDenseBlock(self.num_feat, self.num_grow_ch)(x)
+        out = ResidualDenseBlock(self.num_feat, self.num_grow_ch)(out)
+        out = ResidualDenseBlock(self.num_feat, self.num_grow_ch)(out)
+        return out * 0.2 + x
+
+
+@ARCH_REGISTRY.register()
+class RRDBNet(nn.Module):
+    """ESRGAN generator (reference rrdbnet_arch.py:67-140).
+
+    scale: 1/2/4; for 1 and 2 the input is pixel-unshuffled so the trunk always
+    works at 1/4 resolution of the x4 output."""
+    num_in_ch: int = 3
+    num_out_ch: int = 3
+    scale: int = 4
+    num_feat: int = 64
+    num_block: int = 23
+    num_grow_ch: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        lrelu = lambda v: nn.leaky_relu(v, 0.2)
+        if self.scale == 2:
+            feat = pixel_unshuffle(x, 2)
+        elif self.scale == 1:
+            feat = pixel_unshuffle(x, 4)
+        else:
+            feat = x
+        feat = nn.Conv(self.num_feat, (3, 3), padding="SAME", name="conv_first")(feat)
+        body = feat
+        for i in range(self.num_block):
+            body = RRDB(self.num_feat, self.num_grow_ch, name=f"body_{i}")(body)
+        body = nn.Conv(self.num_feat, (3, 3), padding="SAME", name="conv_body")(body)
+        feat = feat + body
+        # upsample x4 (two nearest x2 + conv stages)
+        feat = lrelu(nn.Conv(self.num_feat, (3, 3), padding="SAME", name="conv_up1")(resize_nearest(feat, 2)))
+        feat = lrelu(nn.Conv(self.num_feat, (3, 3), padding="SAME", name="conv_up2")(resize_nearest(feat, 2)))
+        out = nn.Conv(self.num_out_ch, (3, 3), padding="SAME", name="conv_last")(
+            lrelu(nn.Conv(self.num_feat, (3, 3), padding="SAME", name="conv_hr")(feat)))
+        return out
+
+
+@ARCH_REGISTRY.register()
+class RRDBMeanNet(nn.Module):
+    """RRDBNet variant that adds the bicubic-upsampled input mean path
+    (reference rrdbnet_arch.py:196-258)."""
+    num_in_ch: int = 3
+    num_out_ch: int = 3
+    scale: int = 4
+    num_feat: int = 64
+    num_block: int = 23
+    num_grow_ch: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        base = resize_nearest(x, self.scale)
+        out = RRDBNet(self.num_in_ch, self.num_out_ch, self.scale, self.num_feat,
+                      self.num_block, self.num_grow_ch)(x)
+        return out + base

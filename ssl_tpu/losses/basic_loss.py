@@ -1,0 +1,105 @@
+"""Pixel-space and distribution losses (reference: basicsr/losses/basic_loss.py).
+
+Losses are plain callables (functional, jit-friendly); build via LOSS_REGISTRY
+from option dicts, same schema as the reference YAMLs."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ssl_tpu.losses.loss_util import weight_reduce_loss
+from ssl_tpu.utils.registry import LOSS_REGISTRY
+
+_VALID_REDUCTIONS = ("none", "mean", "sum")
+
+
+def _check_reduction(reduction):
+    if reduction not in _VALID_REDUCTIONS:
+        raise ValueError(f"Unsupported reduction mode: {reduction}. Supported ones are: {_VALID_REDUCTIONS}")
+
+
+@LOSS_REGISTRY.register()
+class L1Loss:
+    def __init__(self, loss_weight=1.0, reduction="mean"):
+        _check_reduction(reduction)
+        self.loss_weight, self.reduction = loss_weight, reduction
+
+    def __call__(self, pred, target, weight=None):
+        return self.loss_weight * weight_reduce_loss(jnp.abs(pred - target), weight, self.reduction)
+
+
+@LOSS_REGISTRY.register()
+class MSELoss:
+    def __init__(self, loss_weight=1.0, reduction="mean"):
+        _check_reduction(reduction)
+        self.loss_weight, self.reduction = loss_weight, reduction
+
+    def __call__(self, pred, target, weight=None):
+        return self.loss_weight * weight_reduce_loss((pred - target) ** 2, weight, self.reduction)
+
+
+@LOSS_REGISTRY.register()
+class CharbonnierLoss:
+    def __init__(self, loss_weight=1.0, reduction="mean", eps=1e-12):
+        _check_reduction(reduction)
+        self.loss_weight, self.reduction, self.eps = loss_weight, reduction, eps
+
+    def __call__(self, pred, target, weight=None):
+        loss = jnp.sqrt((pred - target) ** 2 + self.eps)
+        return self.loss_weight * weight_reduce_loss(loss, weight, self.reduction)
+
+
+@LOSS_REGISTRY.register()
+class WeightedTVLoss:
+    """TV loss via L1 of neighbor differences (reference basic_loss.py:132-158)."""
+
+    def __init__(self, loss_weight=1.0, reduction="mean"):
+        if reduction not in ("mean", "sum"):
+            raise ValueError(f"Unsupported reduction mode: {reduction}. Supported ones are: mean | sum")
+        self.loss_weight, self.reduction = loss_weight, reduction
+        self._l1 = L1Loss(loss_weight=1.0, reduction=reduction)
+
+    def __call__(self, pred, weight=None):
+        # NHWC: height axis 1, width axis 2
+        wy = None if weight is None else weight[:, :-1, :, :]
+        wx = None if weight is None else weight[:, :, :-1, :]
+        y_diff = self._l1(pred[:, :-1, :, :], pred[:, 1:, :, :], weight=wy)
+        x_diff = self._l1(pred[:, :, :-1, :], pred[:, :, 1:, :], weight=wx)
+        return self.loss_weight * (x_diff + y_diff)
+
+
+@LOSS_REGISTRY.register()
+class KLDistanceLoss:
+    """KL divergence between SSG rows (reference basic_loss.py:269-282):
+    kl_div(clamp(x,1e-10).log(), clamp(y,1e-10)) with optional row softmax."""
+
+    def __init__(self, loss_weight=0.1, reduction="mean", softmax=False):
+        self.loss_weight, self.reduction, self.softmax = loss_weight, reduction, softmax
+
+    def pointwise(self, x, y):
+        if self.softmax:
+            x = jax.nn.softmax(x, axis=-1)
+            y = jax.nn.softmax(y, axis=-1)
+        x = jnp.clip(x, min=1e-10)
+        y = jnp.clip(y, min=1e-10)
+        return y * (jnp.log(y) - jnp.log(x))
+
+    def __call__(self, x, y):
+        kld = self.pointwise(x, y)
+        if self.reduction == "mean":
+            kld = jnp.mean(kld)
+        elif self.reduction == "sum":
+            kld = jnp.sum(kld)
+        return self.loss_weight * kld
+
+
+@LOSS_REGISTRY.register()
+class CrossEntropyLoss:
+    def __init__(self, loss_weight=1.0):
+        self.loss_weight = loss_weight
+
+    def __call__(self, logits, labels):
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)
+        return self.loss_weight * jnp.mean(nll)

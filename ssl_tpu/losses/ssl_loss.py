@@ -1,0 +1,90 @@
+"""The SSL training penalty: L1 + KL between SSGs of SR output and GT.
+
+Replaces the reference's per-image Python loop (esrganssl_model.py:158-209)
+with a vmap over the batch using fixed-capacity edge positions, so the whole
+loss is one jit-compiled region with static shapes.
+
+Reduction parity: the reference concatenates all per-image SSGs to
+(1, N_total, 625) and takes torch-mean over every element; here that is a
+validity-masked mean with denominator N_valid * search^2."""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ssl_tpu.losses.basic_loss import KLDistanceLoss
+from ssl_tpu.ops.ssg import SSGConfig, apply_mask_stride, mask_to_positions, ssg_matrix
+
+
+class SSLSetting(NamedTuple):
+    """Mirror of the YAML ``ssl_setting`` block + loss weights."""
+    ssg: SSGConfig = SSGConfig()
+    mask_stride: int = 0        # 0/1 = off (GAN-tree shipped behavior); >1 = diagonal lattice
+    capacity: int = 4096        # fixed per-image edge-pixel capacity under jit
+    l1_weight: float = 1e3      # selfsim_opt loss_weight
+    kl_weight: float = 1e3      # selfsim1_opt loss_weight
+    kl_softmax: bool = False
+    impl: str = "scan"          # 'scan' | 'pallas'
+
+
+def ssl_setting_from_opt(opt: dict, train_opt: dict | None = None, gt_size: int | None = None) -> SSLSetting:
+    """Build from a reference-schema option dict.
+
+    Replicates the reference's per-tree mask_stride behavior: the stride is
+    *defined* in ``ssl_setting`` but *applied* only if ``train.mask_stride``
+    (GAN tree reads opt['train'], so shipped GAN configs have it off —
+    esrganssl_model.py:164 vs train_ESRGANSSL_bicubic_x4.yml:70).  Set
+    ``ssl_setting.apply_mask_stride: true`` to force it on regardless."""
+    s = opt.get("ssl_setting", {})
+    ssg = SSGConfig(
+        search=s.get("kernel_size_search", 25),
+        window=s.get("kernel_size_window", 9),
+        sigma=s.get("sigma", 0.004),
+        generalization=s.get("generalization", True),
+    )
+    train_opt = train_opt or opt.get("train", {}) or {}
+    stride = train_opt.get("mask_stride", 0)
+    if s.get("apply_mask_stride", False):
+        stride = s.get("mask_stride", 0)
+    l1_w = kl_w = 0.0
+    kl_sm = False
+    if train_opt.get("selfsim_opt"):
+        l1_w = train_opt["selfsim_opt"].get("loss_weight", 1.0)
+    if train_opt.get("selfsim1_opt"):
+        kl_w = train_opt["selfsim1_opt"].get("loss_weight", 1.0)
+        kl_sm = train_opt["selfsim1_opt"].get("softmax", False)
+    cap = s.get("capacity", (gt_size * gt_size) // 3 if gt_size else 4096)
+    return SSLSetting(ssg=ssg, mask_stride=int(stride), capacity=int(cap),
+                      l1_weight=float(l1_w), kl_weight=float(kl_w), kl_softmax=kl_sm,
+                      impl=s.get("impl", "scan"))
+
+
+def ssl_loss(sr: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray, setting: SSLSetting):
+    """Compute (l_selfsim, l_selfsim_kl) for a batch.
+
+    sr, gt: NHWC (b,h,w,c) float32; mask: (b,h,w,1) or (b,h,w) binary edge masks.
+    GT's SSG is a constant target (stop_gradient), matching the reference where
+    the graph of the GT branch is never back-propagated in practice."""
+    if mask.ndim == 4:
+        mask = mask[..., 0]
+    mask = apply_mask_stride(mask, setting.mask_stride)
+
+    def per_image(sr_i, gt_i, mask_i):
+        pos, valid, count = mask_to_positions(mask_i, setting.capacity)
+        q_sr = ssg_matrix(sr_i.transpose(2, 0, 1), pos, setting.ssg, impl=setting.impl)
+        q_gt = ssg_matrix(gt_i.transpose(2, 0, 1), pos, setting.ssg, impl=setting.impl)
+        return q_sr, q_gt, valid
+
+    q_sr, q_gt, valid = jax.vmap(per_image)(sr, gt, mask)
+    q_gt = jax.lax.stop_gradient(q_gt)
+    vmask = valid[..., None].astype(sr.dtype)            # (b, cap, 1)
+    denom = jnp.sum(vmask) * q_sr.shape[-1] + 1e-12
+
+    l1 = jnp.sum(jnp.abs(q_sr - q_gt) * vmask) / denom * setting.l1_weight
+
+    kl_fn = KLDistanceLoss(loss_weight=1.0, reduction="none", softmax=setting.kl_softmax)
+    kl = jnp.sum(kl_fn.pointwise(q_sr, q_gt) * vmask) / denom * setting.kl_weight
+    return l1, kl

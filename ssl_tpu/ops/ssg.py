@@ -1,0 +1,189 @@
+"""Self-Similarity Graph (SSG) — the scientific core of SSL, TPU-native.
+
+Semantics (matching the reference CUDA op, the one every shipped config uses:
+``GAN-Based-SR/basicsr/losses/similarity/similarity.cu:5-54`` and its epilogue
+``GAN-Based-SR/basicsr/losses/loss_util.py:231-244``):
+
+For an image ``img`` (c,h,w) and a binary edge mask (h,w), reflect-pad the image
+by ``search//2``.  For every edge pixel ``(y,x)`` and every search offset
+``(dy,dx) in [-p,p]^2`` (p = search//2), accumulate a windowed SSD over window
+offsets ``(kh,kw) in [-k,k]^2`` (k = window//2):
+
+    inside  = (dy+kh in [-p,p]) and (dx+kw in [-p,p])
+    term    = (P[c,y+p+kh,x+p+kw] - P[c,y+p+dy+kh,x+p+dx+kw])^2   if inside
+            = (P[c,y+p+kh,x+p+kw])^2                               otherwise
+
+    ssd[y,x,dy,dx] = sum_c sum_k term
+
+(The "otherwise" branch treats candidate-window pixels that fall outside the
+25x25 search patch as zeros — identical maths in the reference CUDA and
+pytorch paths.)  Epilogue: ``q = exp(-(ssd/(c*window^2))/sigma)`` and, with
+``generalization=True``, each 625-row is normalized to sum 1 (+1e-10).
+
+TPU-native design — NOT a port of the CUDA one-thread-per-(pixel,offset) loop:
+the per-edge-pixel gather is re-expressed as **dense shifted-difference maps +
+separable rectangular box-sums via prefix sums**, computed under a
+``lax.scan`` over the search offsets.  Everything is static-shaped
+(fixed-capacity edge-pixel positions), fully vectorized on the VPU, and
+differentiable by JAX autodiff (scan body is rematerialized, so the backward
+needs no atomics — the reference needed ``atomicAdd``, ``similarity.cu:124-128``).
+
+A fused Pallas kernel with the same contract lives in ``ssg_pallas.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class SSGConfig(NamedTuple):
+    """Hyper-parameters of the SSG (defaults = every shipped reference config,
+    ``options/train/ESRGANSSL/train_ESRGANSSL_bicubic_x4.yml:70-76``)."""
+
+    search: int = 25          # kernel_size_search
+    window: int = 9           # kernel_size_window
+    sigma: float = 0.004      # scaling factor in exp(-q/sigma)
+    generalization: bool = True  # row-normalize each 625-vector
+
+
+def reflect_pad_2d(img: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """Reflect-pad the trailing two dims (PyTorch 'reflect': edge not repeated)."""
+    widths = [(0, 0)] * (img.ndim - 2) + [(pad, pad), (pad, pad)]
+    return jnp.pad(img, widths, mode="reflect")
+
+
+def mask_to_positions(mask: jnp.ndarray, capacity: int):
+    """Binary (h,w) mask -> fixed-capacity row-major positions.
+
+    Returns (pos, valid, count): pos (capacity,2) int32 (y,x) with padding rows
+    (0,0); valid (capacity,) bool; count () int32 = true number of edge pixels
+    (may exceed capacity — callers should treat rows >= capacity as truncated).
+    Row-major order matches ``torch.nonzero`` in the reference wrapper
+    (``similaritywrapper.py:67``).
+    """
+    flat = (mask.reshape(-1) == 1)
+    count = jnp.sum(flat, dtype=jnp.int32)
+    idx = jnp.nonzero(flat, size=capacity, fill_value=mask.size)[0]
+    valid = idx < mask.size
+    idx = jnp.where(valid, idx, 0)
+    w = mask.shape[-1]
+    pos = jnp.stack([idx // w, idx % w], axis=-1).astype(jnp.int32)
+    return pos, valid, count
+
+
+def apply_mask_stride(mask: jnp.ndarray, stride: int) -> jnp.ndarray:
+    """Diagonal-lattice subsampling of an edge mask.
+
+    Multiplies the mask by a tiled ``eye(stride)`` pattern, keeping ~1/stride of
+    the edge pixels (reference: ``esrganssl_model.py:56-63``).  ``stride<=1`` is
+    the identity.
+    """
+    if stride <= 1:
+        return mask
+    h, w = mask.shape[-2], mask.shape[-1]
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    lattice = ((yy % stride) == (xx % stride)).astype(mask.dtype)
+    return mask * lattice
+
+
+def _prefix_rows(m: jnp.ndarray) -> jnp.ndarray:
+    """Exclusive prefix-sum along axis 0, shape (H+1, W)."""
+    return jnp.pad(jnp.cumsum(m, axis=0), ((1, 0), (0, 0)))
+
+
+def _rect_rows(prefix: jnp.ndarray, lo, hi, p: int, out_h: int) -> jnp.ndarray:
+    """sum_{u=y+p+lo}^{y+p+hi} m[u] for y in [0,out_h) given exclusive prefix."""
+    wp = prefix.shape[1]
+    top = lax.dynamic_slice(prefix, (p + lo, 0), (out_h, wp))
+    bot = lax.dynamic_slice(prefix, (p + hi + 1, 0), (out_h, wp))
+    return bot - top
+
+
+def _rect_cols(rows: jnp.ndarray, lo, hi, p: int, out_w: int) -> jnp.ndarray:
+    h = rows.shape[0]
+    prefix = jnp.pad(jnp.cumsum(rows, axis=1), ((0, 0), (1, 0)))
+    left = lax.dynamic_slice(prefix, (0, p + lo), (h, out_w))
+    right = lax.dynamic_slice(prefix, (0, p + hi + 1), (h, out_w))
+    return right - left
+
+
+def ssg_ssd_maps_scan(img: jnp.ndarray, cfg: SSGConfig, pos: jnp.ndarray):
+    """Core: gathered raw SSD values for each (edge pixel, search offset).
+
+    img: (c,h,w) float32.  pos: (cap,2) int32 original-image coords.
+    Returns (cap, search*search) float32 raw SSDs (before /c*window^2, exp).
+    """
+    search, window = cfg.search, cfg.window
+    p, k = search // 2, window // 2
+    c, h, w = img.shape
+
+    P = reflect_pad_2d(img, p)                       # (c, h+2p, w+2p)
+    hp, wp = h + 2 * p, w + 2 * p
+    # Extra zero pad so candidate shifts are plain dynamic slices.
+    Pbig = jnp.pad(P, ((0, 0), (p, p), (p, p)))       # (c, h+4p, w+4p)
+
+    center2 = jnp.sum(P * P, axis=0)                  # (hp, wp)
+    c2_rows_prefix = _prefix_rows(center2)            # (hp+1, wp)
+    # Full window x window box of center^2 at each center (static bounds).
+    full_rows = c2_rows_prefix[p + k + 1:p + k + 1 + h] - c2_rows_prefix[p - k:p - k + h]
+    box_c2 = _rect_cols(full_rows, -k, k, p, w)       # (h, w)
+
+    flat_pos = pos[:, 0] * w + pos[:, 1]              # (cap,)
+
+    def body(_, s):
+        dy = s // search - p
+        dx = s % search - p
+        # Candidate image shifted by (dy,dx).
+        Pshift = lax.dynamic_slice(Pbig, (0, p + dy, p + dx), (c, hp, wp))
+        D = jnp.sum((P - Pshift) ** 2, axis=0)        # (hp, wp)
+        # Valid window-offset rectangle for this search offset.
+        a_y = jnp.maximum(-k, -p - dy)
+        b_y = jnp.minimum(k, p - dy)
+        a_x = jnp.maximum(-k, -p - dx)
+        b_x = jnp.minimum(k, p - dx)
+        rect_d = _rect_cols(_rect_rows(_prefix_rows(D), a_y, b_y, p, h), a_x, b_x, p, w)
+        rect_c = _rect_cols(_rect_rows(c2_rows_prefix, a_y, b_y, p, h), a_x, b_x, p, w)
+        smap = rect_d + (box_c2 - rect_c)             # (h, w)
+        return None, jnp.take(smap.reshape(-1), flat_pos)
+
+    _, out = lax.scan(jax.checkpoint(body), None, jnp.arange(search * search))
+    return out.T                                      # (cap, search^2)
+
+
+def ssg_epilogue(ssd: jnp.ndarray, num_ch: int, cfg: SSGConfig) -> jnp.ndarray:
+    """ssd (..., search^2) raw -> normalized similarity rows q."""
+    q = ssd / (num_ch * float(cfg.window) ** 2)
+    q = jnp.exp(-q / cfg.sigma)
+    if cfg.generalization:
+        q = q / (jnp.sum(q, axis=-1, keepdims=True) + 1e-10)
+    return q
+
+
+def ssg_matrix(img: jnp.ndarray, pos: jnp.ndarray, cfg: SSGConfig = SSGConfig(),
+               impl: str = "scan") -> jnp.ndarray:
+    """Full SSG rows for given edge positions. img (c,h,w); pos (cap,2).
+
+    Returns (cap, search^2); rows for padding positions are well-defined (they
+    are the SSG of pixel (0,0)) — mask them with the validity mask.
+    `impl`: 'scan' (pure jnp) or 'pallas' (fused TPU kernel).
+    """
+    if impl == "pallas":
+        from ssl_tpu.ops.ssg_pallas import ssg_ssd_maps_pallas
+        ssd = ssg_ssd_maps_pallas(img, cfg, pos)
+    else:
+        ssd = ssg_ssd_maps_scan(img, cfg, pos)
+    return ssg_epilogue(ssd, img.shape[0], cfg)
+
+
+def ssg_from_mask(img: jnp.ndarray, mask: jnp.ndarray, capacity: int,
+                  cfg: SSGConfig = SSGConfig(), impl: str = "scan"):
+    """Convenience: (q, valid, count) from a binary mask."""
+    pos, valid, count = mask_to_positions(mask, capacity)
+    q = ssg_matrix(img, pos, cfg, impl=impl)
+    return q, valid, count

@@ -1,0 +1,127 @@
+"""Golden-value tests for the SSG op against an independent naive implementation."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ssl_tpu.ops.ssg import (
+    SSGConfig, apply_mask_stride, mask_to_positions, ssg_from_mask, ssg_matrix,
+    ssg_ssd_maps_scan,
+)
+
+
+def naive_ssd(img: np.ndarray, pos: np.ndarray, search: int, window: int) -> np.ndarray:
+    """Direct evaluation of the SSG SSD definition (reference CUDA semantics):
+    per edge pixel, per search offset, windowed SSD with out-of-patch candidate
+    pixels treated as zero."""
+    c, h, w = img.shape
+    p, k = search // 2, window // 2
+    P = np.pad(img, ((0, 0), (p, p), (p, p)), mode="reflect")
+    out = np.zeros((len(pos), search * search), np.float64)
+    offs = np.arange(-k, k + 1)
+    for n, (y, x) in enumerate(pos):
+        cy, cx = y + p, x + p
+        center = P[:, cy - k:cy + k + 1, cx - k:cx + k + 1].astype(np.float64)
+        for i in range(search):
+            for j in range(search):
+                dy, dx = i - p, j - p
+                # valid iff candidate window pixel stays inside the search patch
+                vy = (np.abs(dy + offs) <= p)[:, None]
+                vx = (np.abs(dx + offs) <= p)[None, :]
+                valid = (vy & vx)[None, :, :]
+                qy, qx = cy + dy, cx + dx
+                # out-of-bounds only happens at invalid slots; clip for safety
+                yy = np.clip(qy + offs, 0, P.shape[1] - 1)
+                xx = np.clip(qx + offs, 0, P.shape[2] - 1)
+                cand = P[:, yy[:, None], xx[None, :]].astype(np.float64)
+                term = np.where(valid, (center - cand) ** 2, center ** 2)
+                out[n, i * search + j] = term.sum()
+    return out
+
+
+def _rand_case(seed, c, h, w, frac=0.15):
+    rng = np.random.RandomState(seed)
+    img = rng.rand(c, h, w).astype(np.float32)
+    mask = (rng.rand(h, w) < frac).astype(np.float32)
+    return img, mask
+
+
+@pytest.mark.parametrize("search,window,h,w", [(9, 5, 16, 16), (25, 9, 28, 26), (7, 3, 12, 20)])
+def test_ssd_matches_naive(search, window, h, w):
+    img, mask = _rand_case(0, 3, h, w, frac=0.08)
+    cfg = SSGConfig(search=search, window=window)
+    cap = 48
+    pos, valid, count = mask_to_positions(jnp.asarray(mask), cap)
+    ssd = np.asarray(ssg_ssd_maps_scan(jnp.asarray(img), cfg, pos))
+    np_pos = np.asarray(pos)[np.asarray(valid)]
+    ref = naive_ssd(img, np_pos, search, window)
+    got = ssd[np.asarray(valid)]
+    rel = np.abs(got - ref) / (np.abs(ref) + 1e-6)
+    assert rel.max() < 1e-4, rel.max()
+
+
+def test_epilogue_and_generalization():
+    img, mask = _rand_case(1, 3, 24, 24, frac=0.2)
+    cfg = SSGConfig(search=9, window=5, sigma=0.004, generalization=True)
+    q, valid, count = ssg_from_mask(jnp.asarray(img), jnp.asarray(mask), 128, cfg)
+    q = np.asarray(q)[np.asarray(valid)]
+    # rows normalized to ~1
+    np.testing.assert_allclose(q.sum(-1), 1.0, atol=1e-5)
+    # center position (zero shift) has the max raw similarity (ssd=0 -> exp(0)=1)
+    center = (cfg.search * cfg.search) // 2
+    assert (q.argmax(-1) == center).all()
+
+
+def test_grad_finite_and_nonzero():
+    img, mask = _rand_case(2, 3, 16, 16, frac=0.2)
+    cfg = SSGConfig(search=7, window=3)
+    pos, valid, _ = mask_to_positions(jnp.asarray(mask), 40)
+
+    def loss(x):
+        q = ssg_matrix(x, pos, cfg)
+        return jnp.sum(jnp.where(valid[:, None], q, 0.0))
+
+    g = jax.grad(loss)(jnp.asarray(img))
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_grad_matches_finite_difference():
+    with jax.enable_x64():
+        rng = np.random.RandomState(3)
+        img = rng.rand(1, 10, 10)
+        mask = np.zeros((10, 10), np.float32)
+        mask[3, 4] = 1
+        mask[6, 2] = 1
+        cfg = SSGConfig(search=5, window=3, sigma=0.1)
+        pos, valid, _ = mask_to_positions(jnp.asarray(mask), 4)
+        w = rng.rand(4, 25)
+
+        @jax.jit
+        def loss(x):
+            q = ssg_matrix(x, pos, cfg)
+            return jnp.sum(jnp.where(valid[:, None], q * w, 0.0))
+
+        g = np.asarray(jax.jit(jax.grad(loss))(jnp.asarray(img, dtype=jnp.float64)))
+        eps = 1e-6
+        for (ci, yi, xi) in [(0, 3, 4), (0, 2, 2), (0, 9, 9), (0, 0, 0), (0, 6, 3)]:
+            ip = img.copy(); ip[ci, yi, xi] += eps
+            im = img.copy(); im[ci, yi, xi] -= eps
+            fd = (float(loss(jnp.asarray(ip))) - float(loss(jnp.asarray(im)))) / (2 * eps)
+            assert abs(fd - g[ci, yi, xi]) < 1e-5 * max(1.0, abs(fd)), (yi, xi, fd, g[ci, yi, xi])
+
+
+def test_mask_stride_lattice():
+    mask = np.ones((9, 9), np.float32)
+    out = np.asarray(apply_mask_stride(jnp.asarray(mask), 3))
+    assert out.sum() == 27  # 1/3 of pixels kept
+    assert out[0, 0] == 1 and out[0, 3] == 1 and out[1, 1] == 1 and out[0, 1] == 0
+
+
+def test_mask_to_positions_row_major_and_truncation():
+    mask = np.zeros((4, 4), np.float32)
+    mask[1, 2] = 1; mask[0, 3] = 1; mask[3, 0] = 1
+    pos, valid, count = mask_to_positions(jnp.asarray(mask), 2)
+    assert int(count) == 3
+    assert np.asarray(valid).sum() == 2
+    np.testing.assert_array_equal(np.asarray(pos)[:2], [[0, 3], [1, 2]])
