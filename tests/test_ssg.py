@@ -16,26 +16,22 @@ def naive_ssd(img: np.ndarray, pos: np.ndarray, search: int, window: int) -> np.
     pixels treated as zero."""
     c, h, w = img.shape
     p, k = search // 2, window // 2
-    P = np.pad(img, ((0, 0), (p, p), (p, p)), mode="reflect")
+    P = np.pad(img, ((0, 0), (p, p), (p, p)), mode="reflect").astype(np.float64)
     out = np.zeros((len(pos), search * search), np.float64)
     offs = np.arange(-k, k + 1)
+    d = np.arange(-p, p + 1)
+    # validity per (search offset, window offset): candidate stays in patch
+    vy = np.abs(d[:, None] + offs[None, :]) <= p            # (search, window)
+    valid = (vy[:, None, :, None] & vy[None, :, None, :])   # (s, s, k, k)
     for n, (y, x) in enumerate(pos):
         cy, cx = y + p, x + p
-        center = P[:, cy - k:cy + k + 1, cx - k:cx + k + 1].astype(np.float64)
-        for i in range(search):
-            for j in range(search):
-                dy, dx = i - p, j - p
-                # valid iff candidate window pixel stays inside the search patch
-                vy = (np.abs(dy + offs) <= p)[:, None]
-                vx = (np.abs(dx + offs) <= p)[None, :]
-                valid = (vy & vx)[None, :, :]
-                qy, qx = cy + dy, cx + dx
-                # out-of-bounds only happens at invalid slots; clip for safety
-                yy = np.clip(qy + offs, 0, P.shape[1] - 1)
-                xx = np.clip(qx + offs, 0, P.shape[2] - 1)
-                cand = P[:, yy[:, None], xx[None, :]].astype(np.float64)
-                term = np.where(valid, (center - cand) ** 2, center ** 2)
-                out[n, i * search + j] = term.sum()
+        center = P[:, cy - k:cy + k + 1, cx - k:cx + k + 1]          # (c,k,k)
+        yy = np.clip(cy + d[:, None] + offs[None, :], 0, P.shape[1] - 1)  # (s,k)
+        xx = np.clip(cx + d[:, None] + offs[None, :], 0, P.shape[2] - 1)
+        cand = P[:, yy[:, None, :, None], xx[None, :, None, :]]      # (c,s,s,k,k)
+        term = np.where(valid[None], (center[:, None, None] - cand) ** 2,
+                        (center[:, None, None] ** 2) * np.ones_like(cand))
+        out[n] = term.sum(axis=(0, 3, 4)).reshape(-1)
     return out
 
 
