@@ -1,0 +1,135 @@
+"""Discriminators (reference: archs/discriminator_arch.py).
+
+- VGGStyleDiscriminator (input 128/192 variants) — ESRGAN-SSL's D
+- UNetDiscriminatorSN — RealESRGAN-SSL's D (U-Net + spectral norm + skips)
+
+Stateful pieces (BN running stats, spectral-norm power iterates) live in the
+'batch_stats' collection; train steps thread it as a mutable collection."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ssl_tpu.archs.arch_util import resize_nearest
+from ssl_tpu.utils.registry import ARCH_REGISTRY
+
+
+def _bilinear_resize(x, scale):
+    import jax
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, int(h * scale), int(w * scale), c), method="bilinear")
+
+
+@ARCH_REGISTRY.register()
+class VGGStyleDiscriminator(nn.Module):
+    """VGG-style D with BN and stride-2 halving down to 4x4 (reference
+    discriminator_arch.py:113-191). input_size must be 128 or 192."""
+    num_in_ch: int = 3
+    num_feat: int = 64
+    input_size: int = 128
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        assert self.input_size in (128, 192), f"input size must be 128 or 192, got {self.input_size}"
+        lrelu = lambda v: nn.leaky_relu(v, 0.2)
+        norm = lambda v: nn.BatchNorm(use_running_average=not train, momentum=0.9)(v)
+
+        feat = lrelu(nn.Conv(self.num_feat, (3, 3), padding="SAME")(x))
+        feat = lrelu(norm(nn.Conv(self.num_feat, (4, 4), strides=2, padding=((1, 1), (1, 1)), use_bias=False)(feat)))
+        mult = 2
+        for _ in range(4):  # 128->64->32->16->8->4 over the stride-2 convs
+            f = self.num_feat * min(mult, 8)
+            feat = lrelu(norm(nn.Conv(f, (3, 3), padding="SAME", use_bias=False)(feat)))
+            feat = lrelu(norm(nn.Conv(f, (4, 4), strides=2, padding=((1, 1), (1, 1)), use_bias=False)(feat)))
+            mult *= 2
+        if self.input_size == 192:
+            feat = lrelu(norm(nn.Conv(self.num_feat * 8, (3, 3), padding="SAME", use_bias=False)(feat)))
+            feat = lrelu(norm(nn.Conv(self.num_feat * 8, (4, 4), strides=2, padding=((1, 1), (1, 1)), use_bias=False)(feat)))
+        feat = feat.reshape(feat.shape[0], -1)
+        feat = lrelu(nn.Dense(100)(feat))
+        return nn.Dense(1)(feat)
+
+
+class _SNConv(nn.Module):
+    """Spectral-normalized conv (power-iteration state in batch_stats)."""
+    features: int
+    kernel: tuple = (3, 3)
+    strides: int = 1
+    padding = "SAME"
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, update_stats: bool = True):
+        conv = nn.Conv(self.features, self.kernel, strides=self.strides,
+                       padding="SAME", use_bias=self.use_bias)
+        return nn.SpectralNorm(conv)(x, update_stats=update_stats)
+
+
+@ARCH_REGISTRY.register()
+class UNetDiscriminatorSN(nn.Module):
+    """U-Net discriminator with spectral norm and skip connections
+    (reference discriminator_arch.py:326-385). Returns a per-pixel logit map."""
+    num_in_ch: int = 3
+    num_feat: int = 64
+    skip_connection: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        lrelu = lambda v: nn.leaky_relu(v, 0.2)
+        us = train
+        x0 = lrelu(nn.Conv(self.num_feat, (3, 3), padding="SAME", name="conv0")(x))
+        x1 = lrelu(_SNConv(self.num_feat * 2, (4, 4), 2, use_bias=False, name="conv1")(x0, us))
+        x2 = lrelu(_SNConv(self.num_feat * 4, (4, 4), 2, use_bias=False, name="conv2")(x1, us))
+        x3 = lrelu(_SNConv(self.num_feat * 8, (4, 4), 2, use_bias=False, name="conv3")(x2, us))
+        # upsample
+        x3u = _bilinear_resize(x3, 2)
+        x4 = lrelu(_SNConv(self.num_feat * 4, (3, 3), 1, use_bias=False, name="conv4")(x3u, us))
+        if self.skip_connection:
+            x4 = x4 + x2
+        x4u = _bilinear_resize(x4, 2)
+        x5 = lrelu(_SNConv(self.num_feat * 2, (3, 3), 1, use_bias=False, name="conv5")(x4u, us))
+        if self.skip_connection:
+            x5 = x5 + x1
+        x5u = _bilinear_resize(x5, 2)
+        x6 = lrelu(_SNConv(self.num_feat, (3, 3), 1, use_bias=False, name="conv6")(x5u, us))
+        if self.skip_connection:
+            x6 = x6 + x0
+        out = lrelu(_SNConv(self.num_feat, (3, 3), 1, name="conv7")(x6, us))
+        out = lrelu(_SNConv(self.num_feat, (3, 3), 1, name="conv8")(out, us))
+        return nn.Conv(1, (3, 3), padding="SAME", name="conv9")(out)
+
+
+@ARCH_REGISTRY.register()
+class Discriminator_VGG_192(nn.Module):
+    """192-input VGG-style D without BN option parity (reference :194-255)."""
+    num_in_ch: int = 3
+    num_feat: int = 64
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        return VGGStyleDiscriminator(self.num_in_ch, self.num_feat, 192)(x, train)
+
+
+@ARCH_REGISTRY.register()
+class DiscriminatorSN_VGG_192(nn.Module):
+    """Spectral-norm VGG D for 192 inputs (reference :258-323)."""
+    num_in_ch: int = 3
+    num_feat: int = 64
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        lrelu = lambda v: nn.leaky_relu(v, 0.2)
+        feat = lrelu(nn.Conv(self.num_feat, (3, 3), padding="SAME")(x))
+        feat = lrelu(_SNConv(self.num_feat, (4, 4), 2)(feat, train))
+        mult = 2
+        for _ in range(4):
+            f = self.num_feat * min(mult, 8)
+            feat = lrelu(_SNConv(f, (3, 3), 1)(feat, train))
+            feat = lrelu(_SNConv(f, (4, 4), 2)(feat, train))
+            mult *= 2
+        feat = lrelu(_SNConv(self.num_feat * 8, (3, 3), 1)(feat, train))
+        feat = lrelu(_SNConv(self.num_feat * 8, (4, 4), 2)(feat, train))
+        feat = feat.reshape(feat.shape[0], -1)
+        feat = lrelu(nn.Dense(100)(feat))
+        return nn.Dense(1)(feat)

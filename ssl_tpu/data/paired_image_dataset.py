@@ -1,0 +1,148 @@
+"""Paired LQ/GT datasets, with and without edge masks.
+
+Reference parity: data/paired_image_dataset.py, paired_image_mask_dataset.py,
+single_image_dataset.py. Numpy HWC float32 RGB outputs (NHWC batches)."""
+
+from __future__ import annotations
+
+import os
+import random
+
+import numpy as np
+
+from ssl_tpu.data.data_util import paired_paths_from_folders, paired_paths_from_meta_info_file, paired_paths_with_mask, paths_from_folder
+from ssl_tpu.data.transforms import augment, paired_random_crop, paired_random_crop_img_mask
+from ssl_tpu.utils.img_util import img2array, imread
+from ssl_tpu.utils.registry import DATASET_REGISTRY
+
+
+def load_mask(path: str) -> np.ndarray:
+    """Load a binary edge mask saved as .mat (key 'mat'), .npy or .png
+    (reference masks: generate_mask.py saves scipy.io .mat with key 'mat')."""
+    if path.endswith(".mat"):
+        from scipy.io import loadmat
+        m = loadmat(path)["mat"]
+    elif path.endswith(".npy"):
+        m = np.load(path)
+    else:
+        import cv2
+        m = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+        m = (m > 127).astype(np.float32)
+    m = np.asarray(m).astype(np.float32)
+    if m.ndim == 3:
+        m = m[..., 0]
+    return m
+
+
+class BaseDataset:
+    def __len__(self):
+        return len(self.paths)
+
+
+@DATASET_REGISTRY.register()
+class PairedImageDataset(BaseDataset):
+    """Classic paired folder/meta dataset (reference paired_image_dataset.py)."""
+
+    def __init__(self, opt: dict):
+        self.opt = opt
+        self.scale = opt.get("scale", 4)
+        gt_folder, lq_folder = opt["dataroot_gt"], opt["dataroot_lq"]
+        tmpl = opt.get("filename_tmpl", "{}")
+        if opt.get("meta_info_file"):
+            self.paths = paired_paths_from_meta_info_file(
+                [lq_folder, gt_folder], ["lq", "gt"], opt["meta_info_file"], tmpl)
+        else:
+            self.paths = paired_paths_from_folders([lq_folder, gt_folder], ["lq", "gt"], tmpl)
+        self.phase = opt.get("phase", "train")
+        self.gt_size = opt.get("gt_size")
+        self.use_hflip = opt.get("use_hflip", False)
+        self.use_rot = opt.get("use_rot", False)
+
+    def __getitem__(self, index):
+        d = self.paths[index]
+        img_gt = img2array(imread(d["gt_path"]))
+        img_lq = img2array(imread(d["lq_path"]))
+        if self.phase == "train":
+            img_gt, img_lq = paired_random_crop(img_gt, img_lq, self.gt_size, self.scale)
+            img_gt, img_lq = augment([img_gt, img_lq], self.use_hflip, self.use_rot)
+        else:
+            # center-consistent: crop GT to match LQ*scale
+            h, w = img_lq.shape[:2]
+            img_gt = img_gt[: h * self.scale, : w * self.scale, :]
+        return {"lq": img_lq, "gt": img_gt, "lq_path": d["lq_path"], "gt_path": d["gt_path"]}
+
+
+@DATASET_REGISTRY.register()
+class MyPairedImageDataset(PairedImageDataset):
+    """Simplified paired dataset used by tests in the reference (my_paired_image_dataset.py)."""
+
+
+@DATASET_REGISTRY.register()
+class PairedImageMaskDataset(BaseDataset):
+    """GT + LQ + offline Laplacian edge mask for SSL training
+    (reference paired_image_mask_dataset.py:14-98)."""
+
+    def __init__(self, opt: dict):
+        self.opt = opt
+        self.scale = opt.get("scale", 4)
+        tmpl = opt.get("filename_tmpl", "{}")
+        self.paths = paired_paths_with_mask(
+            [opt["dataroot_lq"], opt["dataroot_gt"], opt["dataroot_gt_mask"]],
+            ["lq", "gt", "gt_mask"], tmpl)
+        self.phase = opt.get("phase", "train")
+        self.gt_size = opt.get("gt_size")
+        self.use_hflip = opt.get("use_hflip", True)
+        self.use_rot = opt.get("use_rot", True)
+
+    def __getitem__(self, index):
+        d = self.paths[index]
+        img_gt = img2array(imread(d["gt_path"]))
+        img_lq = img2array(imread(d["lq_path"]))
+        mask = load_mask(d["gt_mask_path"])[..., None]  # HW1
+        if self.phase == "train":
+            img_gt, img_lq, mask = paired_random_crop_img_mask(
+                img_gt, img_lq, mask, self.gt_size, self.scale)
+            img_gt, img_lq, mask = augment([img_gt, img_lq, mask], self.use_hflip, self.use_rot)
+        return {"lq": img_lq, "gt": img_gt, "gt_mask": mask,
+                "lq_path": d["lq_path"], "gt_path": d["gt_path"]}
+
+
+@DATASET_REGISTRY.register()
+class SingleImageDataset(BaseDataset):
+    """LQ-only inference dataset (reference single_image_dataset.py)."""
+
+    def __init__(self, opt: dict):
+        self.opt = opt
+        self.paths = paths_from_folder(opt["dataroot_lq"])
+
+    def __getitem__(self, index):
+        path = self.paths[index]
+        return {"lq": img2array(imread(path)), "lq_path": path}
+
+
+@DATASET_REGISTRY.register()
+class MultiLROneGTDataset(BaseDataset):
+    """Several LR variants per GT (reference multiLR_oneGT_dataset.py:1-52):
+    dataroot_lq contains one subfolder (or suffix set) per degradation."""
+
+    def __init__(self, opt: dict):
+        self.opt = opt
+        self.scale = opt.get("scale", 4)
+        gt_paths = paths_from_folder(opt["dataroot_gt"])
+        lq_root = opt["dataroot_lq"]
+        subdirs = sorted(d for d in os.listdir(lq_root) if os.path.isdir(os.path.join(lq_root, d)))
+        self.paths = []
+        for gt in gt_paths:
+            base = os.path.basename(gt)
+            for sub in subdirs:
+                lq = os.path.join(lq_root, sub, base)
+                if os.path.exists(lq):
+                    self.paths.append({"gt_path": gt, "lq_path": lq, "variant": sub})
+
+    def __getitem__(self, index):
+        d = self.paths[index]
+        img_gt = img2array(imread(d["gt_path"]))
+        img_lq = img2array(imread(d["lq_path"]))
+        h, w = img_lq.shape[:2]
+        img_gt = img_gt[: h * self.scale, : w * self.scale, :]
+        return {"lq": img_lq, "gt": img_gt, **{k: d[k] for k in ("lq_path", "gt_path", "variant")}}

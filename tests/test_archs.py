@@ -1,0 +1,71 @@
+"""Arch unit tests — build tiny nets, assert output shapes (reference test style)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ssl_tpu.archs import build_network
+
+
+def _init_apply(net, x, train=True):
+    variables = net.init(jax.random.PRNGKey(0), x)
+    try:
+        out = net.apply(variables, x, mutable=["batch_stats"])[0]
+    except TypeError:
+        out = net.apply(variables, x)
+    return out
+
+
+def test_rrdbnet_x4_shape():
+    net = build_network(dict(type="RRDBNet", num_in_ch=3, num_out_ch=3,
+                             num_feat=8, num_block=2, num_grow_ch=4))
+    x = jnp.zeros((1, 12, 12, 3))
+    out = _init_apply(net, x)
+    assert out.shape == (1, 48, 48, 3)
+
+
+def test_rrdbnet_x2_pixel_unshuffle():
+    net = build_network(dict(type="RRDBNet", scale=2, num_feat=8, num_block=1, num_grow_ch=4))
+    x = jnp.zeros((1, 16, 16, 3))
+    out = _init_apply(net, x)
+    assert out.shape == (1, 32, 32, 3)
+
+
+def test_msrresnet_shape():
+    net = build_network(dict(type="MSRResNet", num_feat=8, num_block=2, upscale=4))
+    out = _init_apply(net, jnp.zeros((2, 8, 8, 3)))
+    assert out.shape == (2, 32, 32, 3)
+
+
+def test_srvgg_shape():
+    net = build_network(dict(type="SRVGGNetCompact", num_feat=8, num_conv=2, upscale=4))
+    out = _init_apply(net, jnp.zeros((1, 8, 8, 3)))
+    assert out.shape == (1, 32, 32, 3)
+
+
+def test_vgg_style_discriminator():
+    net = build_network(dict(type="VGGStyleDiscriminator", num_feat=4, input_size=128))
+    x = jnp.zeros((2, 128, 128, 3))
+    variables = net.init(jax.random.PRNGKey(0), x)
+    out, _ = net.apply(variables, x, mutable=["batch_stats"])
+    assert out.shape == (2, 1)
+
+
+def test_unet_discriminator_sn():
+    net = build_network(dict(type="UNetDiscriminatorSN", num_feat=4))
+    x = jnp.zeros((1, 32, 32, 3))
+    variables = net.init(jax.random.PRNGKey(0), x)
+    out, _ = net.apply(variables, x, mutable=["batch_stats"])
+    assert out.shape == (1, 32, 32, 1)
+
+
+def test_perceptual_loss_runs():
+    from ssl_tpu.losses import build_loss
+    loss = build_loss(dict(type="PerceptualLoss", layer_weights={"conv3_4": 1.0},
+                           perceptual_weight=1.0, style_weight=0.5))
+    x = jnp.ones((1, 32, 32, 3)) * 0.5
+    gt = jnp.zeros((1, 32, 32, 3))
+    p, s = loss(x, gt)
+    assert np.isfinite(float(p)) and np.isfinite(float(s))
+    p2, _ = loss(gt, gt)
+    assert float(p2) == 0.0
