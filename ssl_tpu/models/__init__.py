@@ -1,0 +1,14 @@
+"""Model builders (reference surface: basicsr/models/__init__.py build_model)."""
+from ssl_tpu.utils.registry import MODEL_REGISTRY
+
+from ssl_tpu.models import sr_model as _sr  # noqa: F401
+from ssl_tpu.models import srgan_model as _srgan  # noqa: F401
+from ssl_tpu.models import esrganssl_model as _essl  # noqa: F401
+from ssl_tpu.models.base_model import BaseModel, TrainState  # noqa: F401
+from ssl_tpu.models.sr_model import SRModel  # noqa: F401
+from ssl_tpu.models.srgan_model import ESRGANModel, SRGANModel  # noqa: F401
+from ssl_tpu.models.esrganssl_model import ESRGANSSLModel  # noqa: F401
+
+
+def build_model(opt: dict):
+    return MODEL_REGISTRY.get(opt["model_type"])(opt)

@@ -1,0 +1,151 @@
+"""BaseModel: functional training recipes around a pure TrainState pytree.
+
+TPU-native redesign of the reference's mutable BaseModel
+(basicsr/models/base_model.py): instead of in-place nets/optimizers, the whole
+training state (params_g/d, EMA, optimizer states, step, PRNG key, queue
+buffers) is one pytree, and ``optimize_parameters`` is a single jitted
+``train_step(state, batch) -> (state, logs)``.  G/D alternation, EMA decay and
+LR scheduling all live inside that one compiled region.
+
+Checkpointing is orbax (SURVEY §5): save/restore of the full state pytree plus
+separate 'params'/'params_ema' network-only saves for reference-style weights.
+"""
+
+from __future__ import annotations
+
+import os
+from copy import deepcopy
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ssl_tpu.archs import build_network
+from ssl_tpu.models.lr_scheduler import build_schedule
+from ssl_tpu.parallel.mesh import create_mesh, replicate_sharding, shard_batch
+from ssl_tpu.utils.registry import MODEL_REGISTRY
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    rng: jnp.ndarray
+    params_g: Any
+    opt_state_g: Any
+    ema_params_g: Any = None
+    params_d: Any = None
+    stats_d: Any = None           # batch_stats / spectral-norm power iterates
+    opt_state_d: Any = None
+    extra: Any = None             # recipe-specific buffers (e.g. degradation queue)
+
+
+def build_optimizer(optim_opt: dict, schedule: Callable):
+    """Adam/AdamW/SGD/RMSprop factory (reference base_model.py:103-120)."""
+    o = deepcopy(optim_opt)
+    otype = o.pop("type", "Adam")
+    o.pop("lr", None)
+    betas = o.pop("betas", (0.9, 0.999))
+    wd = o.pop("weight_decay", 0)
+    if otype == "Adam":
+        tx = optax.adam(schedule, b1=betas[0], b2=betas[1])
+        if wd:
+            tx = optax.chain(optax.add_decayed_weights(wd), tx)
+    elif otype == "AdamW":
+        tx = optax.adamw(schedule, b1=betas[0], b2=betas[1], weight_decay=wd)
+    elif otype == "SGD":
+        tx = optax.sgd(schedule, momentum=o.pop("momentum", 0.0))
+    elif otype == "RMSprop":
+        tx = optax.rmsprop(schedule)
+    elif otype == "Adamax":
+        tx = optax.adamax(schedule, b1=betas[0], b2=betas[1])
+    else:
+        raise NotImplementedError(f"optimizer {otype} is not supported yet.")
+    return tx
+
+
+def ema_update(ema_params, new_params, decay: float):
+    """net_g_ema = decay*ema + (1-decay)*net_g (reference base_model.py:75-82)."""
+    return jax.tree_util.tree_map(
+        lambda e, p: e * decay + p * (1.0 - decay), ema_params, new_params)
+
+
+class BaseModel:
+    """Holds static config + jitted step fns; state is explicit."""
+
+    def __init__(self, opt: dict):
+        self.opt = opt
+        self.is_train = opt.get("is_train", True)
+        self.scale = opt.get("scale", 4)
+        self.mesh = create_mesh()
+        self.schedulers_info = {}
+        self._train_step = None
+        self._test_step = None
+
+    # ------------------------------------------------------------------ build
+    def build_g(self):
+        net_opt = deepcopy(self.opt["network_g"])
+        net_opt.setdefault("scale", self.scale)
+        return build_network(net_opt)
+
+    def init_params(self, net, shape, rng_seed=0, extra_kwargs=None):
+        x = jnp.zeros(shape, jnp.float32)
+        variables = net.init(jax.random.PRNGKey(rng_seed), x, **(extra_kwargs or {}))
+        return variables
+
+    # ------------------------------------------------------------ persistence
+    def save_networks(self, state: TrainState, save_dir: str, current_iter: int):
+        """Save reference-style weight files: params + params_ema as npz trees."""
+        os.makedirs(save_dir, exist_ok=True)
+        import pickle
+        payload = {"params": jax.device_get(state.params_g)}
+        if state.ema_params_g is not None:
+            payload["params_ema"] = jax.device_get(state.ema_params_g)
+        with open(os.path.join(save_dir, f"net_g_{current_iter}.pkl"), "wb") as f:
+            pickle.dump(payload, f)
+        if state.params_d is not None:
+            with open(os.path.join(save_dir, f"net_d_{current_iter}.pkl"), "wb") as f:
+                pickle.dump({"params": jax.device_get(state.params_d)}, f)
+
+    def save_training_state(self, state: TrainState, state_dir: str, epoch: int, current_iter: int):
+        import orbax.checkpoint as ocp
+        path = os.path.abspath(os.path.join(state_dir, f"{current_iter}"))
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, jax.device_get(state), force=True)
+        ckptr.wait_until_finished()
+        with open(os.path.join(state_dir, "latest"), "w") as f:
+            f.write(str(current_iter))
+
+    def load_training_state(self, state_template: TrainState, state_dir: str, current_iter: int | str = "latest"):
+        import orbax.checkpoint as ocp
+        if current_iter == "latest":
+            with open(os.path.join(state_dir, "latest")) as f:
+                current_iter = int(f.read().strip())
+        path = os.path.abspath(os.path.join(state_dir, str(current_iter)))
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(path, jax.device_get(state_template))
+        return jax.tree_util.tree_map(jnp.asarray, restored), int(current_iter)
+
+    @staticmethod
+    def find_latest_state(state_dir: str) -> int | None:
+        """auto_resume: scan for the max saved iter (reference train.py:68-88)."""
+        if not os.path.isdir(state_dir):
+            return None
+        iters = [int(d) for d in os.listdir(state_dir) if d.isdigit()]
+        return max(iters) if iters else None
+
+    # ------------------------------------------------------------------ utils
+    def shard(self, batch: dict) -> dict:
+        return shard_batch(batch, self.mesh)
+
+    def current_lr(self, train_opt: dict, step: int) -> float:
+        sched = build_schedule(train_opt, train_opt["optim_g"].get("lr", 1e-4))
+        return float(sched(step))
+
+
+def build_model(opt: dict):
+    """Reference surface: models/__init__.py:18-28."""
+    from ssl_tpu import models as _models  # noqa: F401  (ensure registry populated)
+    model = MODEL_REGISTRY.get(opt["model_type"])(opt)
+    return model

@@ -1,0 +1,152 @@
+"""SRGAN / ESRGAN recipes (reference: models/srgan_model.py, esrgan_model.py).
+
+One jitted train step containing both the G and D updates: G gradients are
+taken w.r.t. params_g only (D frozen by construction — no requires_grad
+flipping needed), then D gradients w.r.t. params_d with the SR output
+stop-gradiented.  The reference's two separate D backwards (esrgan_model.py /
+esrganssl_model.py:251-274) were a DDP-BatchNorm workaround; mathematically
+they equal the single combined loss used here."""
+
+from __future__ import annotations
+
+from copy import deepcopy
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ssl_tpu.archs import build_network
+from ssl_tpu.losses import build_loss
+from ssl_tpu.models.base_model import TrainState, build_optimizer, ema_update
+from ssl_tpu.models.lr_scheduler import build_schedule
+from ssl_tpu.models.sr_model import SRModel
+from ssl_tpu.utils.registry import MODEL_REGISTRY
+
+
+@MODEL_REGISTRY.register()
+class SRGANModel(SRModel):
+    relativistic = False
+
+    def __init__(self, opt: dict):
+        super().__init__(opt)
+        self.net_d = build_network(deepcopy(opt["network_d"])) if opt.get("network_d") else None
+        train_opt = opt.get("train") or {}
+        if self.is_train and self.net_d is not None:
+            self.schedule_d = build_schedule(train_opt, train_opt["optim_d"].get("lr", 1e-4))
+            self.tx_d = build_optimizer(train_opt["optim_d"], self.schedule_d)
+            self.cri_gan = build_loss(train_opt["gan_opt"]) if train_opt.get("gan_opt") else None
+            self.net_d_iters = train_opt.get("net_d_iters", 1)
+            self.net_d_init_iters = train_opt.get("net_d_init_iters", 0)
+
+    # -------------------------------------------------------------- state init
+    def init_state(self, lq_shape=(1, 32, 32, 3), seed: int = 0) -> TrainState:
+        state = super().init_state(lq_shape, seed)
+        if self.net_d is None:
+            return state
+        gt_shape = (lq_shape[0], lq_shape[1] * self.scale, lq_shape[2] * self.scale, lq_shape[3])
+        var_d = self.net_d.init(jax.random.PRNGKey(seed + 1), jnp.zeros(gt_shape, jnp.float32))
+        params_d = var_d["params"]
+        stats_d = var_d.get("batch_stats", {})
+        return state.replace(params_d=params_d, stats_d=stats_d,
+                             opt_state_d=self.tx_d.init(params_d))
+
+    # ----------------------------------------------------------------- helpers
+    def apply_d(self, params_d, stats_d, x, train=True, mutable=False):
+        variables = {"params": params_d, "batch_stats": stats_d}
+        if mutable:
+            out, new_vars = self.net_d.apply(variables, x, train, mutable=["batch_stats"])
+            return out, new_vars.get("batch_stats", stats_d)
+        return self.net_d.apply(variables, x, train), stats_d
+
+    def gan_g_loss(self, fake_pred, real_pred):
+        if self.relativistic:
+            real_pred = jax.lax.stop_gradient(real_pred)
+            l_g_real = self.cri_gan(real_pred - jnp.mean(fake_pred), False, is_disc=False)
+            l_g_fake = self.cri_gan(fake_pred - jnp.mean(real_pred), True, is_disc=False)
+            return (l_g_real + l_g_fake) / 2
+        return self.cri_gan(fake_pred, True, is_disc=False)
+
+    def gan_d_loss(self, real_pred, fake_pred):
+        if self.relativistic:
+            l_d_real = self.cri_gan(real_pred - jnp.mean(jax.lax.stop_gradient(fake_pred)),
+                                    True, is_disc=True) * 0.5
+            l_d_fake = self.cri_gan(fake_pred - jnp.mean(jax.lax.stop_gradient(real_pred)),
+                                    False, is_disc=True) * 0.5
+            return l_d_real + l_d_fake, {"l_d_real": l_d_real, "l_d_fake": l_d_fake}
+        l_d_real = self.cri_gan(real_pred, True, is_disc=True)
+        l_d_fake = self.cri_gan(fake_pred, False, is_disc=True)
+        return l_d_real + l_d_fake, {"l_d_real": l_d_real, "l_d_fake": l_d_fake}
+
+    # -------------------------------------------------- generator loss (hook)
+    def g_losses_gan(self, params_g, state: TrainState, batch: dict, rng):
+        """Pixel (+ recipe extras) + perceptual + GAN; subclasses extend."""
+        total, logs, sr = self.g_losses(params_g, state, batch, rng)
+        if self.cri_gan is not None:
+            # train-mode D (batch statistics), but stat updates are discarded
+            # in the G phase — the D phase owns the stats.
+            fake_pred, _ = self.apply_d(state.params_d, state.stats_d, sr,
+                                        train=True, mutable=True)
+            real_pred, _ = self.apply_d(state.params_d, state.stats_d, batch["gt"],
+                                        train=True, mutable=True)
+            l_g_gan = self.gan_g_loss(fake_pred, jax.lax.stop_gradient(real_pred))
+            total += l_g_gan
+            logs["l_g_gan"] = l_g_gan
+        return total, logs, sr
+
+    # -------------------------------------------------------------- train step
+    def make_train_step(self):
+        if self.net_d is None:
+            return super().make_train_step()
+
+        def step_fn(state: TrainState, batch: dict):
+            rng, sub = jax.random.split(state.rng)
+            it = state.step + 1
+
+            # ---------------- G phase
+            def g_loss_fn(params_g):
+                total, logs, sr = self.g_losses_gan(params_g, state, batch, sub)
+                return total, (logs, sr)
+
+            (l_g_total, (logs, sr)), grads_g = jax.value_and_grad(g_loss_fn, has_aux=True)(state.params_g)
+            do_g = jnp.logical_and(it % self.net_d_iters == 0, it > self.net_d_init_iters)
+            scale_g = do_g.astype(jnp.float32)
+            grads_g = jax.tree_util.tree_map(lambda g: g * scale_g, grads_g)
+            updates_g, opt_state_g = self.tx_g.update(grads_g, state.opt_state_g, state.params_g)
+            params_g = jax.tree_util.tree_map(
+                lambda p, u: p + u * scale_g, state.params_g, updates_g)
+
+            # ---------------- D phase
+            sr_sg = jax.lax.stop_gradient(sr)
+
+            def d_loss_fn(params_d):
+                real_pred, stats1 = self.apply_d(params_d, state.stats_d, batch["gt"],
+                                                 train=True, mutable=True)
+                fake_pred, stats2 = self.apply_d(params_d, stats1, sr_sg, train=True, mutable=True)
+                loss, d_logs = self.gan_d_loss(real_pred, fake_pred)
+                d_logs["out_d_real"] = jnp.mean(real_pred)
+                d_logs["out_d_fake"] = jnp.mean(fake_pred)
+                return loss, (d_logs, stats2)
+
+            (l_d, (d_logs, stats_d)), grads_d = jax.value_and_grad(d_loss_fn, has_aux=True)(state.params_d)
+            updates_d, opt_state_d = self.tx_d.update(grads_d, state.opt_state_d, state.params_d)
+            params_d = jax.tree_util.tree_map(lambda p, u: p + u, state.params_d, updates_d)
+
+            ema = state.ema_params_g
+            if self.ema_decay > 0:
+                ema = ema_update(ema, params_g, self.ema_decay)
+
+            logs.update(d_logs)
+            logs["l_g_total"] = l_g_total
+            logs["lr"] = self.schedule_g(state.step)
+            new_state = state.replace(step=it, rng=rng, params_g=params_g,
+                                      opt_state_g=opt_state_g, ema_params_g=ema,
+                                      params_d=params_d, stats_d=stats_d,
+                                      opt_state_d=opt_state_d)
+            return new_state, logs
+        return step_fn
+
+
+@MODEL_REGISTRY.register()
+class ESRGANModel(SRGANModel):
+    """Relativistic-GAN variant (reference models/esrgan_model.py)."""
+    relativistic = True

@@ -1,0 +1,118 @@
+"""Torch-checkpoint porting: reference .pth layouts -> our flax param trees.
+
+Handles the reference's save format {param_key: state_dict} with 'params' /
+'params_ema' keys and optional 'module.' DDP prefixes (reference
+base_model.py:289-315).  Conversions are per-arch key maps; conv weights go
+OIHW -> HWIO.  CPU torch is available in-image for deserialization only."""
+
+from __future__ import annotations
+
+import pickle
+import re
+
+import numpy as np
+
+
+def _to_np(t):
+    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
+
+
+def _conv_w(t):
+    return _to_np(t).transpose(2, 3, 1, 0)  # OIHW -> HWIO
+
+
+def load_torch_state_dict(path: str, param_key: str = "params") -> dict:
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and param_key in sd:
+        sd = sd[param_key]
+    elif isinstance(sd, dict) and "params_ema" in sd and param_key == "params":
+        sd = sd.get("params", sd["params_ema"])
+    if isinstance(sd, dict) and all(k.startswith("module.") for k in sd):
+        sd = {k[len("module."):]: v for k, v in sd.items()}
+    return sd
+
+
+def convert_rrdbnet(sd: dict) -> dict:
+    """Reference RRDBNet keys -> ssl_tpu RRDBNet flax tree.
+
+    torch: conv_first / body.{i}.rdb{j}.conv{k} / conv_body / conv_up1/2 /
+    conv_hr / conv_last.  flax: conv_first, body_{i}.ResidualDenseBlock_{j-1}
+    .Conv3x3_{k-1}.Conv_0, conv_body, ..."""
+    params: dict = {}
+
+    def put(dotted: list[str], leaf: dict):
+        node = params
+        for p in dotted[:-1]:
+            node = node.setdefault(p, {})
+        node[dotted[-1]] = leaf
+
+    done = set()
+    for name in ("conv_first", "conv_body", "conv_up1", "conv_up2", "conv_hr", "conv_last"):
+        wk, bk = f"{name}.weight", f"{name}.bias"
+        if wk in sd:
+            put([name], {"kernel": _conv_w(sd[wk]), "bias": _to_np(sd[bk])})
+            done.update([wk, bk])
+    pat = re.compile(r"body\.(\d+)\.rdb(\d)\.conv(\d)\.(weight|bias)")
+    for key, val in sd.items():
+        m = pat.match(key)
+        if not m:
+            continue
+        i, j, k, kind = int(m.group(1)), int(m.group(2)), int(m.group(3)), m.group(4)
+        dotted = [f"body_{i}", f"ResidualDenseBlock_{j-1}", f"Conv3x3_{k-1}", "Conv_0"]
+        leaf_name = "kernel" if kind == "weight" else "bias"
+        node = params
+        for p in dotted:
+            node = node.setdefault(p, {})
+        node[leaf_name] = _conv_w(val) if kind == "weight" else _to_np(val)
+        done.add(key)
+    leftovers = set(sd) - done
+    if leftovers:
+        import logging
+        logging.getLogger("ssl_tpu").warning("convert_rrdbnet: unmapped keys %s", sorted(leftovers)[:8])
+    return params
+
+
+CONVERTERS = {
+    "rrdbnet": (lambda sd: any(".rdb1.conv1." in k for k in sd), convert_rrdbnet),
+}
+
+
+def _tree_shapes_match(tree, ref) -> bool:
+    import jax
+    try:
+        la = jax.tree_util.tree_leaves(tree)
+        lb = jax.tree_util.tree_leaves(ref)
+        return len(la) == len(lb) and all(np.shape(a) == np.shape(b) for a, b in zip(la, lb))
+    except Exception:
+        return False
+
+
+def load_params_auto(path: str, param_key: str = "params", reference_tree=None):
+    """Load our pickle format or a torch .pth via arch converters.
+    Returns a params tree or None if unconvertible."""
+    import jax.numpy as jnp
+    if path.endswith((".pkl", ".pickle")):
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        tree = payload.get(param_key, payload) if isinstance(payload, dict) else payload
+        return _as_jnp(tree)
+    if path.endswith((".pth", ".pt")):
+        sd = load_torch_state_dict(path, param_key)
+        for name, (detect, convert) in CONVERTERS.items():
+            if detect(sd):
+                tree = _as_jnp(convert(sd))
+                if reference_tree is not None and not _tree_shapes_match(tree, reference_tree):
+                    import logging
+                    logging.getLogger("ssl_tpu").warning(
+                        "load_params_auto(%s): converted tree shape mismatch; ignoring", path)
+                    return None
+                return tree
+        return None
+    return None
+
+
+def _as_jnp(tree):
+    import jax
+    import jax.numpy as jnp
+    return jax.tree_util.tree_map(jnp.asarray, tree)
