@@ -1,0 +1,91 @@
+"""Benchmark: ESRGAN-SSL training throughput on the real chip.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Measures imgs/sec/chip for the canonical ESRGAN-SSL step (RRDBNet-23 x4
+generator, VGG-style relativistic GAN D, pixel L1 + SSG-L1 + SSG-KL at the
+shipped hyper-parameters: gt 128^2, search 25, window 9 — BASELINE.md).
+`vs_baseline` is the ratio against the reference A100 PyTorch anchor
+(BASELINE_IMGS_PER_SEC below; the repo publishes no number, so this anchor is
+self-measured per BASELINE.md and can be overridden via env)."""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Self-measured reference anchor (A100, PyTorch 1.13, CUDA SSL op), imgs/sec/GPU.
+# Override with BASELINE_IMGS_PER_SEC once the driver measures the reference.
+BASELINE_IMGS_PER_SEC = float(os.environ.get("BASELINE_IMGS_PER_SEC", "16.0"))
+
+
+def main():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from ssl_tpu.models import build_model
+
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    gt_size = int(os.environ.get("BENCH_GT_SIZE", "128"))
+    steps = int(os.environ.get("BENCH_STEPS", "10"))
+    scale = 4
+    lq = gt_size // scale
+
+    opt = {
+        "name": "bench", "model_type": "ESRGANSSLModel", "scale": scale, "is_train": True,
+        "manual_seed": 0,
+        "datasets": {"train": {"gt_size": gt_size}},
+        "network_g": {"type": "RRDBNet", "num_feat": 64, "num_block": 23, "num_grow_ch": 32},
+        "network_d": {"type": "UNetDiscriminatorSN", "num_feat": 64},
+        "path": {},
+        "ssl_setting": {"mask_stride": 3, "kernel_size_search": 25, "sigma": 0.004,
+                        "kernel_size_window": 9, "generalization": True,
+                        "capacity": int(os.environ.get("BENCH_SSL_CAP", str(gt_size * gt_size // 4)))},
+        "train": {
+            "ema_decay": 0.999,
+            "optim_g": {"type": "Adam", "lr": 1e-4, "betas": [0.9, 0.99]},
+            "optim_d": {"type": "Adam", "lr": 1e-4, "betas": [0.9, 0.99]},
+            "scheduler": {"type": "MultiStepLR", "milestones": [50000], "gamma": 0.5},
+            "pixel_opt": {"type": "L1Loss", "loss_weight": 1e-2},
+            "selfsim_opt": {"type": "L1Loss", "loss_weight": 1e3},
+            "selfsim1_opt": {"type": "KLDistanceLoss", "loss_weight": 1e3, "softmax": False},
+            "perceptual_opt": {"type": "PerceptualLoss", "layer_weights": {"conv5_4": 1.0},
+                               "perceptual_weight": 1.0, "style_weight": 0, "criterion": "l1"},
+            "gan_opt": {"type": "GANLoss", "gan_type": "vanilla", "loss_weight": 5e-3},
+        },
+    }
+
+    model = build_model(opt)
+    state = model.init_state(lq_shape=(batch, lq, lq, 3))
+
+    rng = np.random.RandomState(0)
+    batch_data = {
+        "lq": jnp.asarray(rng.rand(batch, lq, lq, 3), jnp.float32),
+        "gt": jnp.asarray(rng.rand(batch, gt_size, gt_size, 3), jnp.float32),
+        "gt_mask": jnp.asarray(rng.rand(batch, gt_size, gt_size, 1) < 0.25, jnp.float32),
+    }
+
+    # compile + warmup
+    state, logs = model.train_step(state, batch_data)
+    jax.block_until_ready(state)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, logs = model.train_step(state, batch_data)
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = batch * steps / dt
+    print(json.dumps({
+        "metric": "esrgan_ssl_train_imgs_per_sec_per_chip",
+        "value": round(imgs_per_sec, 3),
+        "unit": "imgs/s",
+        "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,145 @@
+"""Training pipeline CLI (reference surface: basicsr/train.py).
+
+Usage:  python -m ssl_tpu.train -opt options/train/ESRGANSSL/train_x4.yml
+
+Flow (reference train.py:91-215, TPU-adapted):
+  parse YAML -> jax.distributed init (multi-host) -> seed -> dataloaders
+  (per-host shard via EnlargedSampler) -> build_model -> init/resume state ->
+  jitted epoch/iter loop with threaded prefetch -> periodic log/val/save.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+
+import jax
+import numpy as np
+
+from ssl_tpu.data import build_dataloader, build_dataset
+from ssl_tpu.data.loader import EnlargedSampler
+from ssl_tpu.models import build_model
+from ssl_tpu.utils.logger import AvgTimer, MessageLogger, get_env_info, get_root_logger, init_tb_logger
+from ssl_tpu.utils.options import copy_opt_file, dict2str, parse_options
+
+
+def create_train_val_dataloader(opt, logger):
+    train_loader, val_loaders = None, []
+    rank, world = jax.process_index(), jax.process_count()
+    for phase, dataset_opt in opt["datasets"].items():
+        if phase == "train":
+            dataset_enlarge_ratio = dataset_opt.get("dataset_enlarge_ratio", 1)
+            train_set = build_dataset(dataset_opt)
+            sampler = EnlargedSampler(len(train_set), world, rank, dataset_enlarge_ratio)
+            train_loader = build_dataloader(train_set, dataset_opt, sampler=sampler,
+                                            seed=opt["manual_seed"])
+            num_iter_per_epoch = math.ceil(
+                len(train_set) * dataset_enlarge_ratio /
+                (dataset_opt["batch_size_per_gpu"] * world))
+            total_iters = int(opt["train"]["total_iter"])
+            total_epochs = math.ceil(total_iters / num_iter_per_epoch)
+            logger.info("Training statistics:"
+                        f"\n\tNumber of train images: {len(train_set)}"
+                        f"\n\tBatch size per device: {dataset_opt['batch_size_per_gpu']}"
+                        f"\n\tWorld size: {world}"
+                        f"\n\tRequire iter per epoch: {num_iter_per_epoch}"
+                        f"\n\tTotal epochs: {total_epochs}; iters: {total_iters}.")
+        elif phase.split("_")[0] == "val":
+            val_set = build_dataset(dataset_opt)
+            val_loaders.append(build_dataloader(val_set, dataset_opt))
+        else:
+            raise ValueError(f"Dataset phase {phase} is not recognized.")
+    return train_loader, val_loaders, total_epochs, total_iters
+
+
+def train_pipeline(root_path: str, args=None):
+    opt, parsed = parse_options(root_path, is_train=True, args=args)
+    if opt.get("num_processes", 1) > 1:
+        jax.distributed.initialize()
+
+    seed = opt["manual_seed"] + jax.process_index()
+    np.random.seed(seed)
+    import random
+    random.seed(seed)
+
+    os.makedirs(opt["path"]["experiments_root"], exist_ok=True)
+    os.makedirs(opt["path"]["models"], exist_ok=True)
+    os.makedirs(opt["path"]["training_states"], exist_ok=True)
+    copy_opt_file(parsed.opt, opt["path"]["experiments_root"])
+
+    log_file = os.path.join(opt["path"]["log"], f"train_{opt['name']}_{int(time.time())}.log")
+    logger = get_root_logger(log_file=log_file)
+    logger.info(get_env_info())
+    logger.info(dict2str(opt))
+    tb_logger = None
+    if (opt.get("logger") or {}).get("use_tb_logger") and jax.process_index() == 0:
+        tb_logger = init_tb_logger(os.path.join(opt["path"]["experiments_root"], "tb_logger"))
+
+    train_loader, val_loaders, total_epochs, total_iters = create_train_val_dataloader(opt, logger)
+
+    model = build_model(opt)
+    gt_size = opt["datasets"]["train"].get("gt_size", 128)
+    batch_size = opt["datasets"]["train"]["batch_size_per_gpu"]
+    lq_size = gt_size // opt.get("scale", 4)
+    state = model.init_state(lq_shape=(batch_size, lq_size, lq_size, 3))
+
+    start_epoch, current_iter = 0, 0
+    if opt["path"].get("resume_state") or opt.get("auto_resume"):
+        latest = model.find_latest_state(opt["path"]["training_states"])
+        if latest is not None:
+            state, current_iter = model.load_training_state(
+                state, opt["path"]["training_states"], latest)
+            logger.info(f"Resuming training from iter {current_iter}.")
+            start_epoch = current_iter // max(len(train_loader), 1)
+
+    msg_logger = MessageLogger(opt, current_iter, tb_logger)
+    iter_timer, data_timer = AvgTimer(), AvgTimer()
+    logger.info(f"Start training from epoch: {start_epoch}, iter: {current_iter}")
+    val_freq = (opt.get("val") or {}).get("val_freq")
+    save_freq = (opt.get("logger") or {}).get("save_checkpoint_freq")
+    print_freq = (opt.get("logger") or {}).get("print_freq", 100)
+
+    epoch = start_epoch
+    while current_iter <= total_iters:
+        train_loader.set_epoch(epoch)
+        for batch in train_loader:
+            data_timer.record()
+            if current_iter >= total_iters:
+                break
+            current_iter += 1
+            import jax.numpy as jnp
+            device_batch = {k: jnp.asarray(v) for k, v in batch.items()
+                            if isinstance(v, np.ndarray)}
+            state, logs = model.train_step(state, device_batch)
+            iter_timer.record()
+            if current_iter == 1:
+                msg_logger.reset_start_time()
+            if current_iter % print_freq == 0:
+                host_logs = {k: float(v) for k, v in logs.items()}
+                lr = host_logs.pop("lr", 0.0)
+                msg_logger({"iter": current_iter, "epoch": epoch, "lrs": [lr],
+                            "time": iter_timer.get_avg_time(),
+                            "data_time": data_timer.get_avg_time(), **host_logs})
+            if save_freq and current_iter % int(save_freq) == 0 and jax.process_index() == 0:
+                logger.info("Saving models and training states.")
+                model.save_networks(state, opt["path"]["models"], current_iter)
+                model.save_training_state(state, opt["path"]["training_states"], epoch, current_iter)
+            if val_freq and current_iter % int(val_freq) == 0 and jax.process_index() == 0:
+                for val_loader in val_loaders:
+                    metrics = model.validation(state, val_loader, current_iter, tb_logger,
+                                               (opt.get("val") or {}).get("save_img", False))
+                    logger.info(f"Validation {val_loader.dataset.opt.get('name')}: {metrics}")
+            data_timer.start()
+            iter_timer.start()
+        epoch += 1
+
+    logger.info("End of training.")
+    if jax.process_index() == 0:
+        model.save_networks(state, opt["path"]["models"], current_iter)
+        model.save_training_state(state, opt["path"]["training_states"], epoch, current_iter)
+    return state
+
+
+if __name__ == "__main__":
+    train_pipeline(os.getcwd())
