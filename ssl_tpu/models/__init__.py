@@ -4,6 +4,7 @@ from ssl_tpu.utils.registry import MODEL_REGISTRY
 from ssl_tpu.models import sr_model as _sr  # noqa: F401
 from ssl_tpu.models import srgan_model as _srgan  # noqa: F401
 from ssl_tpu.models import esrganssl_model as _essl  # noqa: F401
+from ssl_tpu.models import realesrganssl_model as _ressl  # noqa: F401
 from ssl_tpu.models.base_model import BaseModel, TrainState  # noqa: F401
 from ssl_tpu.models.sr_model import SRModel  # noqa: F401
 from ssl_tpu.models.srgan_model import ESRGANModel, SRGANModel  # noqa: F401
