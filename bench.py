@@ -26,6 +26,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent XLA compile cache: repeat bench runs skip the big compiles
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from ssl_tpu.models import build_model
 
     batch = int(os.environ.get("BENCH_BATCH", "16"))

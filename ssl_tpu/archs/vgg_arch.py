@@ -116,7 +116,7 @@ def init_vgg_variables(layer_name_list, rng_seed: int = 0, vgg_path: str | None 
     """Build variables for VGGFeatureExtractor: from .pth if available else random."""
     model = VGGFeatureExtractor(layer_name_list=tuple(layer_name_list))
     vgg_path = vgg_path or os.environ.get("VGG19_NPZ") or os.environ.get("VGG19_PTH")
-    variables = model.init(jax.random.PRNGKey(rng_seed), jnp.zeros((1, 32, 32, 3)))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(rng_seed), jnp.zeros((1, 32, 32, 3)))
     if vgg_path and os.path.exists(vgg_path):
         loaded = load_vgg_weights_from_torch(vgg_path)
         params = dict(variables["params"])

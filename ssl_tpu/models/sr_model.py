@@ -45,7 +45,9 @@ class SRModel(BaseModel):
 
     # -------------------------------------------------------------- state init
     def init_state(self, lq_shape=(1, 32, 32, 3), seed: int = 0) -> TrainState:
-        variables = self.net_g.init(jax.random.PRNGKey(seed), jnp.zeros(lq_shape, jnp.float32))
+        # jitted init: one compiled program instead of per-op eager dispatch
+        # (the axon-tunneled TPU has high per-op latency)
+        variables = jax.jit(self.net_g.init)(jax.random.PRNGKey(seed), jnp.zeros(lq_shape, jnp.float32))
         params_g = variables["params"]
         params_g = self.load_pretrain(params_g)
         opt_state_g = self.tx_g.init(params_g) if self.is_train else None

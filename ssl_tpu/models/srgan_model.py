@@ -44,7 +44,7 @@ class SRGANModel(SRModel):
         if self.net_d is None:
             return state
         gt_shape = (lq_shape[0], lq_shape[1] * self.scale, lq_shape[2] * self.scale, lq_shape[3])
-        var_d = self.net_d.init(jax.random.PRNGKey(seed + 1), jnp.zeros(gt_shape, jnp.float32))
+        var_d = jax.jit(self.net_d.init)(jax.random.PRNGKey(seed + 1), jnp.zeros(gt_shape, jnp.float32))
         params_d = var_d["params"]
         stats_d = var_d.get("batch_stats", {})
         return state.replace(params_d=params_d, stats_d=stats_d,
