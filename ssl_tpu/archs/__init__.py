@@ -4,10 +4,18 @@ from copy import deepcopy
 from ssl_tpu.utils.registry import ARCH_REGISTRY
 
 # populate registry
+from ssl_tpu.archs import bsrgan_arch as _b  # noqa: F401
 from ssl_tpu.archs import discriminator_arch as _d  # noqa: F401
+from ssl_tpu.archs import elan_arch as _e  # noqa: F401
+from ssl_tpu.archs import ranksrgan_arch as _rk  # noqa: F401
 from ssl_tpu.archs import rrdbnet_arch as _r  # noqa: F401
+from ssl_tpu.archs import spsr_arch as _sp  # noqa: F401
 from ssl_tpu.archs import srresnet_arch as _s  # noqa: F401
 from ssl_tpu.archs import srvgg_arch as _v  # noqa: F401
+from ssl_tpu.archs import swinir_arch as _sw  # noqa: F401
+from ssl_tpu.archs.elan_arch import ELAN  # noqa: F401
+from ssl_tpu.archs.spsr_arch import SPSRNet  # noqa: F401
+from ssl_tpu.archs.swinir_arch import SwinIR  # noqa: F401
 from ssl_tpu.archs.discriminator_arch import UNetDiscriminatorSN, VGGStyleDiscriminator  # noqa: F401
 from ssl_tpu.archs.rrdbnet_arch import RRDBNet  # noqa: F401
 from ssl_tpu.archs.srresnet_arch import MSRResNet  # noqa: F401

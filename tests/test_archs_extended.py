@@ -1,0 +1,100 @@
+"""Extended arch tests (BSRGAN/BebyGAN/RankSRGAN/ELAN/SPSR/SwinIR) + SSL recipes."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ssl_tpu.archs import build_network
+from ssl_tpu.models import build_model
+
+
+@pytest.mark.parametrize("cfg,shape,want", [
+    (dict(type="BSRGANRRDBNet", nf=8, nb=1, gc=4, sf=2), (1, 8, 8, 3), (1, 16, 16, 3)),
+    (dict(type="RRDBBebyGANNet", nf=8, nb=1, gc=4), (1, 8, 8, 3), (1, 32, 32, 3)),
+    (dict(type="RankSRGANSRResNet", nf=8, nb=2, upscale=4), (1, 8, 8, 3), (1, 32, 32, 3)),
+    (dict(type="ELAN", scale=4, m_elan=2, c_elan=30, window_sizes=(4, 8, 16)), (1, 10, 14, 3), (1, 40, 56, 3)),
+    (dict(type="SwinIR", upscale=4, embed_dim=12, depths=(2,), num_heads=(2,),
+          window_size=8, num_feat=8), (1, 10, 10, 3), (1, 40, 40, 3)),
+])
+def test_arch_shapes(cfg, shape, want):
+    net = build_network(cfg)
+    v = net.init(jax.random.PRNGKey(0), jnp.zeros(shape))
+    out = net.apply(v, jnp.zeros(shape))
+    assert out.shape == want
+
+
+def test_spsr_dual_output():
+    net = build_network(dict(type="SPSRNet", nf=8, nb=23, gc=4, upscale=4))
+    v = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+    branch, sr, grad = net.apply(v, jnp.zeros((1, 8, 8, 3)))
+    assert branch.shape == (1, 32, 32, 3)
+    assert sr.shape == (1, 32, 32, 3)
+    assert grad.shape == (1, 8, 8, 3)
+
+
+def _base_ssl_opt(model_type, g_cfg):
+    return {
+        "name": "t", "model_type": model_type, "scale": 4, "is_train": True,
+        "manual_seed": 0, "datasets": {"train": {"gt_size": 32}},
+        "network_g": g_cfg,
+        "network_d": {"type": "UNetDiscriminatorSN", "num_feat": 4},
+        "path": {},
+        "ssl_setting": {"kernel_size_search": 9, "kernel_size_window": 5,
+                        "sigma": 0.004, "generalization": True, "capacity": 32},
+        "train": {
+            "ema_decay": 0.999,
+            "optim_g": {"type": "Adam", "lr": 1e-4}, "optim_d": {"type": "Adam", "lr": 1e-4},
+            "pixel_opt": {"type": "L1Loss", "loss_weight": 1e-2},
+            "selfsim_opt": {"type": "L1Loss", "loss_weight": 1e3},
+            "selfsim1_opt": {"type": "KLDistanceLoss", "loss_weight": 1e3},
+            "gan_opt": {"type": "GANLoss", "gan_type": "vanilla", "loss_weight": 5e-3},
+        },
+    }
+
+
+def _batch(b=1, lq=8, scale=4):
+    rng = np.random.RandomState(0)
+    return {"lq": jnp.asarray(rng.rand(b, lq, lq, 3), jnp.float32),
+            "gt": jnp.asarray(rng.rand(b, lq * scale, lq * scale, 3), jnp.float32),
+            "gt_mask": jnp.asarray(rng.rand(b, lq * scale, lq * scale, 1) < 0.2, jnp.float32)}
+
+
+def test_bebygan_ssl_step():
+    opt = _base_ssl_opt("BebyGANSSLModel", dict(type="RRDBBebyGANNet", nf=8, nb=1, gc=4))
+    opt["train"]["bbl_opt"] = {"loss_weight": 1.0}
+    opt["train"]["back_projection_opt"] = {"loss_weight": 1.0}
+    model = build_model(opt)
+    state = model.init_state(lq_shape=(1, 8, 8, 3))
+    state, logs = model.train_step(state, _batch())
+    for k in ("l_g_bbl", "l_g_bp", "l_selfsim"):
+        assert np.isfinite(float(logs[k])), k
+
+
+def test_spsr_ssl_step():
+    opt = _base_ssl_opt("SPSRSSLModel", dict(type="SPSRNet", nf=8, nb=23, gc=4, upscale=4))
+    opt["network_d_grad"] = {"type": "UNetDiscriminatorSN", "num_feat": 4}
+    model = build_model(opt)
+    state = model.init_state(lq_shape=(1, 8, 8, 3))
+    state, logs = model.train_step(state, _batch())
+    for k in ("l_g_grad_pix", "l_g_gan_grad", "l_d_real_grad", "l_selfsim"):
+        assert np.isfinite(float(logs[k])), k
+
+
+def test_ldl_ssl_step():
+    opt = _base_ssl_opt("LDLSSLModel", dict(type="MSRResNet", num_feat=8, num_block=1, upscale=4))
+    opt["train"]["artifacts_opt"] = {"type": "L1Loss", "loss_weight": 1.0}
+    model = build_model(opt)
+    state = model.init_state(lq_shape=(1, 8, 8, 3))
+    state, logs = model.train_step(state, _batch())
+    assert np.isfinite(float(logs["l_g_artifacts"]))
+
+
+def test_ranksrgan_ssl_step():
+    opt = _base_ssl_opt("RankSRGANSSLModel",
+                        dict(type="RankSRGANSRResNet", nf=8, nb=1, upscale=4))
+    opt["network_r"] = {"type": "Ranker_VGG12_296", "nf": 4}
+    opt["train"]["rank_opt"] = {"loss_weight": 0.03, "R_bias": 0.0}
+    model = build_model(opt)
+    state = model.init_state(lq_shape=(1, 8, 8, 3))
+    state, logs = model.train_step(state, _batch())
+    assert np.isfinite(float(logs["l_g_rank"]))
