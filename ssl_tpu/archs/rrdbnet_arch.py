@@ -41,18 +41,34 @@ class RRDB(nn.Module):
         return out * 0.2 + x
 
 
+class _RRDBScanCell(nn.Module):
+    """(carry, _) -> (carry, None) adapter so RRDB rides under nn.scan."""
+    num_feat: int
+    num_grow_ch: int = 32
+
+    @nn.compact
+    def __call__(self, carry, _):
+        return RRDB(self.num_feat, self.num_grow_ch)(carry), None
+
+
 @ARCH_REGISTRY.register()
 class RRDBNet(nn.Module):
     """ESRGAN generator (reference rrdbnet_arch.py:67-140).
 
     scale: 1/2/4; for 1 and 2 the input is pixel-unshuffled so the trunk always
-    works at 1/4 resolution of the x4 output."""
+    works at 1/4 resolution of the x4 output.
+
+    TPU note: with ``scan_blocks`` (default) the 23 identical RRDB blocks run
+    under ``nn.scan`` + remat — XLA compiles ONE block body instead of 23
+    inlined copies (~20x faster compiles, same math; params are stacked with a
+    leading (num_block,) axis — weight porting stacks per-block leaves)."""
     num_in_ch: int = 3
     num_out_ch: int = 3
     scale: int = 4
     num_feat: int = 64
     num_block: int = 23
     num_grow_ch: int = 32
+    scan_blocks: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -64,9 +80,16 @@ class RRDBNet(nn.Module):
         else:
             feat = x
         feat = nn.Conv(self.num_feat, (3, 3), padding="SAME", name="conv_first")(feat)
-        body = feat
-        for i in range(self.num_block):
-            body = RRDB(self.num_feat, self.num_grow_ch, name=f"body_{i}")(body)
+        if self.scan_blocks:
+            ScanRRDB = nn.scan(
+                nn.remat(_RRDBScanCell), variable_axes={"params": 0},
+                split_rngs={"params": True}, length=self.num_block,
+                metadata_params={nn.meta.PARTITION_NAME: None})
+            body, _ = ScanRRDB(self.num_feat, self.num_grow_ch, name="body")(feat, None)
+        else:
+            body = feat
+            for i in range(self.num_block):
+                body = RRDB(self.num_feat, self.num_grow_ch, name=f"body_{i}")(body)
         body = nn.Conv(self.num_feat, (3, 3), padding="SAME", name="conv_body")(body)
         feat = feat + body
         # upsample x4 (two nearest x2 + conv stages)

