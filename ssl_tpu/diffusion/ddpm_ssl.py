@@ -1,0 +1,191 @@
+"""StableSR-SSL latent-diffusion fine-tuning — functional TPU recipe.
+
+Reference parity: ldm/models/diffusion/ddpmssl.py:38-513
+(LatentDiffusionSRTextWTSSL): eps/v-parameterized diffusion loss on latents +
+pixel-space L1 (x0.1) on the differentiably-decoded x0 + SSL (0.5 L1 + 0.5 KL)
+on decoded x0 vs GT with the edge mask, plus the queue and mask_stride from
+the ``sslopt`` block (:445-446: stride genuinely ON in this tree).
+
+TPU redesign notes:
+- The whole train step (VAE encode, q_sample, UNet, decode, SSL) is ONE
+  jitted function; the VAE decode stays in the grad graph exactly like the
+  reference's differentiable_decode_first_stage (:417-420), wrapped in
+  jax.checkpoint to bound memory (SURVEY §7.3 'Diffusion memory').
+- Gradient accumulation (Lightning accumulate_grad_batches: 12,
+  configs/SSL/base.yaml:190) maps to optax.MultiSteps.
+- The text context for SR is the empty prompt; with no CLIP weights on a
+  zero-egress image it is a learned null-context vector (config
+  ``context_dim``), documented divergence until OpenCLIP weights are supplied.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ssl_tpu.diffusion.schedules import (
+    DiffusionSchedule, build_schedule_arrays, make_beta_schedule,
+    predict_start_from_noise, predict_start_from_v, get_v, q_sample,
+)
+from ssl_tpu.diffusion.unet import EncoderUNetModelWT, UNetModelDualcondV2
+from ssl_tpu.diffusion.vae import AutoencoderKL
+from ssl_tpu.losses.ssl_loss import SSLSetting, ssl_loss
+from ssl_tpu.ops.ssg import SSGConfig
+
+
+class DiffusionSSLConfig(NamedTuple):
+    timesteps: int = 1000
+    beta_schedule: str = "linear"
+    linear_start: float = 0.00085
+    linear_end: float = 0.012
+    parameterization: str = "eps"        # 'eps' | 'x0' | 'v'
+    scale_factor: float = 0.18215        # latent scaling (SD convention)
+    pixel_weight: float = 0.1            # p_losses pixel L1 on decoded x0
+    ssl_l1_weight: float = 0.5
+    ssl_kl_weight: float = 0.5
+    context_dim: int = 1024
+    context_len: int = 77
+    learn_logvar: bool = False
+
+
+class DiffusionTrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    rng: jnp.ndarray
+    params: Any                      # {'unet', 'structcond', 'null_context'}
+    frozen: Any                      # {'vae'} — first stage is frozen
+    opt_state: Any
+
+
+class StableSRSSL:
+    """Builder/holder for the diffusion-SSL training step."""
+
+    def __init__(self, cfg: DiffusionSSLConfig = DiffusionSSLConfig(),
+                 unet: UNetModelDualcondV2 | None = None,
+                 structcond: EncoderUNetModelWT | None = None,
+                 vae: AutoencoderKL | None = None,
+                 ssl_setting: SSLSetting | None = None,
+                 lr: float = 5e-5, accumulate: int = 1):
+        self.cfg = cfg
+        self.unet = unet or UNetModelDualcondV2(context_dim=cfg.context_dim)
+        self.structcond = structcond or EncoderUNetModelWT(
+            model_channels=self.unet.model_channels,
+            channel_mult=self.unet.channel_mult)
+        self.vae = vae or AutoencoderKL()
+        self.ssl_setting = ssl_setting or SSLSetting(
+            ssg=SSGConfig(), mask_stride=3, capacity=2048,
+            l1_weight=cfg.ssl_l1_weight, kl_weight=cfg.ssl_kl_weight)
+        self.sched: DiffusionSchedule = build_schedule_arrays(
+            make_beta_schedule(cfg.beta_schedule, cfg.timesteps,
+                               cfg.linear_start, cfg.linear_end))
+        tx = optax.adamw(lr)
+        self.tx = optax.MultiSteps(tx, accumulate) if accumulate > 1 else tx
+        self._train_step = None
+
+    # ------------------------------------------------------------------- init
+    def init_state(self, gt_shape=(1, 64, 64, 3), seed: int = 0) -> DiffusionTrainState:
+        rng = jax.random.PRNGKey(seed)
+        r1, r2, r3, r4 = jax.random.split(rng, 4)
+        gt = jnp.zeros(gt_shape, jnp.float32)
+        vae_vars = jax.jit(self.vae.init)(r1, gt)
+        z_shape = (gt_shape[0], gt_shape[1] // 8, gt_shape[2] // 8, self.vae.embed_dim)
+        z = jnp.zeros(z_shape, jnp.float32)
+        t = jnp.zeros((gt_shape[0],), jnp.int32)
+        ctx = jnp.zeros((gt_shape[0], self.cfg.context_len, self.cfg.context_dim))
+        sc_vars = jax.jit(self.structcond.init)(r2, z, t)
+        feats = jax.eval_shape(lambda v, z_, t_: self.structcond.apply(v, z_, t_),
+                               sc_vars, z, t)
+        feats0 = [jnp.zeros(f.shape, f.dtype) for f in feats]
+        unet_vars = jax.jit(self.unet.init)(r3, z, t, ctx, feats0)
+        params = {
+            "unet": unet_vars["params"],
+            "structcond": sc_vars["params"],
+            "null_context": jax.random.normal(r4, (self.cfg.context_len,
+                                                   self.cfg.context_dim)) * 0.02,
+        }
+        return DiffusionTrainState(step=jnp.asarray(0, jnp.int32), rng=rng,
+                                   params=params, frozen={"vae": vae_vars["params"]},
+                                   opt_state=self.tx.init(params))
+
+    # ---------------------------------------------------------------- helpers
+    def encode(self, vae_params, img, rng):
+        """[-1,1] image -> scaled latent sample."""
+        mean, logvar = self.vae.apply({"params": vae_params}, img, method=self.vae.encode)
+        z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(rng, mean.shape)
+        return z * self.cfg.scale_factor
+
+    def decode(self, vae_params, z):
+        return self.vae.apply({"params": vae_params}, z / self.cfg.scale_factor,
+                              method=self.vae.decode)
+
+    def apply_model(self, params, z_noisy, t, context, z_lq):
+        feats = self.structcond.apply({"params": params["structcond"]}, z_lq, t)
+        return self.unet.apply({"params": params["unet"]}, z_noisy, t, context, feats)
+
+    # ------------------------------------------------------------- train step
+    def make_train_step(self):
+        cfg = self.cfg
+        sched = self.sched
+
+        def step_fn(state: DiffusionTrainState, batch: dict):
+            """batch: gt/lq in [0,1] NHWC (+ gt_mask).  Images are mapped to
+            [-1,1] as in the reference get_input (ddpmssl.py:240-251)."""
+            rng, r_t, r_noise, r_enc1, r_enc2 = jax.random.split(state.rng, 5)
+            gt = batch["gt"] * 2.0 - 1.0
+            lq = batch["lq"] * 2.0 - 1.0  # already upsampled to GT size by the pipeline
+            b = gt.shape[0]
+            vae_params = state.frozen["vae"]
+
+            def loss_fn(params):
+                z0 = jax.lax.stop_gradient(self.encode(vae_params, gt, r_enc1))
+                z_lq = jax.lax.stop_gradient(self.encode(vae_params, lq, r_enc2))
+                t = jax.random.randint(r_t, (b,), 0, sched.num_timesteps)
+                noise = jax.random.normal(r_noise, z0.shape)
+                z_noisy = q_sample(sched, z0, t, noise)
+                context = jnp.broadcast_to(params["null_context"],
+                                           (b,) + params["null_context"].shape)
+                model_out = self.apply_model(params, z_noisy, t, context, z_lq)
+
+                if cfg.parameterization == "eps":
+                    target = noise
+                    x0_pred = predict_start_from_noise(sched, z_noisy, t, model_out)
+                elif cfg.parameterization == "v":
+                    target = get_v(sched, z0, noise, t)
+                    x0_pred = predict_start_from_v(sched, z_noisy, t, model_out)
+                else:
+                    target = z0
+                    x0_pred = model_out
+                l_simple = jnp.mean((model_out - target) ** 2)
+
+                # decoded-x0 losses (decode stays differentiable; remat bounds memory)
+                decode_ckpt = jax.checkpoint(lambda z: self.decode(vae_params, z))
+                img_pred = decode_ckpt(x0_pred)
+                img01 = jnp.clip((img_pred + 1.0) / 2.0, 0.0, 1.0)
+                gt01 = batch["gt"]
+                l_pixel = cfg.pixel_weight * jnp.mean(jnp.abs(img01 - gt01))
+
+                logs = {"l_simple": l_simple, "l_pixel": l_pixel}
+                total = l_simple + l_pixel
+                if "gt_mask" in batch and (self.ssl_setting.l1_weight > 0 or
+                                           self.ssl_setting.kl_weight > 0):
+                    l_ss, l_kl = ssl_loss(img01, gt01, batch["gt_mask"], self.ssl_setting)
+                    total += l_ss + l_kl
+                    logs["l_selfsim"] = l_ss
+                    logs["l_selfsim_kl"] = l_kl
+                logs["l_total"] = total
+                return total, logs
+
+            (total, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return state.replace(step=state.step + 1, rng=rng, params=params,
+                                 opt_state=opt_state), logs
+        return step_fn
+
+    def train_step(self, state, batch):
+        if self._train_step is None:
+            self._train_step = jax.jit(self.make_train_step(), donate_argnums=(0,))
+        return self._train_step(state, batch)

@@ -1,0 +1,132 @@
+"""Samplers: spaced DDPM + DDIM + Gaussian-weighted tiled latent canvas.
+
+Reference parity: ldm/models/diffusion/ddim.py (DDIM), ddpm.py:2792
+(p_sample_loop), :2908/:2890 (p_sample_loop_canvas with Gaussian tile
+weights), test.py:273-295 (spaced schedule re-registration)."""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ssl_tpu.diffusion.schedules import DiffusionSchedule, space_timesteps
+
+
+def ddim_sample(apply_model: Callable, sched: DiffusionSchedule, shape,
+                rng, context, z_lq, steps: int = 50, eta: float = 0.0,
+                parameterization: str = "eps"):
+    """DDIM sampling loop under lax.scan (static step count)."""
+    timesteps = np.asarray(space_timesteps(sched.num_timesteps, steps), np.int32)
+    t_seq = jnp.asarray(timesteps[::-1].copy())
+    t_prev_seq = jnp.asarray(np.concatenate([timesteps[::-1][1:], [-1]]).astype(np.int32))
+
+    rng, r0 = jax.random.split(rng)
+    x = jax.random.normal(r0, shape)
+    ac = sched.alphas_cumprod
+
+    def body(carry, ts):
+        x, rng = carry
+        t, t_prev = ts
+        b = x.shape[0]
+        tb = jnp.full((b,), t, jnp.int32)
+        eps = apply_model(x, tb, context, z_lq)
+        a_t = ac[t]
+        a_prev = jnp.where(t_prev >= 0, ac[jnp.maximum(t_prev, 0)], 1.0)
+        if parameterization == "v":
+            x0 = jnp.sqrt(a_t) * x - jnp.sqrt(1 - a_t) * eps
+            eps = (x - jnp.sqrt(a_t) * x0) / jnp.sqrt(1 - a_t)
+        else:
+            x0 = (x - jnp.sqrt(1 - a_t) * eps) / jnp.sqrt(a_t)
+        sigma = eta * jnp.sqrt((1 - a_prev) / (1 - a_t) * (1 - a_t / a_prev))
+        rng, rn = jax.random.split(rng)
+        noise = jax.random.normal(rn, x.shape)
+        dir_xt = jnp.sqrt(jnp.maximum(1 - a_prev - sigma ** 2, 0.0)) * eps
+        x_new = jnp.sqrt(a_prev) * x0 + dir_xt + sigma * noise
+        return (x_new, rng), None
+
+    (x, _), _ = jax.lax.scan(body, (x, rng), (t_seq, t_prev_seq))
+    return x
+
+
+def spaced_ddpm_sample(apply_model: Callable, sched: DiffusionSchedule, shape,
+                       rng, context, z_lq, steps: int = 200):
+    """Spaced ancestral DDPM sampling (reference test.py uses ddpm_steps=200)."""
+    timesteps = np.asarray(space_timesteps(sched.num_timesteps, steps), np.int32)
+    betas_sub = _respaced_betas(sched, timesteps)
+    alphas = 1 - betas_sub
+    ac = jnp.asarray(np.cumprod(alphas))
+    ac_prev = jnp.concatenate([jnp.ones(1), ac[:-1]])
+    post_var = betas_sub * (1 - ac_prev) / (1 - ac)
+    post_logvar = jnp.log(jnp.maximum(post_var, 1e-20))
+    coef1 = betas_sub * jnp.sqrt(ac_prev) / (1 - ac)
+    coef2 = (1 - ac_prev) * jnp.sqrt(alphas) / (1 - ac)
+    t_orig = jnp.asarray(timesteps)
+
+    rng, r0 = jax.random.split(rng)
+    x = jax.random.normal(r0, shape)
+    n = len(timesteps)
+
+    def body(carry, i):
+        x, rng = carry
+        idx = n - 1 - i
+        b = x.shape[0]
+        tb = jnp.full((b,), t_orig[idx], jnp.int32)
+        eps = apply_model(x, tb, context, z_lq)
+        x0 = (x - jnp.sqrt(1 - ac[idx]) * eps) / jnp.sqrt(ac[idx])
+        x0 = jnp.clip(x0, -1.0, 1.0)
+        mean = coef1[idx] * x0 + coef2[idx] * x
+        rng, rn = jax.random.split(rng)
+        noise = jax.random.normal(rn, x.shape)
+        nonzero = (idx != 0).astype(x.dtype)
+        x_new = mean + nonzero * jnp.exp(0.5 * post_logvar[idx]) * noise
+        return (x_new, rng), None
+
+    (x, _), _ = jax.lax.scan(body, (x, rng), jnp.arange(n))
+    return x
+
+
+def _respaced_betas(sched: DiffusionSchedule, timesteps: np.ndarray) -> jnp.ndarray:
+    ac = np.asarray(sched.alphas_cumprod)
+    last = 1.0
+    betas = []
+    for t in timesteps:
+        betas.append(1 - ac[t] / last)
+        last = ac[t]
+    return jnp.asarray(np.asarray(betas, np.float32))
+
+
+def gaussian_tile_weights(tile_size: int, sigma_frac: float = 0.25) -> np.ndarray:
+    """Gaussian blending weights for tiled latent sampling (reference
+    ddpm.py:2890 gaussian_weights)."""
+    ax = np.arange(tile_size) - (tile_size - 1) / 2.0
+    sig = tile_size * sigma_frac
+    g = np.exp(-(ax ** 2) / (2 * sig ** 2))
+    w = np.outer(g, g)
+    return (w / w.max()).astype(np.float32)
+
+
+def tiled_sample(sample_fn: Callable, z_lq: jnp.ndarray, tile: int, overlap: int,
+                 latent_channels: int = 4):
+    """Canvas-tiled sampling: run sample_fn on overlapping z_lq tiles and blend
+    with Gaussian weights (reference p_sample_loop_canvas :2908-2981)."""
+    b, h, w, _ = z_lq.shape
+    stride = tile - overlap
+    weights = gaussian_tile_weights(tile)[None, :, :, None]
+    canvas = np.zeros((b, h, w, latent_channels), np.float32)
+    acc = np.zeros((b, h, w, 1), np.float32)
+    ys = list(range(0, max(h - tile, 0) + 1, stride)) or [0]
+    xs = list(range(0, max(w - tile, 0) + 1, stride)) or [0]
+    if ys[-1] + tile < h:
+        ys.append(h - tile)
+    if xs[-1] + tile < w:
+        xs.append(w - tile)
+    for y0 in ys:
+        for x0 in xs:
+            z_tile = z_lq[:, y0:y0 + tile, x0:x0 + tile, :]
+            out = np.asarray(sample_fn(z_tile))
+            canvas[:, y0:y0 + tile, x0:x0 + tile, :] += out * weights
+            acc[:, y0:y0 + tile, x0:x0 + tile, :] += weights
+    return jnp.asarray(canvas / np.maximum(acc, 1e-8))

@@ -13,8 +13,15 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+def _num_groups(c: int) -> int:
+    if c % 32 == 0:
+        return 32
+    import math
+    return math.gcd(c, 32) or 1
+
+
 def _gn(x, name=None):
-    return nn.GroupNorm(num_groups=32, epsilon=1e-6, name=name)(x)
+    return nn.GroupNorm(num_groups=_num_groups(x.shape[-1]), epsilon=1e-6, name=name)(x)
 
 
 def _nonlin(x):

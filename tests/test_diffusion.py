@@ -1,0 +1,100 @@
+"""Diffusion tree tests: schedules, VAE, UNet, full SSL train step, samplers."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ssl_tpu.diffusion import (
+    AutoencoderKL, DiffusionSSLConfig, StableSRSSL, UNetModelDualcondV2,
+    EncoderUNetModelWT, build_schedule_arrays, make_beta_schedule, space_timesteps,
+)
+from ssl_tpu.diffusion.schedules import predict_start_from_noise, q_sample
+from ssl_tpu.diffusion.color_fix import adain_color_fix, wavelet_color_fix
+
+
+def test_beta_schedules_monotone():
+    for s in ("linear", "cosine", "sqrt_linear", "sqrt"):
+        betas = make_beta_schedule(s, 100)
+        assert betas.shape == (100,)
+        assert (betas > 0).all() and (betas < 1).all()
+    sched = build_schedule_arrays(make_beta_schedule("linear", 100))
+    ac = np.asarray(sched.alphas_cumprod)
+    assert (np.diff(ac) < 0).all()
+
+
+def test_q_sample_roundtrip():
+    sched = build_schedule_arrays(make_beta_schedule("linear", 50))
+    rng = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(rng, (2, 8, 8, 4))
+    noise = jax.random.normal(jax.random.PRNGKey(1), x0.shape)
+    t = jnp.asarray([10, 40])
+    xt = q_sample(sched, x0, t, noise)
+    x0_rec = predict_start_from_noise(sched, xt, t, noise)
+    np.testing.assert_allclose(np.asarray(x0_rec), np.asarray(x0), atol=1e-4)
+
+
+def test_space_timesteps():
+    steps = space_timesteps(1000, 200)
+    assert len(steps) == 200
+    assert steps[0] == 0 and steps[-1] <= 999
+
+
+def test_vae_roundtrip_shapes():
+    vae = AutoencoderKL(ch=16, ch_mult=(1, 2), num_res_blocks=1, embed_dim=4)
+    x = jnp.zeros((1, 16, 16, 3))
+    v = vae.init(jax.random.PRNGKey(0), x)
+    out, mean, logvar = vae.apply(v, x)
+    assert mean.shape == (1, 8, 8, 4)
+    assert out.shape == x.shape
+
+
+def test_unet_dualcond_shapes():
+    unet = UNetModelDualcondV2(model_channels=32, channel_mult=(1, 2), num_heads=4,
+                               context_dim=64, attention_resolutions=(2,))
+    enc = EncoderUNetModelWT(model_channels=32, channel_mult=(1, 2))
+    z = jnp.zeros((1, 8, 8, 4))
+    t = jnp.zeros((1,), jnp.int32)
+    ctx = jnp.zeros((1, 5, 64))
+    ev = enc.init(jax.random.PRNGKey(0), z, t)
+    feats = enc.apply(ev, z, t)
+    assert len(feats) == 2
+    uv = unet.init(jax.random.PRNGKey(1), z, t, ctx, feats)
+    out = unet.apply(uv, z, t, ctx, feats)
+    assert out.shape == z.shape
+
+
+def test_stablesr_ssl_train_step():
+    from ssl_tpu.losses.ssl_loss import SSLSetting
+    from ssl_tpu.ops.ssg import SSGConfig
+    cfg = DiffusionSSLConfig(timesteps=20, context_dim=32, context_len=4)
+    model = StableSRSSL(
+        cfg,
+        unet=UNetModelDualcondV2(model_channels=32, channel_mult=(1, 2), num_heads=4,
+                                 context_dim=32, attention_resolutions=(2,)),
+        structcond=EncoderUNetModelWT(model_channels=32, channel_mult=(1, 2)),
+        vae=AutoencoderKL(ch=16, ch_mult=(1, 2, 2, 2), num_res_blocks=1, embed_dim=4),
+        ssl_setting=SSLSetting(ssg=SSGConfig(search=9, window=5), mask_stride=3,
+                               capacity=64, l1_weight=0.5, kl_weight=0.5),
+        lr=1e-4)
+    state = model.init_state(gt_shape=(1, 32, 32, 3))
+    rng = np.random.RandomState(0)
+    batch = {
+        "gt": jnp.asarray(rng.rand(1, 32, 32, 3), jnp.float32),
+        "lq": jnp.asarray(rng.rand(1, 32, 32, 3), jnp.float32),
+        "gt_mask": jnp.asarray(rng.rand(1, 32, 32, 1) < 0.2, jnp.float32),
+    }
+    state, logs = model.train_step(state, batch)
+    for k in ("l_simple", "l_pixel", "l_selfsim", "l_selfsim_kl", "l_total"):
+        assert np.isfinite(float(logs[k])), k
+    assert int(state.step) == 1
+
+
+def test_color_fix():
+    rng = np.random.RandomState(0)
+    target = rng.rand(32, 32, 3).astype(np.float32)
+    source = (rng.rand(32, 32, 3) * 0.5 + 0.25).astype(np.float32)
+    out_a = adain_color_fix(target, source)
+    np.testing.assert_allclose(out_a.mean(axis=(0, 1)), source.mean(axis=(0, 1)), atol=0.05)
+    out_w = wavelet_color_fix(target, source)
+    assert out_w.shape == target.shape
+    assert np.isfinite(out_w).all()
