@@ -27,7 +27,7 @@ class SSLSetting(NamedTuple):
     l1_weight: float = 1e3      # selfsim_opt loss_weight
     kl_weight: float = 1e3      # selfsim1_opt loss_weight
     kl_softmax: bool = False
-    impl: str = "scan"          # 'scan' | 'pallas'
+    impl: str = "dense"         # 'dense' (fused, exact) | 'scan' (gather) | 'pallas'
 
 
 def ssl_setting_from_opt(opt: dict, train_opt: dict | None = None, gt_size: int | None = None) -> SSLSetting:
@@ -59,7 +59,7 @@ def ssl_setting_from_opt(opt: dict, train_opt: dict | None = None, gt_size: int 
     cap = s.get("capacity", (gt_size * gt_size) // 3 if gt_size else 4096)
     return SSLSetting(ssg=ssg, mask_stride=int(stride), capacity=int(cap),
                       l1_weight=float(l1_w), kl_weight=float(kl_w), kl_softmax=kl_sm,
-                      impl=s.get("impl", "scan"))
+                      impl=s.get("impl", "dense"))
 
 
 def ssl_loss(sr: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray, setting: SSLSetting):
@@ -71,6 +71,20 @@ def ssl_loss(sr: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray, setting: SSLSe
     if mask.ndim == 4:
         mask = mask[..., 0]
     mask = apply_mask_stride(mask, setting.mask_stride)
+    n2 = setting.ssg.search * setting.ssg.search
+
+    if setting.impl == "dense" and not setting.kl_softmax:
+        # fused masked-dense path: exact for any edge count, no gather
+        from ssl_tpu.ops.ssg import ssl_loss_dense
+
+        def per_image(sr_i, gt_i, mask_i):
+            return ssl_loss_dense(sr_i.transpose(2, 0, 1), gt_i.transpose(2, 0, 1),
+                                  mask_i, setting.ssg)
+
+        l1_sums, kl_sums, counts = jax.vmap(per_image)(sr, gt, mask)
+        denom = jnp.sum(counts) * n2 + 1e-12
+        return (jnp.sum(l1_sums) / denom * setting.l1_weight,
+                jnp.sum(kl_sums) / denom * setting.kl_weight)
 
     def per_image(sr_i, gt_i, mask_i):
         pos, valid, count = mask_to_positions(mask_i, setting.capacity)

@@ -187,3 +187,100 @@ def ssg_from_mask(img: jnp.ndarray, mask: jnp.ndarray, capacity: int,
     pos, valid, count = mask_to_positions(mask, capacity)
     q = ssg_matrix(img, pos, cfg, impl=impl)
     return q, valid, count
+
+
+# ---------------------------------------------------------------------------
+# Masked-dense fused SSL loss — no gather, no capacity truncation
+# ---------------------------------------------------------------------------
+
+def _dense_context(img: jnp.ndarray, cfg: SSGConfig):
+    """Precompute padded image + center^2 prefix structures for dense S maps."""
+    search, window = cfg.search, cfg.window
+    p, k = search // 2, window // 2
+    c, h, w = img.shape
+    P = reflect_pad_2d(img, p)
+    Pbig = jnp.pad(P, ((0, 0), (p, p), (p, p)))
+    center2 = jnp.sum(P * P, axis=0)
+    c2_prefix = _prefix_rows(center2)
+    full_rows = c2_prefix[p + k + 1:p + k + 1 + h] - c2_prefix[p - k:p - k + h]
+    box_c2 = _rect_cols(full_rows, -k, k, p, w)
+    return P, Pbig, c2_prefix, box_c2
+
+
+def _dense_smap(ctx, s, cfg: SSGConfig, h: int, w: int):
+    """Dense raw-SSD map (h,w) for search-offset index s."""
+    search, window = cfg.search, cfg.window
+    p, k = search // 2, window // 2
+    P, Pbig, c2_prefix, box_c2 = ctx
+    c = P.shape[0]
+    hp, wp = P.shape[1], P.shape[2]
+    dy = s // search - p
+    dx = s % search - p
+    Pshift = lax.dynamic_slice(Pbig, (0, p + dy, p + dx), (c, hp, wp))
+    D = jnp.sum((P - Pshift) ** 2, axis=0)
+    a_y = jnp.maximum(-k, -p - dy)
+    b_y = jnp.minimum(k, p - dy)
+    a_x = jnp.maximum(-k, -p - dx)
+    b_x = jnp.minimum(k, p - dx)
+    rect_d = _rect_cols(_rect_rows(_prefix_rows(D), a_y, b_y, p, h), a_x, b_x, p, w)
+    rect_c = _rect_cols(_rect_rows(c2_prefix, a_y, b_y, p, h), a_x, b_x, p, w)
+    return rect_d + (box_c2 - rect_c)
+
+
+def ssl_loss_dense(sr: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray,
+                   cfg: SSGConfig = SSGConfig()):
+    """Fused masked-dense SSL loss sums for ONE image pair (vmap over batch).
+
+    sr, gt: (c,h,w); mask: (h,w) binary.  Returns (l1_sum, kl_sum, count):
+    sums of |q_sr - q_gt| and KL pointwise terms over (edge pixels x search^2)
+    and the edge-pixel count — callers divide by count*search^2 for the
+    reference's torch-mean reduction.
+
+    TPU-native design: instead of gathering per-edge-pixel rows (ragged), the
+    whole dense similarity field is computed per search offset under a
+    two-pass lax.scan (pass 1: row-normalization denominators; pass 2: masked
+    loss accumulation).  Exact for ANY number of edge pixels — unlike the
+    fixed-capacity gather path there is no truncation.  KL here is the shipped
+    softmax=False variant (clamp 1e-10)."""
+    c, h, w = sr.shape
+    search = cfg.search
+    n2 = search * search
+    norm = c * float(cfg.window) ** 2
+    ctx_sr = _dense_context(sr, cfg)
+    ctx_gt = _dense_context(jax.lax.stop_gradient(gt), cfg)
+    mask = mask.astype(sr.dtype)
+    count = jnp.sum(mask)
+
+    def q_maps(s):
+        q_sr = jnp.exp(-(_dense_smap(ctx_sr, s, cfg, h, w) / norm) / cfg.sigma)
+        q_gt = jnp.exp(-(_dense_smap(ctx_gt, s, cfg, h, w) / norm) / cfg.sigma)
+        return q_sr, q_gt
+
+    if cfg.generalization:
+        def pass1(carry, s):
+            r_sr, r_gt = carry
+            q_sr, q_gt = q_maps(s)
+            return (r_sr + q_sr, r_gt + q_gt), None
+
+        (r_sr, r_gt), _ = lax.scan(jax.checkpoint(pass1),
+                                   (jnp.zeros((h, w)), jnp.zeros((h, w))),
+                                   jnp.arange(n2))
+        inv_sr = 1.0 / (r_sr + 1e-10)
+        inv_gt = 1.0 / (r_gt + 1e-10)
+    else:
+        inv_sr = inv_gt = jnp.ones((h, w))
+
+    def pass2(carry, s):
+        l1_acc, kl_acc = carry
+        q_sr, q_gt = q_maps(s)
+        x = q_sr * inv_sr
+        y = q_gt * inv_gt
+        l1_acc = l1_acc + jnp.sum(mask * jnp.abs(x - y))
+        xs = jnp.clip(x, min=1e-10)
+        ys = jnp.clip(y, min=1e-10)
+        kl_acc = kl_acc + jnp.sum(mask * (ys * (jnp.log(ys) - jnp.log(xs))))
+        return (l1_acc, kl_acc), None
+
+    (l1_sum, kl_sum), _ = lax.scan(jax.checkpoint(pass2), (jnp.asarray(0.0), jnp.asarray(0.0)),
+                                   jnp.arange(n2))
+    return l1_sum, kl_sum, count
