@@ -171,6 +171,18 @@ class RealESRGANDegrader:
         self.pyrng = pyrandom.Random(seed)
 
     # ------------------------------------------------------------------ stages
+    def _jpeg_batch(self, out, jpeg_range):
+        """Per-item quality JPEG; native C++ batch kernel when available."""
+        b = out.shape[0]
+        qualities = [self.rng.uniform(*jpeg_range) for _ in range(b)]
+        try:
+            from ssl_tpu import native
+            if native.available():
+                return native.jpeg_roundtrip_batch(np.clip(out, 0, 1), qualities)
+        except Exception:
+            pass
+        return np.stack([jpeg_np(np.clip(out[i], 0, 1), qualities[i]) for i in range(b)])
+
     def _noise_batch(self, out, stage2=False):
         """Noise family drawn once per batch (reference); per-item sigma/gray."""
         o = self.o
@@ -197,8 +209,7 @@ class RealESRGANDegrader:
         out = np.stack([filter2d_np(src[i], kernel1[i]) for i in range(b)])
         out = self._rand_resize_batchdraw(out)
         out = self._noise_batch(out)
-        out = np.stack([jpeg_np(np.clip(out[i], 0, 1), self.rng.uniform(*o["jpeg_range"]))
-                        for i in range(b)])
+        out = self._jpeg_batch(out, o["jpeg_range"])
 
         if self.order == "two":
             if self.rng.uniform() < o["second_blur_prob"]:
@@ -208,11 +219,9 @@ class RealESRGANDegrader:
             if self.rng.uniform() < 0.5:
                 out = self._final_resize(out, ori_h, ori_w)
                 out = np.stack([filter2d_np(out[i], sinc_kernel[i]) for i in range(b)])
-                out = np.stack([jpeg_np(np.clip(out[i], 0, 1), self.rng.uniform(*o["jpeg_range2"]))
-                                for i in range(b)])
+                out = self._jpeg_batch(out, o["jpeg_range2"])
             else:
-                out = np.stack([jpeg_np(np.clip(out[i], 0, 1), self.rng.uniform(*o["jpeg_range2"]))
-                                for i in range(b)])
+                out = self._jpeg_batch(out, o["jpeg_range2"])
                 out = self._final_resize(out, ori_h, ori_w)
                 out = np.stack([filter2d_np(out[i], sinc_kernel[i]) for i in range(b)])
         else:

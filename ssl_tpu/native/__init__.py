@@ -1,0 +1,108 @@
+"""Native (C++) host-pipeline kernels with lazy g++ build + ctypes binding.
+
+Falls back to the numpy implementations transparently when no compiler is
+available; `available()` reports which path is active."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_LIB = None
+_LOCK = threading.Lock()
+_TRIED = False
+
+
+def _build_and_load():
+    global _LIB, _TRIED
+    with _LOCK:
+        if _LIB is not None or _TRIED:
+            return _LIB
+        _TRIED = True
+        src = os.path.join(os.path.dirname(__file__), "pipeline.cpp")
+        out = os.path.join(os.path.dirname(__file__), "_pipeline.so")
+        if not os.path.exists(out) or os.path.getmtime(out) < os.path.getmtime(src):
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+                     "-o", out, src, "-lpthread"],
+                    check=True, capture_output=True, timeout=120)
+            except Exception as e:  # no compiler / failure -> numpy fallback
+                import logging
+                logging.getLogger("ssl_tpu").warning("native build failed: %s", e)
+                return None
+        lib = ctypes.CDLL(out)
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        lib.jpeg_roundtrip.argtypes = [f32p, ctypes.c_int, ctypes.c_int, ctypes.c_float]
+        lib.jpeg_roundtrip_batch.argtypes = [f32p, ctypes.c_int, ctypes.c_int,
+                                             ctypes.c_int, f32p, ctypes.c_int]
+        lib.filter2d_reflect.argtypes = [f32p, f32p, ctypes.c_int, ctypes.c_int,
+                                         ctypes.c_int, f32p, ctypes.c_int]
+        lib.box_ssd_ssg.argtypes = [f32p, i32p, f32p] + [ctypes.c_int] * 6
+        _LIB = lib
+        return _LIB
+
+
+def available() -> bool:
+    return _build_and_load() is not None
+
+
+def jpeg_roundtrip(img: np.ndarray, quality: float) -> np.ndarray:
+    """HWC RGB float32 [0,1]; pads to /16 internally. Native if possible."""
+    lib = _build_and_load()
+    if lib is None:
+        from ssl_tpu.data.realesr_degradation import jpeg_np
+        return jpeg_np(img, quality)
+    h, w = img.shape[:2]
+    ph, pw = (16 - h % 16) % 16, (16 - w % 16) % 16
+    buf = np.ascontiguousarray(
+        np.pad(img, ((0, ph), (0, pw), (0, 0)), mode="edge"), np.float32)
+    lib.jpeg_roundtrip(buf, h + ph, w + pw, float(quality))
+    return buf[:h, :w]
+
+
+def jpeg_roundtrip_batch(imgs: np.ndarray, qualities, n_threads: int = 8) -> np.ndarray:
+    lib = _build_and_load()
+    if lib is None:
+        from ssl_tpu.data.realesr_degradation import jpeg_np
+        return np.stack([jpeg_np(imgs[i], float(qualities[i])) for i in range(len(imgs))])
+    b, h, w = imgs.shape[:3]
+    ph, pw = (16 - h % 16) % 16, (16 - w % 16) % 16
+    buf = np.ascontiguousarray(
+        np.pad(imgs, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge"), np.float32)
+    q = np.ascontiguousarray(np.asarray(qualities, np.float32))
+    lib.jpeg_roundtrip_batch(buf, b, h + ph, w + pw, q, n_threads)
+    return buf[:, :h, :w]
+
+
+def filter2d(img: np.ndarray, kernel: np.ndarray) -> np.ndarray:
+    lib = _build_and_load()
+    if lib is None:
+        from ssl_tpu.data.realesr_degradation import filter2d_np
+        return filter2d_np(img, kernel)
+    img = np.ascontiguousarray(img, np.float32)
+    out = np.empty_like(img)
+    k = np.ascontiguousarray(kernel, np.float32)
+    lib.filter2d_reflect(img, out, img.shape[0], img.shape[1], img.shape[2],
+                         k, kernel.shape[0])
+    return out
+
+
+def ssg_golden(image_chw_padded: np.ndarray, pos_padded: np.ndarray,
+               psize: int = 25, ksize: int = 9) -> np.ndarray:
+    """Native golden SSG SSD (CUDA-reference semantics) for verification."""
+    lib = _build_and_load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    c, h, w = image_chw_padded.shape
+    mc = pos_padded.shape[0]
+    out = np.zeros((mc, psize, psize), np.float32)
+    lib.box_ssd_ssg(np.ascontiguousarray(image_chw_padded, np.float32),
+                    np.ascontiguousarray(pos_padded, np.int32), out,
+                    mc, psize, ksize, h, w, c)
+    return out
