@@ -74,17 +74,15 @@ def ssl_loss(sr: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray, setting: SSLSe
     n2 = setting.ssg.search * setting.ssg.search
 
     if setting.impl == "dense" and not setting.kl_softmax:
-        # fused masked-dense path: exact for any edge count, no gather
-        from ssl_tpu.ops.ssg import ssl_loss_dense
+        # fused masked-dense path: exact for any edge count, no gather.
+        # Natively batched (NOT vmapped) — see ops/ssg.py batching note.
+        from ssl_tpu.ops.ssg import ssl_loss_dense_batched
 
-        def per_image(sr_i, gt_i, mask_i):
-            return ssl_loss_dense(sr_i.transpose(2, 0, 1), gt_i.transpose(2, 0, 1),
-                                  mask_i, setting.ssg)
-
-        l1_sums, kl_sums, counts = jax.vmap(per_image)(sr, gt, mask)
-        denom = jnp.sum(counts) * n2 + 1e-12
-        return (jnp.sum(l1_sums) / denom * setting.l1_weight,
-                jnp.sum(kl_sums) / denom * setting.kl_weight)
+        l1_sum, kl_sum, count = ssl_loss_dense_batched(
+            sr.transpose(0, 3, 1, 2), gt.transpose(0, 3, 1, 2), mask, setting.ssg)
+        denom = count * n2 + 1e-12
+        return (l1_sum / denom * setting.l1_weight,
+                kl_sum / denom * setting.kl_weight)
 
     def per_image(sr_i, gt_i, mask_i):
         pos, valid, count = mask_to_positions(mask_i, setting.capacity)

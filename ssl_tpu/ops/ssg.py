@@ -192,6 +192,119 @@ def ssg_from_mask(img: jnp.ndarray, mask: jnp.ndarray, capacity: int,
 # ---------------------------------------------------------------------------
 # Masked-dense fused SSL loss — no gather, no capacity truncation
 # ---------------------------------------------------------------------------
+# NOTE on batching: everything here is written NATIVELY BATCHED (leading batch
+# axis) instead of vmapped.  Under vmap, dynamic_slice with a traced-but-
+# batch-uniform start lowers to lax.gather, which the TPU Mosaic compiler
+# unrolls per batch element — compile time then scales linearly with batch
+# (measured: 106s at b=2 vs 876s at b=16).  Native batching keeps the slice a
+# single dynamic_slice and compiles like b=1.
+
+def _prefix_rows_b(m: jnp.ndarray) -> jnp.ndarray:
+    """Exclusive prefix-sum along axis -2: (..., H, W) -> (..., H+1, W)."""
+    pad = [(0, 0)] * (m.ndim - 2) + [(1, 0), (0, 0)]
+    return jnp.pad(jnp.cumsum(m, axis=-2), pad)
+
+
+def _rect_rows_b(prefix: jnp.ndarray, lo, hi, p: int, out_h: int) -> jnp.ndarray:
+    """Batched row rect-sum: prefix (b, H+1, W) -> (b, out_h, W)."""
+    b, _, wp = prefix.shape
+    top = lax.dynamic_slice(prefix, (0, p + lo, 0), (b, out_h, wp))
+    bot = lax.dynamic_slice(prefix, (0, p + hi + 1, 0), (b, out_h, wp))
+    return bot - top
+
+
+def _rect_cols_b(rows: jnp.ndarray, lo, hi, p: int, out_w: int) -> jnp.ndarray:
+    b, h, _ = rows.shape
+    prefix = jnp.pad(jnp.cumsum(rows, axis=-1), [(0, 0), (0, 0), (1, 0)])
+    left = lax.dynamic_slice(prefix, (0, 0, p + lo), (b, h, out_w))
+    right = lax.dynamic_slice(prefix, (0, 0, p + hi + 1), (b, h, out_w))
+    return right - left
+
+
+def _dense_context_b(img: jnp.ndarray, cfg: SSGConfig):
+    """Batched context. img: (b, c, h, w)."""
+    search, window = cfg.search, cfg.window
+    p, k = search // 2, window // 2
+    b, c, h, w = img.shape
+    P = reflect_pad_2d(img, p)                            # (b, c, hp, wp)
+    Pbig = jnp.pad(P, ((0, 0), (0, 0), (p, p), (p, p)))
+    center2 = jnp.sum(P * P, axis=1)                      # (b, hp, wp)
+    c2_prefix = _prefix_rows_b(center2)
+    full_rows = (c2_prefix[:, p + k + 1:p + k + 1 + h] -
+                 c2_prefix[:, p - k:p - k + h])
+    box_c2 = _rect_cols_b(full_rows, -k, k, p, w)
+    return P, Pbig, c2_prefix, box_c2
+
+
+def _dense_smap_b(ctx, s, cfg: SSGConfig, h: int, w: int):
+    """Batched dense raw-SSD map (b, h, w) for search-offset index s."""
+    search, window = cfg.search, cfg.window
+    p, k = search // 2, window // 2
+    P, Pbig, c2_prefix, box_c2 = ctx
+    b, c, hp, wp = P.shape
+    dy = s // search - p
+    dx = s % search - p
+    Pshift = lax.dynamic_slice(Pbig, (0, 0, p + dy, p + dx), (b, c, hp, wp))
+    D = jnp.sum((P - Pshift) ** 2, axis=1)                # (b, hp, wp)
+    a_y = jnp.maximum(-k, -p - dy)
+    b_y = jnp.minimum(k, p - dy)
+    a_x = jnp.maximum(-k, -p - dx)
+    b_x = jnp.minimum(k, p - dx)
+    rect_d = _rect_cols_b(_rect_rows_b(_prefix_rows_b(D), a_y, b_y, p, h), a_x, b_x, p, w)
+    rect_c = _rect_cols_b(_rect_rows_b(c2_prefix, a_y, b_y, p, h), a_x, b_x, p, w)
+    return rect_d + (box_c2 - rect_c)
+
+
+def ssl_loss_dense_batched(sr: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray,
+                           cfg: SSGConfig = SSGConfig()):
+    """Fused masked-dense SSL loss sums for a BATCH.
+
+    sr, gt: (b, c, h, w); mask: (b, h, w).  Returns (l1_sum, kl_sum, count)
+    summed over the whole batch — divide by count*search^2 for the reference's
+    torch-mean over concatenated per-image SSGs."""
+    b, c, h, w = sr.shape
+    n2 = cfg.search * cfg.search
+    norm = c * float(cfg.window) ** 2
+    ctx_sr = _dense_context_b(sr, cfg)
+    ctx_gt = _dense_context_b(jax.lax.stop_gradient(gt), cfg)
+    mask = mask.astype(sr.dtype)
+    count = jnp.sum(mask)
+
+    def q_maps(s):
+        q_sr = jnp.exp(-(_dense_smap_b(ctx_sr, s, cfg, h, w) / norm) / cfg.sigma)
+        q_gt = jnp.exp(-(_dense_smap_b(ctx_gt, s, cfg, h, w) / norm) / cfg.sigma)
+        return q_sr, q_gt
+
+    if cfg.generalization:
+        def pass1(carry, s):
+            r_sr, r_gt = carry
+            q_sr, q_gt = q_maps(s)
+            return (r_sr + q_sr, r_gt + q_gt), None
+
+        (r_sr, r_gt), _ = lax.scan(jax.checkpoint(pass1),
+                                   (jnp.zeros((b, h, w)), jnp.zeros((b, h, w))),
+                                   jnp.arange(n2))
+        inv_sr = 1.0 / (r_sr + 1e-10)
+        inv_gt = 1.0 / (r_gt + 1e-10)
+    else:
+        inv_sr = inv_gt = jnp.ones((b, h, w))
+
+    def pass2(carry, s):
+        l1_acc, kl_acc = carry
+        q_sr, q_gt = q_maps(s)
+        x = q_sr * inv_sr
+        y = q_gt * inv_gt
+        l1_acc = l1_acc + jnp.sum(mask * jnp.abs(x - y))
+        xs = jnp.clip(x, min=1e-10)
+        ys = jnp.clip(y, min=1e-10)
+        kl_acc = kl_acc + jnp.sum(mask * (ys * (jnp.log(ys) - jnp.log(xs))))
+        return (l1_acc, kl_acc), None
+
+    (l1_sum, kl_sum), _ = lax.scan(jax.checkpoint(pass2),
+                                   (jnp.asarray(0.0), jnp.asarray(0.0)),
+                                   jnp.arange(n2))
+    return l1_sum, kl_sum, count
+
 
 def _dense_context(img: jnp.ndarray, cfg: SSGConfig):
     """Precompute padded image + center^2 prefix structures for dense S maps."""
