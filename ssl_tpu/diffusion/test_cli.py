@@ -1,0 +1,88 @@
+"""Diffusion-tree inference CLI (reference surface: Diffusion-Based-SR/test.py).
+
+Loads a trained diffusion state (+ optional CFW VQGAN), runs spaced-DDPM
+sampling (default 200 steps) conditioned on the LQ latent, decodes, and writes
+three color-fix variants: nofix / adain / wavelet (reference test.py:322-341)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+
+import numpy as np
+import yaml
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--ckpt", required=True)
+    parser.add_argument("--init-img", dest="init_img", required=True, help="LQ folder")
+    parser.add_argument("--outdir", required=True)
+    parser.add_argument("--ddpm_steps", type=int, default=200)
+    parser.add_argument("--upscale", type=float, default=4.0)
+    parser.add_argument("--colorfix_type", choices=["nofix", "adain", "wavelet"],
+                        default="adain")
+    parser.add_argument("--tile_latent", type=int, default=0, help="latent tile size (0=off)")
+    args = parser.parse_args()
+
+    import cv2
+    import jax
+    import jax.numpy as jnp
+    from ssl_tpu.diffusion.main import build_from_config
+    from ssl_tpu.diffusion.sampler import spaced_ddpm_sample, tiled_sample
+    from ssl_tpu.diffusion.color_fix import adain_color_fix, wavelet_color_fix
+    from ssl_tpu.utils.img_util import array2img, img2array, imread, imwrite
+
+    with open(args.config) as f:
+        cfg = yaml.safe_load(f)
+    model = build_from_config(cfg)
+    state = model.init_state(gt_shape=(1, 64, 64, 3))
+    with open(args.ckpt, "rb") as f:
+        params = pickle.load(f)
+    state = state.replace(params=jax.tree_util.tree_map(jnp.asarray, params))
+
+    os.makedirs(args.outdir, exist_ok=True)
+    vae_params = state.frozen["vae"]
+    rng = jax.random.PRNGKey(42)
+
+    def apply_fn(x, t, ctx, z_lq):
+        return model.apply_model(state.params, x, t, ctx, z_lq)
+
+    for name in sorted(os.listdir(args.init_img)):
+        path = os.path.join(args.init_img, name)
+        lq = img2array(imread(path))
+        h, w = lq.shape[:2]
+        up_h = int(h * args.upscale) // 64 * 64
+        up_w = int(w * args.upscale) // 64 * 64
+        lq_up = cv2.resize(lq, (up_w, up_h), interpolation=cv2.INTER_CUBIC)
+        lq_t = jnp.asarray(lq_up[None] * 2 - 1)
+
+        rng, r_enc, r_samp = jax.random.split(rng, 3)
+        z_lq = model.encode(vae_params, lq_t, r_enc)
+        ctx = jnp.broadcast_to(state.params["null_context"],
+                               (1,) + state.params["null_context"].shape)
+
+        def sample_tile(z_tile):
+            return spaced_ddpm_sample(apply_fn, model.sched, z_tile.shape,
+                                      r_samp, ctx, z_tile, steps=args.ddpm_steps)
+
+        if args.tile_latent and (z_lq.shape[1] > args.tile_latent or
+                                 z_lq.shape[2] > args.tile_latent):
+            z = tiled_sample(sample_tile, z_lq, args.tile_latent, args.tile_latent // 4)
+        else:
+            z = sample_tile(z_lq)
+        img = np.asarray(model.decode(vae_params, z))[0]
+        img = np.clip((img + 1) / 2, 0, 1).astype(np.float32)
+        if args.colorfix_type == "adain":
+            img = adain_color_fix(img, lq_up)
+        elif args.colorfix_type == "wavelet":
+            img = wavelet_color_fix(img, lq_up)
+        out_path = os.path.join(args.outdir, name)
+        imwrite(array2img(img), out_path)
+        print(f"{path} -> {out_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -106,6 +106,76 @@ class Decoder(nn.Module):
         return h
 
 
+class DecoderResi(nn.Module):
+    """CFW fusion decoder: re-injects encoder features of the LQ input during
+    decoding for detail preservation (reference AutoencoderKLResi,
+    autoencoder.py:469 — used at test time with a separately-trained ckpt)."""
+    ch: int = 128
+    ch_mult: Sequence[int] = (1, 2, 4, 4)
+    num_res_blocks: int = 2
+    out_ch: int = 3
+    fusion_w: float = 1.0
+
+    @nn.compact
+    def __call__(self, z, enc_feas):
+        mult = self.ch_mult[-1]
+        h = nn.Conv(self.ch * mult, (3, 3), padding="SAME", name="conv_in")(z)
+        h = ResnetBlock(h.shape[-1], name="mid_block_1")(h)
+        h = AttnBlock(name="mid_attn")(h)
+        h = ResnetBlock(h.shape[-1], name="mid_block_2")(h)
+        fea_idx = len(enc_feas) - 1
+        for i in reversed(range(len(self.ch_mult))):
+            for j in range(self.num_res_blocks + 1):
+                h = ResnetBlock(self.ch * self.ch_mult[i], name=f"up_{i}_block_{j}")(h)
+            # fuse the matching-resolution LQ encoder feature (CFW)
+            if fea_idx >= 0 and enc_feas and i in (1, 2):
+                s = enc_feas[fea_idx]
+                if s.shape[1] == h.shape[1]:
+                    fused = nn.Conv(h.shape[-1], (3, 3), padding="SAME",
+                                    kernel_init=nn.initializers.zeros,
+                                    name=f"fuse_{i}")(jnp.concatenate([h, s], axis=-1))
+                    h = h + self.fusion_w * fused
+                    fea_idx -= 1
+            if i != 0:
+                b, hh, ww, c = h.shape
+                h = jax.image.resize(h, (b, hh * 2, ww * 2, c), method="nearest")
+                h = nn.Conv(c, (3, 3), padding="SAME", name=f"up_{i}_upsample")(h)
+        h = nn.Conv(self.out_ch, (3, 3), padding="SAME", name="conv_out")(_nonlin(_gn(h, "norm_out")))
+        return h
+
+
+class AutoencoderKLResi(nn.Module):
+    """VAE whose encode also returns intermediate features, decoded with CFW
+    fusion (reference autoencoder.py:469)."""
+    embed_dim: int = 4
+    ch: int = 128
+    ch_mult: Sequence[int] = (1, 2, 4, 4)
+    num_res_blocks: int = 2
+    fusion_w: float = 1.0
+
+    def setup(self):
+        self.encoder = Encoder(self.ch, self.ch_mult, self.num_res_blocks,
+                               z_channels=self.embed_dim)
+        self.decoder = DecoderResi(self.ch, self.ch_mult, self.num_res_blocks,
+                                   fusion_w=self.fusion_w)
+        self.quant_conv = nn.Conv(2 * self.embed_dim, (1, 1))
+        self.post_quant_conv = nn.Conv(self.embed_dim, (1, 1))
+
+    def encode(self, x):
+        moments, feas = self.encoder(x, return_fea=True)
+        moments = self.quant_conv(moments)
+        mean, logvar = jnp.split(moments, 2, axis=-1)
+        return mean, jnp.clip(logvar, -30.0, 20.0), feas
+
+    def decode(self, z, enc_feas):
+        return self.decoder(self.post_quant_conv(z), enc_feas)
+
+    def __call__(self, x, z=None):
+        mean, logvar, feas = self.encode(x)
+        latent = mean if z is None else z
+        return self.decode(latent, feas), mean, logvar
+
+
 class AutoencoderKL(nn.Module):
     """KL VAE with quant convs; encode returns (mean, logvar)."""
     embed_dim: int = 4
