@@ -7,7 +7,7 @@ from ssl_tpu.metrics import psnr_ssim as _ps  # noqa: F401
 from ssl_tpu.metrics.psnr_ssim import calculate_psnr, calculate_ssim  # noqa: F401
 
 # optional deep metrics register lazily on import
-for _mod in ("niqe", "lpips_metric", "dists_metric", "fid"):
+for _mod in ("niqe", "lpips_metric", "dists_metric", "fid", "clipiqa"):
     try:
         __import__(f"ssl_tpu.metrics.{_mod}")
     except Exception:  # gated on missing weights/pkgs
