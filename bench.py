@@ -27,10 +27,8 @@ def main():
     import jax.numpy as jnp
 
     # persistent XLA compile cache: repeat bench runs skip the big compiles
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from ssl_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
 
     from ssl_tpu.models import build_model
 

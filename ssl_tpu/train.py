@@ -54,6 +54,8 @@ def create_train_val_dataloader(opt, logger):
 
 
 def train_pipeline(root_path: str, args=None):
+    from ssl_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     opt, parsed = parse_options(root_path, is_train=True, args=args)
     if opt.get("num_processes", 1) > 1:
         jax.distributed.initialize()
