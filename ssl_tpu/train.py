@@ -103,7 +103,7 @@ def train_pipeline(root_path: str, args=None):
     print_freq = (opt.get("logger") or {}).get("print_freq", 100)
 
     epoch = start_epoch
-    while current_iter <= total_iters:
+    while current_iter < total_iters:
         train_loader.set_epoch(epoch)
         for batch in train_loader:
             data_timer.record()
