@@ -7,6 +7,7 @@ from ssl_tpu.data import paired_image_dataset as _p  # noqa: F401
 from ssl_tpu.data import realesrgan_dataset as _re  # noqa: F401
 from ssl_tpu.data import blindsr_mask_dataset as _bsr  # noqa: F401
 from ssl_tpu.data import extra_datasets as _ex  # noqa: F401
+from ssl_tpu.data import video_datasets as _vid  # noqa: F401
 from ssl_tpu.data.loader import DataLoader, EnlargedSampler, build_dataloader, collate  # noqa: F401
 from ssl_tpu.data.paired_image_dataset import (  # noqa: F401
     MultiLROneGTDataset, MyPairedImageDataset, PairedImageDataset,

@@ -87,6 +87,28 @@ def init_tb_logger(log_dir: str):
     return SummaryWriter(log_dir=log_dir)
 
 
+def init_wandb_logger(opt: dict):
+    """Optional W&B sync (reference logger.py:119-143: requires tb on;
+    gated on the wandb package being available)."""
+    try:
+        import wandb
+    except ImportError:
+        get_root_logger().warning("wandb is not installed; skipping wandb logger.")
+        return None
+    logger = get_root_logger()
+    project = (opt.get("logger", {}).get("wandb") or {}).get("project")
+    resume_id = (opt.get("logger", {}).get("wandb") or {}).get("resume_id")
+    if not project:
+        return None
+    if resume_id:
+        wandb.init(id=resume_id, resume="allow", name=opt["name"], config=opt,
+                   project=project, sync_tensorboard=True)
+    else:
+        wandb.init(name=opt["name"], config=opt, project=project, sync_tensorboard=True)
+    logger.info(f"Use wandb logger with id={wandb.run.id}; project={project}.")
+    return wandb.run
+
+
 _initialized_loggers = set()
 
 

@@ -16,9 +16,22 @@ import yaml
 
 def ordered_yaml_load(path_or_str: str, from_file: bool = True) -> dict:
     if from_file:
+        if path_or_str.endswith(".json"):
+            return parse_json_options(path_or_str)
         with open(path_or_str, "r") as f:
             return yaml.safe_load(f)
     return yaml.safe_load(path_or_str)
+
+
+def parse_json_options(path: str) -> dict:
+    """JSON-with-//-comments options (KAIR tree surface:
+    train_BSGRAN/utils/utils_option.py)."""
+    import json
+    import re
+    with open(path) as f:
+        txt = f.read()
+    txt = re.sub(r"//[^\n\"]*", "", txt)
+    return json.loads(txt)
 
 
 def set_by_dotted(opt: dict, dotted: str):
