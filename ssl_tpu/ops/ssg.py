@@ -199,6 +199,12 @@ def ssg_from_mask(img: jnp.ndarray, mask: jnp.ndarray, capacity: int,
 # (measured: 106s at b=2 vs 876s at b=16).  Native batching keeps the slice a
 # single dynamic_slice and compiles like b=1.
 
+import os as _os
+# Unroll factor for the search-offset scans: amortizes per-iteration loop
+# overhead on TPU (625 tiny steps otherwise); tunable via SSG_SCAN_UNROLL.
+_SCAN_UNROLL = int(_os.environ.get("SSG_SCAN_UNROLL", "5"))
+
+
 def _prefix_rows_b(m: jnp.ndarray) -> jnp.ndarray:
     """Exclusive prefix-sum along axis -2: (..., H, W) -> (..., H+1, W)."""
     pad = [(0, 0)] * (m.ndim - 2) + [(1, 0), (0, 0)]
@@ -283,7 +289,7 @@ def ssl_loss_dense_batched(sr: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray,
 
         (r_sr, r_gt), _ = lax.scan(jax.checkpoint(pass1),
                                    (jnp.zeros((b, h, w)), jnp.zeros((b, h, w))),
-                                   jnp.arange(n2))
+                                   jnp.arange(n2), unroll=_SCAN_UNROLL)
         inv_sr = 1.0 / (r_sr + 1e-10)
         inv_gt = 1.0 / (r_gt + 1e-10)
     else:
@@ -302,7 +308,7 @@ def ssl_loss_dense_batched(sr: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray,
 
     (l1_sum, kl_sum), _ = lax.scan(jax.checkpoint(pass2),
                                    (jnp.asarray(0.0), jnp.asarray(0.0)),
-                                   jnp.arange(n2))
+                                   jnp.arange(n2), unroll=_SCAN_UNROLL)
     return l1_sum, kl_sum, count
 
 
