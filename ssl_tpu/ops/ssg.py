@@ -235,18 +235,34 @@ def _dense_context_b(img: jnp.ndarray, cfg: SSGConfig):
     P = reflect_pad_2d(img, p)                            # (b, c, hp, wp)
     Pbig = jnp.pad(P, ((0, 0), (0, 0), (p, p), (p, p)))
     center2 = jnp.sum(P * P, axis=1)                      # (b, hp, wp)
-    c2_prefix = _prefix_rows_b(center2)
-    full_rows = (c2_prefix[:, p + k + 1:p + k + 1 + h] -
-                 c2_prefix[:, p - k:p - k + h])
-    box_c2 = _rect_cols_b(full_rows, -k, k, p, w)
-    return P, Pbig, c2_prefix, box_c2
+    # full window x window box of center^2 (static band matmuls)
+    By = _band_matrix(h, h + 2 * p, p, -k, k)
+    Bx = _band_matrix(w, w + 2 * p, p, -k, k)
+    rows = jnp.einsum("yu,buv->byv", By, center2, preferred_element_type=jnp.float32)
+    box_c2 = jnp.einsum("byv,xv->byx", rows, Bx, preferred_element_type=jnp.float32)
+    return P, Pbig, center2, box_c2
+
+
+def _band_matrix(n_out: int, n_in: int, p: int, lo, hi) -> jnp.ndarray:
+    """0/1 band matrix B[y,u] = 1 iff lo <= u - (y+p) <= hi.
+
+    Left/right-multiplying by these performs the rectangular box-sum as a
+    small MATMUL — the box-filter rides the MXU instead of prefix-sum chains
+    on the VPU (the TPU-native formulation of the windowed SSD)."""
+    yy = lax.broadcasted_iota(jnp.int32, (n_out, n_in), 0)
+    uu = lax.broadcasted_iota(jnp.int32, (n_out, n_in), 1)
+    d = uu - yy - p
+    return jnp.logical_and(d >= lo, d <= hi).astype(jnp.float32)
 
 
 def _dense_smap_b(ctx, s, cfg: SSGConfig, h: int, w: int):
-    """Batched dense raw-SSD map (b, h, w) for search-offset index s."""
+    """Batched dense raw-SSD map (b, h, w) for search-offset index s.
+
+    Box-sums are banded matmuls: S = B_y @ M @ B_x^T with bands set by the
+    (traced) valid window rectangle of this shift."""
     search, window = cfg.search, cfg.window
     p, k = search // 2, window // 2
-    P, Pbig, c2_prefix, box_c2 = ctx
+    P, Pbig, center2, box_c2 = ctx
     b, c, hp, wp = P.shape
     dy = s // search - p
     dx = s % search - p
@@ -256,9 +272,12 @@ def _dense_smap_b(ctx, s, cfg: SSGConfig, h: int, w: int):
     b_y = jnp.minimum(k, p - dy)
     a_x = jnp.maximum(-k, -p - dx)
     b_x = jnp.minimum(k, p - dx)
-    rect_d = _rect_cols_b(_rect_rows_b(_prefix_rows_b(D), a_y, b_y, p, h), a_x, b_x, p, w)
-    rect_c = _rect_cols_b(_rect_rows_b(c2_prefix, a_y, b_y, p, h), a_x, b_x, p, w)
-    return rect_d + (box_c2 - rect_c)
+    By = _band_matrix(h, hp, p, a_y, b_y)                 # (h, hp)
+    Bx = _band_matrix(w, wp, p, a_x, b_x)                 # (w, wp)
+    DmC = D - center2                                     # fold the C-rect in
+    rows = jnp.einsum("yu,buv->byv", By, DmC, preferred_element_type=jnp.float32)
+    rect = jnp.einsum("byv,xv->byx", rows, Bx, preferred_element_type=jnp.float32)
+    return rect + box_c2
 
 
 def ssl_loss_dense_batched(sr: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray,
