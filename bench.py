@@ -30,6 +30,12 @@ def main():
     from ssl_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()
 
+    # matmul/conv precision: 'bfloat16' = single-pass MXU (fastest),
+    # 'float32' = full fp32 via multi-pass. Training SR GANs is robust to
+    # bf16 compute with fp32 params (weights/accumulators stay fp32).
+    prec = os.environ.get("BENCH_MATMUL_PRECISION", "bfloat16")
+    jax.config.update("jax_default_matmul_precision", prec)
+
     from ssl_tpu.models import build_model
 
     batch = int(os.environ.get("BENCH_BATCH", "16"))

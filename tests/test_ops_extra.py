@@ -1,0 +1,57 @@
+"""Tests for StyleGAN resample ops + deformable conv (TPU-native N2-N4)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ssl_tpu.ops.stylegan_ops import (downsample2x, fused_leaky_relu,
+                                      make_resample_kernel, upfirdn2d, upsample2x)
+from ssl_tpu.ops.deform_conv import DCNv2Pack, modulated_deform_conv2d
+
+
+def test_fused_leaky_relu():
+    x = jnp.asarray([[-1.0, 2.0]])
+    b = jnp.asarray([0.5, -0.5])
+    out = np.asarray(fused_leaky_relu(x, b))
+    expected = np.array([[-0.5 * 0.2, 1.5]]) * np.sqrt(2)
+    np.testing.assert_allclose(out, expected, rtol=1e-6)
+
+
+def test_upfirdn2d_identity():
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 8, 8, 2), jnp.float32)
+    k = jnp.asarray([[1.0]])
+    out = upfirdn2d(x, k, up=1, down=1, pad=(0, 0))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), rtol=1e-6)
+
+
+def test_up_down_roundtrip_shapes():
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 8, 8, 3), jnp.float32)
+    up = upsample2x(x)
+    assert up.shape == (1, 16, 16, 3)
+    down = downsample2x(up)
+    assert down.shape == (1, 8, 8, 3)
+    # lowpass round-trip approximately preserves a constant image
+    const = jnp.ones((1, 8, 8, 1))
+    rt = downsample2x(upsample2x(const))
+    np.testing.assert_allclose(np.asarray(rt)[0, 2:-2, 2:-2, 0], 1.0, atol=1e-3)
+
+
+def test_deform_conv_zero_offset_matches_conv():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(1, 8, 8, 4), jnp.float32)
+    w = jnp.asarray(rng.rand(3, 3, 4, 6), jnp.float32)
+    offset = jnp.zeros((1, 8, 8, 2 * 9))
+    mask = jnp.ones((1, 8, 8, 9))
+    out = modulated_deform_conv2d(x, offset, mask, w, padding=1)
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_dcnv2pack_zero_init_identity_offsets():
+    rng = jax.random.PRNGKey(0)
+    params = DCNv2Pack.init_params(rng, cin=4, cout=4)
+    x = jnp.asarray(np.random.RandomState(1).rand(1, 8, 8, 4), jnp.float32)
+    out = DCNv2Pack.apply(params, x, x)
+    assert out.shape == (1, 8, 8, 4)
+    assert np.isfinite(np.asarray(out)).all()
