@@ -120,6 +120,33 @@ class DataLoader:
             stop.set()
 
 
+def device_prefetch(iterator, n: int = 2):
+    """Overlap host->device transfer with compute: keep `n` batches in flight
+    (device_put is async; this is the TPU analogue of the reference's
+    CUDAPrefetcher, prefetch_dataloader.py:82-122)."""
+    import collections
+    import jax
+
+    def to_device(batch):
+        return {k: (jax.device_put(v) if isinstance(v, np.ndarray) else v)
+                for k, v in batch.items()}
+
+    queue = collections.deque()
+    it = iter(iterator)
+    try:
+        for _ in range(n):
+            queue.append(to_device(next(it)))
+    except StopIteration:
+        pass
+    while queue:
+        out = queue.popleft()
+        try:
+            queue.append(to_device(next(it)))
+        except StopIteration:
+            pass
+        yield out
+
+
 def build_dataloader(dataset, dataset_opt: dict, num_gpu: int = 1, dist: bool = False,
                      sampler=None, seed: int = 0):
     """Reference-surface builder (data/__init__.py:40-94 semantics)."""

@@ -102,17 +102,27 @@ def train_pipeline(root_path: str, args=None):
     save_freq = (opt.get("logger") or {}).get("save_checkpoint_freq")
     print_freq = (opt.get("logger") or {}).get("print_freq", 100)
 
+    from ssl_tpu.data.loader import device_prefetch
+    prec = (opt.get("train") or {}).get("matmul_precision")
+    if prec:
+        jax.config.update("jax_default_matmul_precision", prec)
     epoch = start_epoch
     while current_iter < total_iters:
         train_loader.set_epoch(epoch)
-        for batch in train_loader:
+        for batch in device_prefetch(train_loader):
             data_timer.record()
             if current_iter >= total_iters:
                 break
             current_iter += 1
-            import jax.numpy as jnp
-            device_batch = {k: jnp.asarray(v) for k, v in batch.items()
-                            if isinstance(v, np.ndarray)}
+            # host-side degradation recipes (RealESRGAN/BSRGAN) prepare here
+            if hasattr(model, "prepare_batch") and "lq" not in batch:
+                import jax.numpy as jnp
+                host = {k: (np.asarray(v) if not isinstance(v, (list, str)) else v)
+                        for k, v in batch.items()}
+                batch = {k: jnp.asarray(v) for k, v in model.prepare_batch(host).items()
+                         if not isinstance(v, (list, str))}
+            device_batch = {k: v for k, v in batch.items()
+                            if not isinstance(v, (list, str))}
             state, logs = model.train_step(state, device_batch)
             iter_timer.record()
             if current_iter == 1:
