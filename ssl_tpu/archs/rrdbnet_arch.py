@@ -101,6 +101,39 @@ class RRDBNet(nn.Module):
 
 
 @ARCH_REGISTRY.register()
+class RRDBPSNet(nn.Module):
+    """RRDBNet with a pixel-shuffle upsampler tail instead of nearest+conv
+    (reference rrdbnet_arch.py:143-195)."""
+    num_in_ch: int = 3
+    num_out_ch: int = 3
+    scale: int = 4
+    num_feat: int = 64
+    num_block: int = 23
+    num_grow_ch: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        from ssl_tpu.archs.arch_util import Upsample
+        lrelu = lambda v: nn.leaky_relu(v, 0.2)
+        if self.scale == 2:
+            feat = pixel_unshuffle(x, 2)
+        elif self.scale == 1:
+            feat = pixel_unshuffle(x, 4)
+        else:
+            feat = x
+        feat = nn.Conv(self.num_feat, (3, 3), padding="SAME", name="conv_first")(feat)
+        body = feat
+        for i in range(self.num_block):
+            body = RRDB(self.num_feat, self.num_grow_ch, name=f"body_{i}")(body)
+        body = nn.Conv(self.num_feat, (3, 3), padding="SAME", name="conv_body")(body)
+        feat = feat + body
+        feat = lrelu(Upsample(self.scale, self.num_feat, name="upsample")(feat))
+        out = nn.Conv(self.num_out_ch, (3, 3), padding="SAME", name="conv_last")(
+            lrelu(nn.Conv(self.num_feat, (3, 3), padding="SAME", name="conv_hr")(feat)))
+        return out
+
+
+@ARCH_REGISTRY.register()
 class RRDBMeanNet(nn.Module):
     """RRDBNet variant that adds the bicubic-upsampled input mean path
     (reference rrdbnet_arch.py:196-258)."""
