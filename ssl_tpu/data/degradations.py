@@ -3,8 +3,9 @@
 Reference parity: data/degradations.py (iso/aniso generalized Gaussian and
 plateau kernels :84-175, randomized samplers :176-388, sinc lowpass :389,
 Gaussian/Poisson noise :419-730). Kernel synthesis runs on CPU in the data
-pipeline (cheap, small); the pixel-space degradation itself runs on-device in
-``ssl_tpu.ops.degrade_jax`` (jit, MXU-friendly)."""
+pipeline (cheap, small); the pixel-space degradation runs in the host input
+pipeline (``ssl_tpu.data.realesr_degradation``, with C++ hot kernels in
+``ssl_tpu.native``) — see the design note there for why it is host-side."""
 
 from __future__ import annotations
 
@@ -75,11 +76,12 @@ def bivariate_plateau(kernel_size, sig_x, sig_y=None, theta=0.0, beta=1.0,
 def circular_lowpass_kernel(cutoff: float, kernel_size: int, pad_to: int = 0) -> np.ndarray:
     """2-D sinc filter (reference degradations.py:389-416)."""
     assert kernel_size % 2 == 1
-    kernel = np.fromfunction(
-        lambda x, y: cutoff * special.j1(
-            cutoff * np.sqrt((x - (kernel_size - 1) / 2) ** 2 + (y - (kernel_size - 1) / 2) ** 2))
-        / (2 * np.pi * np.sqrt((x - (kernel_size - 1) / 2) ** 2 + (y - (kernel_size - 1) / 2) ** 2)),
-        [kernel_size, kernel_size])
+    with np.errstate(invalid="ignore", divide="ignore"):
+        kernel = np.fromfunction(
+            lambda x, y: cutoff * special.j1(
+                cutoff * np.sqrt((x - (kernel_size - 1) / 2) ** 2 + (y - (kernel_size - 1) / 2) ** 2))
+            / (2 * np.pi * np.sqrt((x - (kernel_size - 1) / 2) ** 2 + (y - (kernel_size - 1) / 2) ** 2)),
+            [kernel_size, kernel_size])
     kernel[(kernel_size - 1) // 2, (kernel_size - 1) // 2] = cutoff ** 2 / (4 * np.pi)
     kernel = kernel / np.sum(kernel)
     if pad_to > kernel_size:
