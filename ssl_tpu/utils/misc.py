@@ -5,6 +5,8 @@ from __future__ import annotations
 import os
 import time
 
+from ssl_tpu.data.data_util import scandir  # noqa: F401  (reference surface: misc.scandir)
+
 
 def get_time_str() -> str:
     return time.strftime("%Y%m%d_%H%M%S", time.localtime())
