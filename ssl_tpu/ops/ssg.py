@@ -280,13 +280,111 @@ def _dense_smap_b(ctx, s, cfg: SSGConfig, h: int, w: int):
     return rect + box_c2
 
 
-def ssl_loss_dense_batched(sr: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray,
-                           cfg: SSGConfig = SSGConfig()):
-    """Fused masked-dense SSL loss sums for a BATCH.
+def _band_T(n_out: int, n_in: int, p: int, lo, hi) -> jnp.ndarray:
+    """Transpose band (n_in, n_out) for the adjoint box-sums."""
+    return _band_matrix(n_out, n_in, p, lo, hi).T
 
-    sr, gt: (b, c, h, w); mask: (b, h, w).  Returns (l1_sum, kl_sum, count)
-    summed over the whole batch — divide by count*search^2 for the reference's
-    torch-mean over concatenated per-image SSGs."""
+
+def _shift_bounds(s: jnp.ndarray, cfg: SSGConfig):
+    p, k = cfg.search // 2, cfg.window // 2
+    dy = s // cfg.search - p
+    dx = s % cfg.search - p
+    return (dy, dx,
+            jnp.maximum(-k, -p - dy), jnp.minimum(k, p - dy),
+            jnp.maximum(-k, -p - dx), jnp.minimum(k, p - dx))
+
+
+def ssl_loss_dense_bwd(sr, gt, mask, inv_sr, inv_gt, g_l1, g_kl,
+                       cfg: SSGConfig = SSGConfig()):
+    """Analytic gradient of (g_l1*l1_sum + g_kl*kl_sum) w.r.t. sr.
+
+    Derivation (x = q_sr*inv_sr, y = q_gt*inv_gt, R-normalization folded in):
+      dL/dx_d   = mask * (g_l1*sign(x-y) - g_kl*y/x)          =: g_d
+      dL/dq_d   = inv*g_d - inv^2 * T,  T = sum_d g_d q_d
+      dL/dS_d   = dL/dq_d * q_d * (-1/(norm*sigma))           =: G_d
+      dS_d/dP: rect-adjoint band matmuls A_d = By^T G_d Bx, then
+      dP += 2[A_d*(P - P_d) - shift_d(A_d*(P - P_d))] per d, and the
+      C-terms batched once at the end: dP += 2P*(box9^T(sum G) - sum A).
+    Finally the reflect-pad adjoint folds dP back to the image.
+
+    One pass over the 625 offsets (vs autodiff's remat double-recompute)."""
+    b, c, h, w = sr.shape
+    search = cfg.search
+    p, k = search // 2, cfg.window // 2
+    n2 = search * search
+    norm = c * float(cfg.window) ** 2
+    scale = -1.0 / (norm * cfg.sigma)
+    ctx_sr = _dense_context_b(sr, cfg)
+    ctx_gt = _dense_context_b(gt, cfg)
+    P, Pbig = ctx_sr[0], ctx_sr[1]
+    hp, wp = P.shape[2], P.shape[3]
+    mask = mask.astype(sr.dtype)
+
+    def q_maps(s):
+        q_sr = jnp.exp(-(_dense_smap_b(ctx_sr, s, cfg, h, w) / norm) / cfg.sigma)
+        q_gt = jnp.exp(-(_dense_smap_b(ctx_gt, s, cfg, h, w) / norm) / cfg.sigma)
+        return q_sr, q_gt
+
+    def g_of(q_sr, q_gt):
+        x = q_sr * inv_sr
+        y = q_gt * inv_gt
+        sign = jnp.sign(x - y)
+        kl_term = jnp.where(x > 1e-10, -y / jnp.clip(x, min=1e-10), 0.0)
+        return mask * (g_l1 * sign + g_kl * kl_term)
+
+    # pass A: T = sum_d g_d q_d (the row-normalization coupling term; zero
+    # when generalization is off since R then doesn't depend on q)
+    if cfg.generalization:
+        def passA(carry, s):
+            q_sr, q_gt = q_maps(s)
+            return carry + g_of(q_sr, q_gt) * q_sr, None
+
+        T, _ = lax.scan(jax.checkpoint(passA), jnp.zeros((b, h, w)), jnp.arange(n2),
+                        unroll=_SCAN_UNROLL)
+    else:
+        T = jnp.zeros((b, h, w))
+
+    # pass B: accumulate dP (b,c,hp,wp), sum_A, sum_G
+    def passB(carry, s):
+        dP, sumA, sumG = carry
+        dy, dx, a_y, b_y, a_x, b_x = _shift_bounds(s, cfg)
+        q_sr, q_gt = q_maps(s)
+        g_d = g_of(q_sr, q_gt)
+        G_d = (inv_sr * g_d - inv_sr * inv_sr * T) * q_sr * scale   # (b,h,w)
+        ByT = _band_T(h, hp, p, a_y, b_y)                            # (hp, h)
+        BxT = _band_T(w, wp, p, a_x, b_x)                            # (wp, w)
+        rowsA = jnp.einsum("uy,byx->bux", ByT, G_d, preferred_element_type=jnp.float32)
+        A_d = jnp.einsum("bux,vx->buv", rowsA, BxT, preferred_element_type=jnp.float32)
+        Pshift = lax.dynamic_slice(Pbig, (0, 0, p + dy, p + dx), (b, c, hp, wp))
+        M = A_d[:, None] * (P - Pshift)                              # (b,c,hp,wp)
+        # scatter shift_{+d}(M): place M into a padded canvas at offset (p+... )
+        canvas = jnp.zeros((b, c, hp + 2 * p, wp + 2 * p))
+        canvas = lax.dynamic_update_slice(canvas, M, (0, 0, p + dy, p + dx))
+        Mshift = canvas[:, :, p:p + hp, p:p + wp]
+        dP = dP + 2.0 * (M - Mshift)
+        return (dP, sumA + A_d, sumG + G_d), None
+
+    init = (jnp.zeros((b, c, hp, wp)), jnp.zeros((b, hp, wp)), jnp.zeros((b, h, w)))
+    (dP, sumA, sumG), _ = lax.scan(jax.checkpoint(passB), init, jnp.arange(n2),
+                                   unroll=_SCAN_UNROLL)
+
+    # C-terms (batched once): +box9^T(sum G) - sum A, times 2P
+    By9T = _band_T(h, hp, p, -k, k)
+    Bx9T = _band_T(w, wp, p, -k, k)
+    rows9 = jnp.einsum("uy,byx->bux", By9T, sumG, preferred_element_type=jnp.float32)
+    A9 = jnp.einsum("bux,vx->buv", rows9, Bx9T, preferred_element_type=jnp.float32)
+    dC = A9 - sumA                                                   # (b,hp,wp)
+    dP = dP + 2.0 * dC[:, None] * P
+
+    # adjoint of reflect-pad
+    _, pad_vjp = jax.vjp(lambda im: reflect_pad_2d(im, p), sr)
+    (d_sr,) = pad_vjp(dP)
+    return d_sr
+
+
+def _ssl_loss_dense_core(sr: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray,
+                         cfg: SSGConfig = SSGConfig()):
+    """Core forward; returns (l1_sum, kl_sum, count, inv_sr, inv_gt)."""
     b, c, h, w = sr.shape
     n2 = cfg.search * cfg.search
     norm = c * float(cfg.window) ** 2
@@ -328,7 +426,36 @@ def ssl_loss_dense_batched(sr: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray,
     (l1_sum, kl_sum), _ = lax.scan(jax.checkpoint(pass2),
                                    (jnp.asarray(0.0), jnp.asarray(0.0)),
                                    jnp.arange(n2), unroll=_SCAN_UNROLL)
+    return l1_sum, kl_sum, count, inv_sr, inv_gt
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def ssl_loss_dense_batched(sr: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray,
+                           cfg: SSGConfig = SSGConfig()):
+    """Fused masked-dense SSL loss sums for a BATCH.
+
+    sr, gt: (b, c, h, w); mask: (b, h, w).  Returns (l1_sum, kl_sum, count)
+    summed over the whole batch — divide by count*search^2 for the reference's
+    torch-mean over concatenated per-image SSGs.  Differentiable w.r.t. sr via
+    the ANALYTIC custom VJP (ssl_loss_dense_bwd) — one extra offset pass
+    instead of autodiff's remat double-recompute; gt is a constant target."""
+    l1_sum, kl_sum, count, _, _ = _ssl_loss_dense_core(sr, gt, mask, cfg)
     return l1_sum, kl_sum, count
+
+
+def _ssl_dense_fwd(sr, gt, mask, cfg):
+    l1_sum, kl_sum, count, inv_sr, inv_gt = _ssl_loss_dense_core(sr, gt, mask, cfg)
+    return (l1_sum, kl_sum, count), (sr, gt, mask, inv_sr, inv_gt)
+
+
+def _ssl_dense_bwd(cfg, res, g):
+    sr, gt, mask, inv_sr, inv_gt = res
+    g_l1, g_kl, _ = g
+    d_sr = ssl_loss_dense_bwd(sr, gt, mask, inv_sr, inv_gt, g_l1, g_kl, cfg)
+    return d_sr, jnp.zeros_like(gt), jnp.zeros_like(mask)
+
+
+ssl_loss_dense_batched.defvjp(_ssl_dense_fwd, _ssl_dense_bwd)
 
 
 def _dense_context(img: jnp.ndarray, cfg: SSGConfig):
