@@ -99,6 +99,58 @@ def _tree_shapes_match(tree, ref) -> bool:
         return False
 
 
+def export_rrdbnet_to_torch(params: dict, path: str, param_key: str = "params",
+                            also_ema: dict | None = None) -> None:
+    """Inverse port: our (scanned) RRDBNet flax tree -> reference .pth layout
+    ({param_key: state_dict} with body.{i}.rdb{j}.conv{k} keys, OIHW), so
+    reference/BasicSR users can consume checkpoints trained here."""
+    import torch
+
+    def to_torch_conv(kernel, bias):
+        w = np.asarray(kernel).transpose(3, 2, 0, 1)  # HWIO -> OIHW
+        return torch.from_numpy(np.ascontiguousarray(w)), torch.from_numpy(np.asarray(bias))
+
+    def tree_to_sd(tree):
+        sd = {}
+        for name in ("conv_first", "conv_body", "conv_up1", "conv_up2", "conv_hr", "conv_last"):
+            if name in tree:
+                w, b = to_torch_conv(tree[name]["kernel"], tree[name]["bias"])
+                sd[f"{name}.weight"], sd[f"{name}.bias"] = w, b
+        body = tree.get("body")
+        if body is not None and "RRDB_0" in body:  # scanned: stacked leading axis
+            cell = body["RRDB_0"]
+            any_leaf = None
+            for j in range(3):
+                for kk in range(5):
+                    leaf = cell[f"ResidualDenseBlock_{j}"][f"Conv3x3_{kk}"]["Conv_0"]
+                    if any_leaf is None:
+                        any_leaf = leaf["kernel"]
+                    n_blocks = np.asarray(leaf["kernel"]).shape[0]
+                    for i in range(n_blocks):
+                        w, b = to_torch_conv(np.asarray(leaf["kernel"])[i],
+                                             np.asarray(leaf["bias"])[i])
+                        sd[f"body.{i}.rdb{j+1}.conv{kk+1}.weight"] = w
+                        sd[f"body.{i}.rdb{j+1}.conv{kk+1}.bias"] = b
+        else:  # unscanned body_{i} layout
+            i = 0
+            while f"body_{i}" in (tree or {}):
+                blk = tree[f"body_{i}"]
+                for j in range(3):
+                    for kk in range(5):
+                        leaf = blk[f"ResidualDenseBlock_{j}"][f"Conv3x3_{kk}"]["Conv_0"]
+                        w, b = to_torch_conv(leaf["kernel"], leaf["bias"])
+                        sd[f"body.{i}.rdb{j+1}.conv{kk+1}.weight"] = w
+                        sd[f"body.{i}.rdb{j+1}.conv{kk+1}.bias"] = b
+                i += 1
+        return sd
+
+    payload = {param_key: tree_to_sd(params)}
+    if also_ema is not None:
+        payload["params_ema"] = tree_to_sd(also_ema)
+    import torch
+    torch.save(payload, path)
+
+
 def load_params_auto(path: str, param_key: str = "params", reference_tree=None):
     """Load our pickle format or a torch .pth via arch converters.
     Returns a params tree or None if unconvertible."""
