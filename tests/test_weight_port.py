@@ -57,6 +57,19 @@ def test_rrdbnet_conversion_runs_forward(tmp_path):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_export_roundtrip_exact(tmp_path):
+    """flax -> reference .pth -> flax must be bit-exact."""
+    from ssl_tpu.utils.weight_port import export_rrdbnet_to_torch
+    net = build_network(dict(type="RRDBNet", num_feat=8, num_block=2, num_grow_ch=4))
+    v = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+    path = str(tmp_path / "export.pth")
+    export_rrdbnet_to_torch(v["params"], path, also_ema=v["params"])
+    loaded = load_params_auto(path, "params", v["params"])
+    a = jax.tree_util.tree_leaves(v["params"])
+    b = jax.tree_util.tree_leaves(loaded)
+    assert all(np.allclose(np.asarray(x), np.asarray(y)) for x, y in zip(a, b))
+
+
 def test_conversion_kernel_transpose_math():
     """A single conv layer ported from torch must produce identical outputs."""
     rng = np.random.RandomState(0)
