@@ -73,6 +73,17 @@ def ssl_loss(sr: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray, setting: SSLSe
     mask = apply_mask_stride(mask, setting.mask_stride)
     n2 = setting.ssg.search * setting.ssg.search
 
+    if setting.impl == "pallas" and not setting.kl_softmax:
+        # fused VMEM kernel forward + analytic XLA backward
+        from ssl_tpu.ops.ssg_pallas import ssl_loss_sums_pallas
+        interpret = jax.default_backend() == "cpu"
+        l1_sum, kl_sum, count = ssl_loss_sums_pallas(
+            sr.transpose(0, 3, 1, 2), gt.transpose(0, 3, 1, 2), mask,
+            setting.ssg, interpret)
+        denom = count * n2 + 1e-12
+        return (l1_sum / denom * setting.l1_weight,
+                kl_sum / denom * setting.kl_weight)
+
     if setting.impl == "dense" and not setting.kl_softmax:
         # fused masked-dense path: exact for any edge count, no gather.
         # Natively batched (NOT vmapped) — see ops/ssg.py batching note.

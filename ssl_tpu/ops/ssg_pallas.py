@@ -45,7 +45,8 @@ def _make_kernel(cfg: SSGConfig, c: int, h: int, w: int):
     n2 = search * search
     norm = c * float(window) ** 2
 
-    def kernel(psr_ref, pgt_ref, mask_ref, l1_ref, kl_ref, cnt_ref):
+    def kernel(psr_ref, pgt_ref, mask_ref, l1_ref, kl_ref, cnt_ref,
+               invs_ref, invg_ref):
         # blocks are (1, c, hb, wb) / (1, h, w); drop the leading dim on read
         mask = mask_ref[0]
 
@@ -129,6 +130,8 @@ def _make_kernel(cfg: SSGConfig, c: int, h: int, w: int):
         l1_ref[0] = jnp.reshape(l1, (1, 1))
         kl_ref[0] = jnp.reshape(kl, (1, 1))
         cnt_ref[0] = jnp.reshape(jnp.sum(mask), (1, 1))
+        invs_ref[0] = inv_sr
+        invg_ref[0] = inv_gt
 
     return kernel
 
@@ -151,45 +154,43 @@ def _pallas_forward(sr, gt, mask, cfg: SSGConfig, interpret: bool = False):
             return pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
         return pl.BlockSpec(block, index_map)
 
-    l1, kl, cnt = pl.pallas_call(
+    l1, kl, cnt, inv_sr, inv_gt = pl.pallas_call(
         kernel,
-        out_shape=[jax.ShapeDtypeStruct((b, 1, 1), jnp.float32) for _ in range(3)],
+        out_shape=([jax.ShapeDtypeStruct((b, 1, 1), jnp.float32) for _ in range(3)] +
+                   [jax.ShapeDtypeStruct((b, h, w), jnp.float32) for _ in range(2)]),
         grid=(b,),
         in_specs=[
             spec((1, c, hb, wb), lambda i: (i, 0, 0, 0)),
             spec((1, c, hb, wb), lambda i: (i, 0, 0, 0)),
             spec((1, h, w), lambda i: (i, 0, 0)),
         ],
-        out_specs=[spec((1, 1, 1), lambda i: (i, 0, 0)) for _ in range(3)],
+        out_specs=([spec((1, 1, 1), lambda i: (i, 0, 0)) for _ in range(3)] +
+                   [spec((1, h, w), lambda i: (i, 0, 0)) for _ in range(2)]),
         interpret=interpret,
     )(pad_sr, pad_gt, mask)
-    return l1.reshape(b), kl.reshape(b), cnt.reshape(b)
+    return l1.reshape(b), kl.reshape(b), cnt.reshape(b), inv_sr, inv_gt
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def ssl_loss_sums_pallas(sr, gt, mask, cfg: SSGConfig = SSGConfig(),
                          interpret: bool = False):
-    l1, kl, cnt = _pallas_forward(sr, gt, mask, cfg, interpret)
+    l1, kl, cnt, _, _ = _pallas_forward(sr, gt, mask, cfg, interpret)
     return jnp.sum(l1), jnp.sum(kl), jnp.sum(cnt)
 
 
 def _fwd(sr, gt, mask, cfg, interpret):
-    out = ssl_loss_sums_pallas(sr, gt, mask, cfg, interpret)
-    return out, (sr, gt, mask)
+    l1, kl, cnt, inv_sr, inv_gt = _pallas_forward(sr, gt, mask, cfg, interpret)
+    return ((jnp.sum(l1), jnp.sum(kl), jnp.sum(cnt)),
+            (sr, gt, mask, inv_sr, inv_gt))
 
 
 def _bwd(cfg, interpret, res, g):
-    # backward recomputes through the XLA dense path (same math); analytic
-    # Pallas backward is a planned optimization.
-    from ssl_tpu.ops.ssg import ssl_loss_dense_batched
-    sr, gt, mask = res
+    # analytic XLA backward (band-matmul adjoint), fed the Pallas-computed
+    # row-normalization maps — no forward recompute of pass 1.
+    from ssl_tpu.ops.ssg import ssl_loss_dense_bwd
+    sr, gt, mask, inv_sr, inv_gt = res
     g_l1, g_kl, _ = g
-
-    def f(s):
-        l1, kl, _ = ssl_loss_dense_batched(s, gt, mask, cfg)
-        return l1 * g_l1 + kl * g_kl
-
-    d_sr = jax.grad(f)(sr)
+    d_sr = ssl_loss_dense_bwd(sr, gt, mask, inv_sr, inv_gt, g_l1, g_kl, cfg)
     return d_sr, jnp.zeros_like(gt), jnp.zeros_like(mask)
 
 
