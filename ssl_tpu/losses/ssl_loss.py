@@ -57,9 +57,14 @@ def ssl_setting_from_opt(opt: dict, train_opt: dict | None = None, gt_size: int 
         kl_w = train_opt["selfsim1_opt"].get("loss_weight", 1.0)
         kl_sm = train_opt["selfsim1_opt"].get("softmax", False)
     cap = s.get("capacity", (gt_size * gt_size) // 3 if gt_size else 4096)
+    # reference-config compat: ssl_mode 'cuda'/'pytorch' both map to the exact
+    # dense TPU path unless an explicit impl is given
+    impl = s.get("impl")
+    if impl is None:
+        impl = {"cuda": "dense", "pytorch": "dense"}.get(s.get("ssl_mode"), "dense")
     return SSLSetting(ssg=ssg, mask_stride=int(stride), capacity=int(cap),
                       l1_weight=float(l1_w), kl_weight=float(kl_w), kl_softmax=kl_sm,
-                      impl=s.get("impl", "dense"))
+                      impl=impl)
 
 
 def ssl_loss(sr: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray, setting: SSLSetting):
