@@ -53,6 +53,7 @@ def main():
         "path": {},
         "ssl_setting": {"mask_stride": 3, "kernel_size_search": 25, "sigma": 0.004,
                         "kernel_size_window": 9, "generalization": True,
+                        "impl": os.environ.get("BENCH_SSL_IMPL", "dense"),
                         "capacity": int(os.environ.get("BENCH_SSL_CAP", str(gt_size * gt_size // 4)))},
         "train": {
             "ema_decay": 0.999,
