@@ -58,6 +58,9 @@ def parse_options(root_path: str, is_train: bool = True, args=None) -> tuple[dic
     parsed = parser.parse_args(args)
 
     opt = ordered_yaml_load(parsed.opt)
+    from ssl_tpu.utils.kair_options import is_kair_options, kair_to_opt
+    if is_kair_options(opt):
+        opt = kair_to_opt(opt)
     if parsed.force_yml:
         for entry in parsed.force_yml:
             set_by_dotted(opt, entry.strip())
