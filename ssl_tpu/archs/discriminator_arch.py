@@ -101,6 +101,67 @@ class UNetDiscriminatorSN(nn.Module):
 
 
 @ARCH_REGISTRY.register()
+class UNetDiscriminatorSNv1(nn.Module):
+    """Shallow (1-level) U-Net SN discriminator (reference :388-425)."""
+    num_in_ch: int = 3
+    num_feat: int = 64
+    skip_connection: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        lrelu = lambda v: nn.leaky_relu(v, 0.2)
+        x0 = lrelu(nn.Conv(self.num_feat, (3, 3), padding="SAME", name="conv0")(x))
+        x1 = lrelu(_SNConv(self.num_feat * 2, (4, 4), 2, use_bias=False, name="conv1")(x0, train))
+        import jax
+        x1 = jax.image.resize(x1, (x1.shape[0], x0.shape[1], x0.shape[2], x1.shape[3]),
+                              method="bilinear")
+        x2 = lrelu(_SNConv(self.num_feat, (3, 3), 1, use_bias=False, name="conv2")(x1, train))
+        if self.skip_connection:
+            x2 = x2 + x0
+        out = lrelu(_SNConv(self.num_feat, (3, 3), 1, use_bias=False, name="conv3")(x2, train))
+        return nn.Conv(1, (3, 3), padding="SAME", name="conv4")(out)
+
+
+@ARCH_REGISTRY.register()
+class MOD(nn.Module):
+    """Mixture-of-discriminators with hard expert routing (reference :39-110).
+
+    Per-pixel features route to one of num_expert linear heads; returns
+    (logits, routing, per-expert features) like the reference (the orthonormal
+    CodeReduction is folded into a learned projection)."""
+    num_in_ch: int = 3
+    num_feat: int = 64
+    num_expert: int = 12
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        import jax
+        lrelu = lambda v: nn.leaky_relu(v, 0.2)
+        norm = lambda v: nn.BatchNorm(use_running_average=not train, momentum=0.9)(v)
+        f = lrelu(nn.Conv(self.num_feat, (3, 3), padding="SAME")(x))
+        f = lrelu(norm(nn.Conv(self.num_feat, (4, 4), strides=2, padding=((1, 1), (1, 1)), use_bias=False)(f)))
+        f = lrelu(norm(nn.Conv(self.num_feat * 2, (3, 3), padding="SAME", use_bias=False)(f)))
+        f = lrelu(norm(nn.Conv(self.num_feat * 2, (4, 4), strides=2, padding=((1, 1), (1, 1)), use_bias=False)(f)))
+        for _ in range(3):
+            f = lrelu(norm(nn.Conv(self.num_feat * 4, (3, 3), padding="SAME", use_bias=False)(f)))
+        b, h, w, c = f.shape
+        feature = f.reshape(b, h * w, c)
+        w_gate = self.param("w_gating1", nn.initializers.normal(1.0), (c, self.num_expert))
+        routing = jax.nn.softmax(feature @ w_gate, axis=-1)       # (b, hw, E)
+        proj = nn.Dense(c, name="code_reduction")(feature)        # orthonet stand-in
+        parts = jnp.split(proj, self.num_expert, axis=-1)
+        top = jnp.argmax(routing, axis=-1)                        # (b, hw)
+        outs = []
+        for i, part in enumerate(parts):
+            y = nn.Dense(self.num_feat // 2, name=f"cls_{i}_fc1")(part)
+            y = nn.leaky_relu(y, 0.2)
+            outs.append(nn.Dense(1, name=f"cls_{i}_fc2")(y))      # (b, hw, 1)
+        stacked = jnp.stack(outs, axis=-1)                        # (b, hw, 1, E)
+        output = jnp.take_along_axis(stacked, top[..., None, None], axis=-1)[..., 0]
+        return output, routing, parts
+
+
+@ARCH_REGISTRY.register()
 class Discriminator_VGG_192(nn.Module):
     """192-input VGG-style D without BN option parity (reference :194-255)."""
     num_in_ch: int = 3
