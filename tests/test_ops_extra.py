@@ -55,3 +55,17 @@ def test_dcnv2pack_zero_init_identity_offsets():
     out = DCNv2Pack.apply(params, x, x)
     assert out.shape == (1, 8, 8, 4)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_jnp_filter2d_matches_cv2():
+    from ssl_tpu.ops.img_process import filter2d, usm_sharp
+    from ssl_tpu.data.realesr_degradation import filter2d_np
+    rng = np.random.RandomState(0)
+    img = rng.rand(2, 16, 16, 3).astype(np.float32)
+    ker = rng.rand(2, 5, 5).astype(np.float32)
+    ker /= ker.sum(axis=(1, 2), keepdims=True)
+    out = np.asarray(filter2d(jnp.asarray(img), jnp.asarray(ker)))
+    ref = np.stack([filter2d_np(img[i], ker[i]) for i in range(2)])
+    assert np.abs(out - ref).max() < 1e-5
+    s = usm_sharp(jnp.asarray(img))
+    assert s.shape == img.shape and np.isfinite(np.asarray(s)).all()
