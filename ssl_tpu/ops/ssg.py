@@ -314,16 +314,14 @@ def ssl_loss_dense_bwd(sr, gt, mask, inv_sr, inv_gt, g_l1, g_kl,
     n2 = search * search
     norm = c * float(cfg.window) ** 2
     scale = -1.0 / (norm * cfg.sigma)
-    ctx_sr = _dense_context_b(sr, cfg)
-    ctx_gt = _dense_context_b(gt, cfg)
-    P, Pbig = ctx_sr[0], ctx_sr[1]
+    ctx = _dense_context_b(jnp.concatenate([sr, jax.lax.stop_gradient(gt)], axis=0), cfg)
+    P, Pbig = ctx[0][:b], ctx[1][:b]
     hp, wp = P.shape[2], P.shape[3]
     mask = mask.astype(sr.dtype)
 
     def q_maps(s):
-        q_sr = jnp.exp(-(_dense_smap_b(ctx_sr, s, cfg, h, w) / norm) / cfg.sigma)
-        q_gt = jnp.exp(-(_dense_smap_b(ctx_gt, s, cfg, h, w) / norm) / cfg.sigma)
-        return q_sr, q_gt
+        q = jnp.exp(-(_dense_smap_b(ctx, s, cfg, h, w) / norm) / cfg.sigma)
+        return q[:b], q[b:]
 
     def g_of(q_sr, q_gt):
         x = q_sr * inv_sr
@@ -388,15 +386,16 @@ def _ssl_loss_dense_core(sr: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray,
     b, c, h, w = sr.shape
     n2 = cfg.search * cfg.search
     norm = c * float(cfg.window) ** 2
-    ctx_sr = _dense_context_b(sr, cfg)
-    ctx_gt = _dense_context_b(jax.lax.stop_gradient(gt), cfg)
+    # sr and gt ride the SAME stacked batch (2b): one context, one band matmul
+    # per offset at double width — better MXU utilization than two half-size
+    # dispatch chains.
+    ctx = _dense_context_b(jnp.concatenate([sr, jax.lax.stop_gradient(gt)], axis=0), cfg)
     mask = mask.astype(sr.dtype)
     count = jnp.sum(mask)
 
     def q_maps(s):
-        q_sr = jnp.exp(-(_dense_smap_b(ctx_sr, s, cfg, h, w) / norm) / cfg.sigma)
-        q_gt = jnp.exp(-(_dense_smap_b(ctx_gt, s, cfg, h, w) / norm) / cfg.sigma)
-        return q_sr, q_gt
+        q = jnp.exp(-(_dense_smap_b(ctx, s, cfg, h, w) / norm) / cfg.sigma)
+        return q[:b], q[b:]
 
     if cfg.generalization:
         def pass1(carry, s):
