@@ -98,3 +98,26 @@ def test_ranksrgan_ssl_step():
     state = model.init_state(lq_shape=(1, 8, 8, 3))
     state, logs = model.train_step(state, _batch())
     assert np.isfinite(float(logs["l_g_rank"]))
+
+
+def test_stylegan2_generator():
+    net = build_network(dict(type="StyleGAN2Generator", out_size=16,
+                             num_style_feat=32, num_mlp=2))
+    z = jnp.zeros((2, 32))
+    v = net.init(jax.random.PRNGKey(0), z)
+    out = net.apply(v, z)
+    assert out.shape == (2, 16, 16, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_mod_and_snv1_discriminators():
+    net = build_network(dict(type="UNetDiscriminatorSNv1", num_feat=4))
+    v = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 25, 25, 3)))
+    out, _ = net.apply(v, jnp.zeros((1, 25, 25, 3)), mutable=["batch_stats"])
+    assert out.shape == (1, 25, 25, 1)
+    net = build_network(dict(type="MOD", num_feat=8, num_expert=4))
+    v = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    (logits, routing, parts), _ = net.apply(v, jnp.zeros((1, 32, 32, 3)),
+                                            mutable=["batch_stats"])
+    assert logits.shape == (1, 64, 1)
+    assert routing.shape == (1, 64, 4)
