@@ -38,7 +38,7 @@ def _band(n_out: int, n_in: int, p: int, lo, hi):
     return jnp.logical_and(d >= lo, d <= hi).astype(jnp.float32)
 
 
-def _make_kernel(cfg: SSGConfig, c: int, h: int, w: int):
+def _make_kernel(cfg: SSGConfig, c: int, h: int, w: int, bblk: int = 1):
     search, window = cfg.search, cfg.window
     p, k = search // 2, window // 2
     hp, wp = h + 2 * p, w + 2 * p
@@ -47,20 +47,20 @@ def _make_kernel(cfg: SSGConfig, c: int, h: int, w: int):
 
     def kernel(psr_ref, pgt_ref, mask_ref, l1_ref, kl_ref, cnt_ref,
                invs_ref, invg_ref):
-        # blocks are (1, c, hb, wb) / (1, h, w); drop the leading dim on read
-        mask = mask_ref[0]
+        # blocks are (bblk, c, hb, wb) / (bblk, h, w)
+        mask = mask_ref[:]
 
         # center views (static slices of the big padded block)
-        P_sr = psr_ref[0, :, p:p + hp, p:p + wp]
-        P_gt = pgt_ref[0, :, p:p + hp, p:p + wp]
-        c2_sr = jnp.sum(P_sr * P_sr, axis=0)
-        c2_gt = jnp.sum(P_gt * P_gt, axis=0)
+        P_sr = psr_ref[:, :, p:p + hp, p:p + wp]
+        P_gt = pgt_ref[:, :, p:p + hp, p:p + wp]
+        c2_sr = jnp.sum(P_sr * P_sr, axis=1)
+        c2_gt = jnp.sum(P_gt * P_gt, axis=1)
         By9 = _band(h, hp, p, -k, k)
         Bx9 = _band(w, wp, p, -k, k)
 
         def box9(m):
-            return jnp.dot(jnp.dot(By9, m, preferred_element_type=jnp.float32),
-                           Bx9.T, preferred_element_type=jnp.float32)
+            rows = jnp.einsum("yu,buv->byv", By9, m, preferred_element_type=jnp.float32)
+            return jnp.einsum("byv,xv->byx", rows, Bx9, preferred_element_type=jnp.float32)
 
         box_sr = box9(c2_sr)
         box_gt = box9(c2_gt)
@@ -82,14 +82,15 @@ def _make_kernel(cfg: SSGConfig, c: int, h: int, w: int):
             start = p + dy
             q8 = (start // 8) * 8
             r = start - q8
-            base = ref[0, :, pl.ds(pl.multiple_of(q8, 8), hp + 8),
+            base = ref[:, :, pl.ds(pl.multiple_of(q8, 8), hp + 8),
                        p + dxv:p + dxv + wp]
             pshift = lax.switch(r, [
-                (lambda rr: (lambda: base[:, rr:rr + hp, :]))(rr) for rr in range(8)
+                (lambda rr: (lambda: base[:, :, rr:rr + hp, :]))(rr) for rr in range(8)
             ])
-            D = jnp.sum((P - pshift) ** 2, axis=0) - c2
-            rows = jnp.dot(by, D, preferred_element_type=jnp.float32)
-            smap = jnp.dot(rows, bx_bands[dxi], preferred_element_type=jnp.float32) + box
+            D = jnp.sum((P - pshift) ** 2, axis=1) - c2
+            rows = jnp.einsum("yu,buv->byv", by, D, preferred_element_type=jnp.float32)
+            smap = jnp.einsum("byv,vx->byx", rows, bx_bands[dxi],
+                              preferred_element_type=jnp.float32) + box
             return jnp.exp(-(smap / norm) / cfg.sigma)
 
         def by_of(dy):
@@ -106,11 +107,11 @@ def _make_kernel(cfg: SSGConfig, c: int, h: int, w: int):
                 return (rs, rg)
 
             rs, rg = lax.fori_loop(0, search, pass1,
-                                   (jnp.zeros((h, w)), jnp.zeros((h, w))))
+                                   (jnp.zeros((bblk, h, w)), jnp.zeros((bblk, h, w))))
             inv_sr = 1.0 / (rs + 1e-10)
             inv_gt = 1.0 / (rg + 1e-10)
         else:
-            inv_sr = inv_gt = jnp.ones((h, w))
+            inv_sr = inv_gt = jnp.ones((bblk, h, w))
 
         def pass2(i, carry):
             l1, kl = carry
@@ -127,25 +128,33 @@ def _make_kernel(cfg: SSGConfig, c: int, h: int, w: int):
 
         l1, kl = lax.fori_loop(0, search, pass2,
                                (jnp.asarray(0.0), jnp.asarray(0.0)))
-        l1_ref[0] = jnp.reshape(l1, (1, 1))
-        kl_ref[0] = jnp.reshape(kl, (1, 1))
-        cnt_ref[0] = jnp.reshape(jnp.sum(mask), (1, 1))
-        invs_ref[0] = inv_sr
-        invg_ref[0] = inv_gt
+        l1_ref[:] = jnp.reshape(l1, (1, 1, 1))
+        kl_ref[:] = jnp.reshape(kl, (1, 1, 1))
+        cnt_ref[:] = jnp.reshape(jnp.sum(mask), (1, 1, 1))
+        invs_ref[:] = inv_sr
+        invg_ref[:] = inv_gt
 
     return kernel
 
 
 def _pallas_forward(sr, gt, mask, cfg: SSGConfig, interpret: bool = False):
-    """sr, gt: (b, c, h, w); mask: (b, h, w) -> per-image (l1, kl, count)."""
+    """sr, gt: (b, c, h, w); mask: (b, h, w) -> per-block (l1, kl, count) and
+    per-image inv maps.  Several images ride each grid program (B_BLK) so the
+    in-kernel band matmuls are batched (better MXU utilization) while staying
+    VMEM-resident."""
+    import os as _os
     b, c, h, w = sr.shape
+    bblk = max(1, min(int(_os.environ.get("SSG_PALLAS_BBLK", "4")), b))
+    while b % bblk:
+        bblk -= 1
     p = cfg.search // 2
     # +8 extra bottom rows: the kernel reads 8-aligned sublane spans of hp+8
     pad_sr = jnp.pad(reflect_pad_2d(sr, p), ((0, 0), (0, 0), (p, p + 8), (p, p)))
     pad_gt = jnp.pad(reflect_pad_2d(jax.lax.stop_gradient(gt), p),
                      ((0, 0), (0, 0), (p, p + 8), (p, p)))
-    kernel = _make_kernel(cfg, c, h, w)
+    kernel = _make_kernel(cfg, c, h, w, bblk)
     hb, wb = pad_sr.shape[2], pad_sr.shape[3]
+    nblk = b // bblk
 
     use_tpu_mem = _HAS_PLTPU and not interpret
 
@@ -156,19 +165,19 @@ def _pallas_forward(sr, gt, mask, cfg: SSGConfig, interpret: bool = False):
 
     l1, kl, cnt, inv_sr, inv_gt = pl.pallas_call(
         kernel,
-        out_shape=([jax.ShapeDtypeStruct((b, 1, 1), jnp.float32) for _ in range(3)] +
+        out_shape=([jax.ShapeDtypeStruct((nblk, 1, 1), jnp.float32) for _ in range(3)] +
                    [jax.ShapeDtypeStruct((b, h, w), jnp.float32) for _ in range(2)]),
-        grid=(b,),
+        grid=(nblk,),
         in_specs=[
-            spec((1, c, hb, wb), lambda i: (i, 0, 0, 0)),
-            spec((1, c, hb, wb), lambda i: (i, 0, 0, 0)),
-            spec((1, h, w), lambda i: (i, 0, 0)),
+            spec((bblk, c, hb, wb), lambda i: (i, 0, 0, 0)),
+            spec((bblk, c, hb, wb), lambda i: (i, 0, 0, 0)),
+            spec((bblk, h, w), lambda i: (i, 0, 0)),
         ],
         out_specs=([spec((1, 1, 1), lambda i: (i, 0, 0)) for _ in range(3)] +
-                   [spec((1, h, w), lambda i: (i, 0, 0)) for _ in range(2)]),
+                   [spec((bblk, h, w), lambda i: (i, 0, 0)) for _ in range(2)]),
         interpret=interpret,
     )(pad_sr, pad_gt, mask)
-    return l1.reshape(b), kl.reshape(b), cnt.reshape(b), inv_sr, inv_gt
+    return l1.reshape(nblk), kl.reshape(nblk), cnt.reshape(nblk), inv_sr, inv_gt
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
