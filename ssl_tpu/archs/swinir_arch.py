@@ -108,21 +108,49 @@ class SwinBlock(nn.Module):
         return x + y
 
 
+class _SwinPairCell(nn.Module):
+    """One (no-shift, shift) Swin block pair as an nn.scan cell."""
+    dim: int
+    num_heads: int
+    window: int
+    mlp_ratio: float
+
+    @nn.compact
+    def __call__(self, carry, _):
+        x = SwinBlock(self.dim, self.num_heads, self.window, shift=0,
+                      mlp_ratio=self.mlp_ratio)(carry)
+        x = SwinBlock(self.dim, self.num_heads, self.window, shift=self.window // 2,
+                      mlp_ratio=self.mlp_ratio)(x)
+        return x, None
+
+
 class RSTB(nn.Module):
-    """Residual Swin Transformer Block: depth Swin blocks + trailing conv."""
+    """Residual Swin Transformer Block: depth Swin blocks + trailing conv.
+
+    TPU note: with even depth and scan_blocks (default) the (shift, no-shift)
+    block pairs run under nn.scan + remat — one compiled pair body instead of
+    `depth` inlined copies (params stacked (depth//2, ...))."""
     dim: int
     depth: int
     num_heads: int
     window: int
     mlp_ratio: float = 2.0
+    scan_blocks: bool = True
 
     @nn.compact
     def __call__(self, x):
         res = x
-        for i in range(self.depth):
-            x = SwinBlock(self.dim, self.num_heads, self.window,
-                          shift=0 if i % 2 == 0 else self.window // 2,
-                          mlp_ratio=self.mlp_ratio, name=f"block_{i}")(x)
+        if self.scan_blocks and self.depth % 2 == 0 and self.depth > 2:
+            Scan = nn.scan(nn.remat(_SwinPairCell), variable_axes={"params": 0},
+                           split_rngs={"params": True}, length=self.depth // 2,
+                           metadata_params={nn.meta.PARTITION_NAME: None})
+            x, _ = Scan(self.dim, self.num_heads, self.window, self.mlp_ratio,
+                        name="pairs")(x, None)
+        else:
+            for i in range(self.depth):
+                x = SwinBlock(self.dim, self.num_heads, self.window,
+                              shift=0 if i % 2 == 0 else self.window // 2,
+                              mlp_ratio=self.mlp_ratio, name=f"block_{i}")(x)
         x = nn.Conv(self.dim, (3, 3), padding="SAME", name="conv")(x)
         return x + res
 
