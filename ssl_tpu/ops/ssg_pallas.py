@@ -144,7 +144,7 @@ def _pallas_forward(sr, gt, mask, cfg: SSGConfig, interpret: bool = False):
     VMEM-resident."""
     import os as _os
     b, c, h, w = sr.shape
-    bblk = max(1, min(int(_os.environ.get("SSG_PALLAS_BBLK", "4")), b))
+    bblk = max(1, min(int(_os.environ.get("SSG_PALLAS_BBLK", "1")), b))
     while b % bblk:
         bblk -= 1
     p = cfg.search // 2
