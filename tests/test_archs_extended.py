@@ -121,3 +121,16 @@ def test_mod_and_snv1_discriminators():
                                             mutable=["batch_stats"])
     assert logits.shape == (1, 64, 1)
     assert routing.shape == (1, 64, 4)
+
+
+@pytest.mark.parametrize("cfg", [
+    dict(type="EDSR", num_feat=8, num_block=2, upscale=4),
+    dict(type="RCAN", num_feat=8, num_group=1, num_block=2, upscale=4),
+    dict(type="ECBSR", num_channel=8, num_block=2, upscale=4),
+])
+def test_classic_sr_archs(cfg):
+    net = build_network(cfg)
+    v = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+    out = net.apply(v, jnp.zeros((1, 8, 8, 3)))
+    assert out.shape == (1, 32, 32, 3)
+    assert np.isfinite(np.asarray(out)).all()
