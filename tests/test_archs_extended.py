@@ -134,3 +134,11 @@ def test_classic_sr_archs(cfg):
     out = net.apply(v, jnp.zeros((1, 8, 8, 3)))
     assert out.shape == (1, 32, 32, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_basicvsr_and_spynet():
+    net = build_network(dict(type="BasicVSR", num_feat=8, num_block=1, spynet_levels=2))
+    lqs = jnp.zeros((1, 3, 8, 8, 3))
+    v = net.init(jax.random.PRNGKey(0), lqs)
+    out = net.apply(v, lqs)
+    assert out.shape == (1, 3, 32, 32, 3)
