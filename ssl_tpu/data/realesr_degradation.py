@@ -74,8 +74,10 @@ def add_poisson_noise(img, scale_range, gray_prob, rng):
     scale = rng.uniform(*scale_range)
     gray = rng.uniform() < gray_prob
     base = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)[..., None] if gray else img
-    vals = 2 ** np.ceil(np.log2(len(np.unique((base * 255).round().astype(np.uint8)))))
-    vals = max(vals, 2.0)
+    # number of distinct uint8 levels via bincount (np.unique is O(n log n))
+    flat = (base * 255).round().astype(np.uint8).reshape(-1)
+    n_levels = int((np.bincount(flat, minlength=256) > 0).sum())
+    vals = max(2.0 ** np.ceil(np.log2(max(n_levels, 2))), 2.0)
     noisy = rng.poisson(np.clip(base, 0, 1) * vals) / float(vals)
     noise = (noisy - base) * scale
     return np.clip(img + noise, 0, 1)
@@ -155,8 +157,22 @@ class TrainingPairPool:
         return tensors
 
 
+def _pmap(fn, n, workers=None):
+    """Threaded per-image map (cv2/numpy release the GIL)."""
+    import concurrent.futures as cf
+    import os as _os
+    workers = workers or min(n, int(_os.environ.get("DEGRADE_WORKERS", "8")))
+    if workers <= 1 or n <= 1:
+        return [fn(i) for i in range(n)]
+    with cf.ThreadPoolExecutor(workers) as ex:
+        return list(ex.map(fn, range(n)))
+
+
 class RealESRGANDegrader:
-    """Two-stage blind degradation for a batch dict with per-item kernels."""
+    """Two-stage blind degradation for a batch dict with per-item kernels.
+
+    Per-image pixel work is threaded across the batch (DEGRADE_WORKERS, default
+    8) so the host pipeline keeps up with the TPU consumer."""
 
     def __init__(self, opt: dict, scale: int = 4, queue_size: int = 180,
                  use_sharpen: bool = False, sharpen_before: bool = False,
@@ -184,17 +200,39 @@ class RealESRGANDegrader:
         return np.stack([jpeg_np(np.clip(out[i], 0, 1), qualities[i]) for i in range(b)])
 
     def _noise_batch(self, out, stage2=False):
-        """Noise family drawn once per batch (reference); per-item sigma/gray."""
+        """Noise family drawn once per batch (reference); per-item sigma/gray.
+        Per-item RNG params are drawn up-front (deterministic order), then the
+        pixel work fans out across threads."""
         o = self.o
         suf = "2" if stage2 else ""
         b = out.shape[0]
         if self.rng.uniform() < o[f"gaussian_noise_prob{suf}"]:
-            return np.stack([add_gaussian_noise(out[i], o[f"noise_range{suf}"],
-                                                o[f"gray_noise_prob{suf}"], self.rng)
-                             for i in range(b)])
-        return np.stack([add_poisson_noise(out[i], o[f"poisson_scale_range{suf}"],
-                                           o[f"gray_noise_prob{suf}"], self.rng)
-                         for i in range(b)])
+            lo, hi = o[f"noise_range{suf}"]
+            params = [(self.rng.uniform(lo, hi), self.rng.uniform() < o[f"gray_noise_prob{suf}"],
+                       self.rng.randint(0, 2**31)) for _ in range(b)]
+
+            def gauss(i):
+                sigma, gray, seed = params[i]
+                r = np.random.RandomState(seed)
+                shape = out[i].shape[:2] + (1,) if gray else out[i].shape
+                noise = r.randn(*shape).astype(np.float32) * sigma / 255.0
+                return np.clip(out[i] + noise, 0, 1)
+            return np.stack(_pmap(gauss, b))
+        lo, hi = o[f"poisson_scale_range{suf}"]
+        params = [(self.rng.uniform(lo, hi), self.rng.uniform() < o[f"gray_noise_prob{suf}"],
+                   self.rng.randint(0, 2**31)) for _ in range(b)]
+
+        def poisson(i):
+            scale, gray, seed = params[i]
+            r = np.random.RandomState(seed)
+            img = out[i]
+            base = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)[..., None] if gray else img
+            flat = (base * 255).round().astype(np.uint8).reshape(-1)
+            n_levels = int((np.bincount(flat, minlength=256) > 0).sum())
+            vals = max(2.0 ** np.ceil(np.log2(max(n_levels, 2))), 2.0)
+            noisy = r.poisson(np.clip(base, 0, 1) * vals) / float(vals)
+            return np.clip(img + (noisy - base) * scale, 0, 1)
+        return np.stack(_pmap(poisson, b))
 
     def degrade_batch(self, gt: np.ndarray, kernel1, kernel2, sinc_kernel) -> np.ndarray:
         """gt (b,h,w,3) float32 [0,1]; kernels per item. Returns lq (b,h/s,w/s,3).
@@ -206,24 +244,24 @@ class RealESRGANDegrader:
         src = gt
 
         # stage 1 (batch-common draws sampled once, applied per item)
-        out = np.stack([filter2d_np(src[i], kernel1[i]) for i in range(b)])
+        out = np.stack(_pmap(lambda i: filter2d_np(src[i], kernel1[i]), b))
         out = self._rand_resize_batchdraw(out)
         out = self._noise_batch(out)
         out = self._jpeg_batch(out, o["jpeg_range"])
 
         if self.order == "two":
             if self.rng.uniform() < o["second_blur_prob"]:
-                out = np.stack([filter2d_np(out[i], kernel2[i]) for i in range(b)])
+                out = np.stack(_pmap(lambda i: filter2d_np(out[i], kernel2[i]), b))
             out = self._rand_resize_batchdraw(out, stage2=True, base=(ori_h, ori_w))
             out = self._noise_batch(out, stage2=True)
             if self.rng.uniform() < 0.5:
                 out = self._final_resize(out, ori_h, ori_w)
-                out = np.stack([filter2d_np(out[i], sinc_kernel[i]) for i in range(b)])
+                out = np.stack(_pmap(lambda i: filter2d_np(out[i], sinc_kernel[i]), b))
                 out = self._jpeg_batch(out, o["jpeg_range2"])
             else:
                 out = self._jpeg_batch(out, o["jpeg_range2"])
                 out = self._final_resize(out, ori_h, ori_w)
-                out = np.stack([filter2d_np(out[i], sinc_kernel[i]) for i in range(b)])
+                out = np.stack(_pmap(lambda i: filter2d_np(out[i], sinc_kernel[i]), b))
         else:
             out = self._final_resize(out, ori_h, ori_w)
 
