@@ -142,3 +142,12 @@ def test_basicvsr_and_spynet():
     v = net.init(jax.random.PRNGKey(0), lqs)
     out = net.apply(v, lqs)
     assert out.shape == (1, 3, 32, 32, 3)
+
+
+def test_edvr():
+    net = build_network(dict(type="EDVR", num_feat=8, num_frame=3, num_extract_block=1,
+                             num_reconstruct_block=1, deform_groups=2))
+    lqs = jnp.zeros((1, 3, 8, 8, 3))
+    v = net.init(jax.random.PRNGKey(0), lqs)
+    out = net.apply(v, lqs)
+    assert out.shape == (1, 32, 32, 3)
