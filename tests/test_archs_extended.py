@@ -151,3 +151,19 @@ def test_edvr():
     v = net.init(jax.random.PRNGKey(0), lqs)
     out = net.apply(v, lqs)
     assert out.shape == (1, 32, 32, 3)
+
+
+def test_tof_and_duf():
+    lqs = jnp.zeros((1, 3, 16, 16, 3))
+    net = build_network(dict(type="TOFlow", num_frame=3, spynet_levels=2))
+    v = net.init(jax.random.PRNGKey(0), lqs)
+    assert net.apply(v, lqs).shape == (1, 16, 16, 3)
+    net = build_network(dict(type="DUF", scale=4, num_feat=8, num_block=1))
+    v = net.init(jax.random.PRNGKey(0), lqs)
+    assert net.apply(v, lqs).shape == (1, 64, 64, 3)
+
+
+def test_ridnet():
+    net = build_network(dict(type="RIDNet", num_feat=8, num_block=1))
+    v = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    assert net.apply(v, jnp.zeros((1, 16, 16, 3))).shape == (1, 16, 16, 3)
