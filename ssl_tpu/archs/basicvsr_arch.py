@@ -90,6 +90,92 @@ class _PropagationBranch(nn.Module):
         return y
 
 
+class _FlowGuidedDeformAlign(nn.Module):
+    """BasicVSR++ second-order alignment: flow pre-warp + deformable residual
+    offsets (reference basicvsrpp_arch.py SecondOrderDeformableAlignment)."""
+    num_feat: int
+    deform_groups: int = 8
+
+    @nn.compact
+    def __call__(self, feat_prop, cond, flow):
+        from ssl_tpu.ops.deform_conv import modulated_deform_conv2d
+        k = 3
+        pred = nn.Conv(self.deform_groups * 3 * k * k, (3, 3), padding="SAME",
+                       kernel_init=nn.initializers.zeros, name="conv_offset")(cond)
+        o1, o2, m = jnp.split(pred, 3, axis=-1)
+        # residual offsets around the optical flow (y,x interleave)
+        base = jnp.stack([flow[..., 1], flow[..., 0]], axis=-1)  # (b,h,w,2) y,x
+        off = jnp.stack([o1, o2], axis=-1)                        # (...,dgk2,2)
+        off = off + base[:, :, :, None, :]
+        offset = off.reshape(pred.shape[:3] + (-1,))
+        mask = jax.nn.sigmoid(m)
+        weight = self.param("weight", nn.initializers.lecun_normal(),
+                            (k, k, feat_prop.shape[-1], self.num_feat))
+        bias = self.param("bias", nn.initializers.zeros, (self.num_feat,))
+        return modulated_deform_conv2d(feat_prop, offset, mask, weight, bias,
+                                       deform_groups=self.deform_groups)
+
+
+@ARCH_REGISTRY.register()
+class BasicVSRPlusPlus(nn.Module):
+    """BasicVSR++ (reference basicvsrpp_arch.py), compact: one backward + one
+    forward propagation branch with flow-guided deformable alignment.
+    lqs (b,t,h,w,3) -> (b,t,4h,4w,3)."""
+    num_feat: int = 64
+    num_block: int = 7
+    spynet_levels: int = 4
+    deform_groups: int = 8
+
+    @nn.compact
+    def __call__(self, lqs):
+        b, t, h, w, c = lqs.shape
+        lrelu = lambda v: nn.leaky_relu(v, 0.1)
+        spynet = SPyNet(self.spynet_levels, name="spynet")
+        ref = lqs[:, 1:].reshape(-1, h, w, c)
+        supp = lqs[:, :-1].reshape(-1, h, w, c)
+        flow_fwd = spynet(ref, supp).reshape(b, t - 1, h, w, 2)
+        flow_bwd = spynet(supp, ref).reshape(b, t - 1, h, w, 2)
+
+        extract = _PropagationBranch(self.num_feat, 2, name="extract")
+        feats = [extract(jnp.zeros((b, h, w, self.num_feat)), lqs[:, i])
+                 for i in range(t)]
+
+        align_b = _FlowGuidedDeformAlign(self.num_feat, self.deform_groups, name="align_b")
+        branch_b = _PropagationBranch(self.num_feat, self.num_block, name="branch_b")
+        prop_b = []
+        feat = jnp.zeros((b, h, w, self.num_feat))
+        for i in range(t - 1, -1, -1):
+            if i < t - 1:
+                flow = flow_bwd[:, i]
+                cond = jnp.concatenate([flow_warp(feat, flow), feats[i]], axis=-1)
+                feat = align_b(feat, cond, flow)
+            feat = branch_b(feat, lqs[:, i])
+            prop_b.insert(0, feat)
+
+        align_f = _FlowGuidedDeformAlign(self.num_feat, self.deform_groups, name="align_f")
+        branch_f = _PropagationBranch(self.num_feat, self.num_block, name="branch_f")
+        fuse = nn.Conv(self.num_feat, (1, 1), name="fuse")
+        up1 = nn.Conv(self.num_feat * 4, (3, 3), padding="SAME", name="up1")
+        up2 = nn.Conv(self.num_feat * 4, (3, 3), padding="SAME", name="up2")
+        hr = nn.Conv(self.num_feat, (3, 3), padding="SAME", name="hr")
+        last = nn.Conv(3, (3, 3), padding="SAME", name="last")
+
+        outs = []
+        feat = jnp.zeros((b, h, w, self.num_feat))
+        for i in range(t):
+            if i > 0:
+                flow = flow_fwd[:, i - 1]
+                cond = jnp.concatenate([flow_warp(feat, flow), feats[i]], axis=-1)
+                feat = align_f(feat, cond, flow)
+            feat = branch_f(feat, lqs[:, i])
+            y = lrelu(fuse(jnp.concatenate([prop_b[i], feat], axis=-1)))
+            y = pixel_shuffle(lrelu(up1(y)), 2)
+            y = pixel_shuffle(lrelu(up2(y)), 2)
+            y = last(lrelu(hr(y)))
+            outs.append(y + resize_nearest(lqs[:, i], 4))
+        return jnp.stack(outs, axis=1)
+
+
 @ARCH_REGISTRY.register()
 class BasicVSR(nn.Module):
     """Bidirectional recurrent video SR (reference basicvsr_arch.py).
