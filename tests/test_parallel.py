@@ -57,3 +57,38 @@ def test_ssl_loss_under_sharding():
         jax.device_put(sr, bs), jax.device_put(gt, bs), jax.device_put(mask, bs))
     np.testing.assert_allclose(float(l1_sh), float(l1_ref), rtol=1e-5)
     np.testing.assert_allclose(float(kl_sh), float(kl_ref), rtol=1e-5)
+
+
+def test_fsdp_param_sharding_train_step():
+    """2-D mesh (data x fsdp): stacked RRDB block params shard over 'fsdp',
+    batch over 'data'; one full SR train step runs and matches replicated."""
+    from ssl_tpu.models import build_model
+    from ssl_tpu.parallel.fsdp import batch_sharding_2d, create_2d_mesh, shard_state
+    opt = {
+        "name": "fsdp", "model_type": "SRModel", "scale": 4, "is_train": True,
+        "manual_seed": 0, "datasets": {"train": {"gt_size": 32}},
+        "network_g": {"type": "RRDBNet", "num_feat": 8, "num_block": 4, "num_grow_ch": 4},
+        "path": {},
+        "train": {"ema_decay": 0.999, "optim_g": {"type": "Adam", "lr": 1e-4},
+                  "pixel_opt": {"type": "L1Loss", "loss_weight": 1.0}},
+    }
+    model = build_model(opt)
+    state = model.init_state(lq_shape=(4, 8, 8, 3))
+    rng = np.random.RandomState(0)
+    batch = {"lq": jnp.asarray(rng.rand(4, 8, 8, 3), jnp.float32),
+             "gt": jnp.asarray(rng.rand(4, 32, 32, 3), jnp.float32)}
+
+    ref_state, ref_logs = jax.jit(model.make_train_step())(state, batch)
+    ref_loss = float(ref_logs["l_pix"])
+
+    mesh = create_2d_mesh(4, 2)
+    state2 = model.init_state(lq_shape=(4, 8, 8, 3))
+    state2 = shard_state(state2, mesh, min_size=32)
+    bs = batch_sharding_2d(mesh)
+    batch2 = {k: jax.device_put(v, bs) for k, v in batch.items()}
+    # input params really are fsdp-sharded (stacked block leaves)
+    shardings = [l.sharding.is_fully_replicated
+                 for l in jax.tree_util.tree_leaves(state2.params_g["body"])]
+    assert not all(shardings)
+    new_state, logs = jax.jit(model.make_train_step())(state2, batch2)
+    assert abs(float(logs["l_pix"]) - ref_loss) / (ref_loss + 1e-12) < 1e-5
