@@ -295,7 +295,7 @@ def _shift_bounds(s: jnp.ndarray, cfg: SSGConfig):
 
 
 def ssl_loss_dense_bwd(sr, gt, mask, inv_sr, inv_gt, g_l1, g_kl,
-                       cfg: SSGConfig = SSGConfig()):
+                       cfg: SSGConfig = SSGConfig(), a_map=None, b_map=None):
     """Analytic gradient of (g_l1*l1_sum + g_kl*kl_sum) w.r.t. sr.
 
     Derivation (x = q_sr*inv_sr, y = q_gt*inv_gt, R-normalization folded in):
@@ -330,17 +330,22 @@ def ssl_loss_dense_bwd(sr, gt, mask, inv_sr, inv_gt, g_l1, g_kl,
         kl_term = jnp.where(x > 1e-10, -y / jnp.clip(x, min=1e-10), 0.0)
         return mask * (g_l1 * sign + g_kl * kl_term)
 
-    # pass A: T = sum_d g_d q_d (the row-normalization coupling term; zero
-    # when generalization is off since R then doesn't depend on q)
-    if cfg.generalization:
+    # T = sum_d g_d q_d (the row-normalization coupling term; zero when
+    # generalization is off since R then doesn't depend on q).  With q_d =
+    # x_d / inv, T factors through the forward-accumulated maps:
+    #   T = (1/inv) * mask * (g_l1 * A - g_kl * B),
+    # A = sum_d sign(x-y) x, B = sum_d y [x>eps] — no extra offset pass.
+    if not cfg.generalization:
+        T = jnp.zeros((b, h, w))
+    elif a_map is not None:
+        T = (1.0 / inv_sr) * mask * (g_l1 * a_map - g_kl * b_map)
+    else:
         def passA(carry, s):
             q_sr, q_gt = q_maps(s)
             return carry + g_of(q_sr, q_gt) * q_sr, None
 
         T, _ = lax.scan(jax.checkpoint(passA), jnp.zeros((b, h, w)), jnp.arange(n2),
                         unroll=_SCAN_UNROLL)
-    else:
-        T = jnp.zeros((b, h, w))
 
     # pass B: accumulate dP (b,c,hp,wp), sum_A, sum_G
     def passB(carry, s):
@@ -412,7 +417,7 @@ def _ssl_loss_dense_core(sr: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray,
         inv_sr = inv_gt = jnp.ones((b, h, w))
 
     def pass2(carry, s):
-        l1_acc, kl_acc = carry
+        l1_acc, kl_acc, a_acc, b_acc = carry
         q_sr, q_gt = q_maps(s)
         x = q_sr * inv_sr
         y = q_gt * inv_gt
@@ -420,12 +425,17 @@ def _ssl_loss_dense_core(sr: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray,
         xs = jnp.clip(x, min=1e-10)
         ys = jnp.clip(y, min=1e-10)
         kl_acc = kl_acc + jnp.sum(mask * (ys * (jnp.log(ys) - jnp.log(xs))))
-        return (l1_acc, kl_acc), None
+        # backward helpers (see ssl_loss_dense_bwd): A = sum_d sign(x-y) x,
+        # B = sum_d y * [x > eps]; lets the bwd skip its own T pass
+        a_acc = a_acc + jnp.sign(x - y) * x
+        b_acc = b_acc + y * (x > 1e-10)
+        return (l1_acc, kl_acc, a_acc, b_acc), None
 
-    (l1_sum, kl_sum), _ = lax.scan(jax.checkpoint(pass2),
-                                   (jnp.asarray(0.0), jnp.asarray(0.0)),
-                                   jnp.arange(n2), unroll=_SCAN_UNROLL)
-    return l1_sum, kl_sum, count, inv_sr, inv_gt
+    (l1_sum, kl_sum, a_map, b_map), _ = lax.scan(
+        jax.checkpoint(pass2),
+        (jnp.asarray(0.0), jnp.asarray(0.0), jnp.zeros((b, h, w)), jnp.zeros((b, h, w))),
+        jnp.arange(n2), unroll=_SCAN_UNROLL)
+    return l1_sum, kl_sum, count, inv_sr, inv_gt, a_map, b_map
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -438,19 +448,21 @@ def ssl_loss_dense_batched(sr: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray,
     torch-mean over concatenated per-image SSGs.  Differentiable w.r.t. sr via
     the ANALYTIC custom VJP (ssl_loss_dense_bwd) — one extra offset pass
     instead of autodiff's remat double-recompute; gt is a constant target."""
-    l1_sum, kl_sum, count, _, _ = _ssl_loss_dense_core(sr, gt, mask, cfg)
+    l1_sum, kl_sum, count, _, _, _, _ = _ssl_loss_dense_core(sr, gt, mask, cfg)
     return l1_sum, kl_sum, count
 
 
 def _ssl_dense_fwd(sr, gt, mask, cfg):
-    l1_sum, kl_sum, count, inv_sr, inv_gt = _ssl_loss_dense_core(sr, gt, mask, cfg)
-    return (l1_sum, kl_sum, count), (sr, gt, mask, inv_sr, inv_gt)
+    l1_sum, kl_sum, count, inv_sr, inv_gt, a_map, b_map = \
+        _ssl_loss_dense_core(sr, gt, mask, cfg)
+    return (l1_sum, kl_sum, count), (sr, gt, mask, inv_sr, inv_gt, a_map, b_map)
 
 
 def _ssl_dense_bwd(cfg, res, g):
-    sr, gt, mask, inv_sr, inv_gt = res
+    sr, gt, mask, inv_sr, inv_gt, a_map, b_map = res
     g_l1, g_kl, _ = g
-    d_sr = ssl_loss_dense_bwd(sr, gt, mask, inv_sr, inv_gt, g_l1, g_kl, cfg)
+    d_sr = ssl_loss_dense_bwd(sr, gt, mask, inv_sr, inv_gt, g_l1, g_kl, cfg,
+                              a_map=a_map, b_map=b_map)
     return d_sr, jnp.zeros_like(gt), jnp.zeros_like(mask)
 
 
