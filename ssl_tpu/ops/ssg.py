@@ -21,14 +21,16 @@ pytorch paths.)  Epilogue: ``q = exp(-(ssd/(c*window^2))/sigma)`` and, with
 ``generalization=True``, each 625-row is normalized to sum 1 (+1e-10).
 
 TPU-native design — NOT a port of the CUDA one-thread-per-(pixel,offset) loop:
-the per-edge-pixel gather is re-expressed as **dense shifted-difference maps +
-separable rectangular box-sums via prefix sums**, computed under a
-``lax.scan`` over the search offsets.  Everything is static-shaped
-(fixed-capacity edge-pixel positions), fully vectorized on the VPU, and
-differentiable by JAX autodiff (scan body is rematerialized, so the backward
-needs no atomics — the reference needed ``atomicAdd``, ``similarity.cu:124-128``).
+the per-edge-pixel gather is re-expressed as **dense shifted-difference maps
+with rectangular box-sums as banded-matrix MATMULS on the MXU**, scanned over
+the 625 search offsets.  The training loss (``ssl_loss_dense_batched``) is
+loss-fused and exact for any edge-pixel count, with an ANALYTIC custom VJP
+(band-adjoint matmuls + shift scatter — no atomics; the reference backward
+needed ``atomicAdd``, ``similarity.cu:124-128``).  A gather-based path
+(``ssg_matrix``) keeps the reference's (N, 625) SSG-matrix API for parity.
 
-A fused Pallas kernel with the same contract lives in ``ssg_pallas.py``.
+Full derivation and compiler notes: docs/DESIGN_SSG.md.  A fused Pallas kernel
+with the same contract lives in ``ssg_pallas.py``.
 """
 
 from __future__ import annotations
