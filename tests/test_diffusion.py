@@ -98,3 +98,18 @@ def test_color_fix():
     out_w = wavelet_color_fix(target, source)
     assert out_w.shape == target.shape
     assert np.isfinite(out_w).all()
+
+
+def test_autoencoder_kl_resi_cfw():
+    """CFW fusion decoder consumes LQ-encoder features during decode."""
+    from ssl_tpu.diffusion.vae import AutoencoderKLResi
+    vae = AutoencoderKLResi(ch=16, ch_mult=(1, 2, 2, 2), num_res_blocks=1, embed_dim=4)
+    x = jnp.zeros((1, 32, 32, 3))
+    v = vae.init(jax.random.PRNGKey(0), x)
+    out, mean, logvar = vae.apply(v, x)
+    assert out.shape == x.shape
+    assert mean.shape == (1, 4, 4, 4)
+    # decode with external latent + the encoder features
+    mean2, logvar2, feas = vae.apply(v, x, method=AutoencoderKLResi.encode)
+    dec = vae.apply(v, mean2, feas, method=AutoencoderKLResi.decode)
+    assert dec.shape == x.shape
