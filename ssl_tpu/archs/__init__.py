@@ -19,6 +19,7 @@ from ssl_tpu.archs import edvr_arch as _ed  # noqa: F401
 from ssl_tpu.archs import ridnet_arch as _rid  # noqa: F401
 from ssl_tpu.archs import video_extra_archs as _vx  # noqa: F401
 from ssl_tpu.archs import degradat_arch as _de  # noqa: F401
+from ssl_tpu.archs import hifacegan_arch as _hf  # noqa: F401
 from ssl_tpu.archs import swinir_arch as _sw  # noqa: F401
 from ssl_tpu.archs.elan_arch import ELAN  # noqa: F401
 from ssl_tpu.archs.spsr_arch import SPSRNet  # noqa: F401

@@ -167,3 +167,13 @@ def test_ridnet():
     net = build_network(dict(type="RIDNet", num_feat=8, num_block=1))
     v = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
     assert net.apply(v, jnp.zeros((1, 16, 16, 3))).shape == (1, 16, 16, 3)
+
+
+def test_hifacegan_and_deresnet():
+    net = build_network(dict(type="HiFaceGAN", num_feat=8, num_levels=2))
+    v = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    assert net.apply(v, jnp.zeros((1, 32, 32, 3))).shape == (1, 32, 32, 3)
+    net = build_network(dict(type="DEResNet", num_feats=(8, 16), num_blocks=(1, 1),
+                             downscales=(2, 1)))
+    v = net.init(jax.random.PRNGKey(0), jnp.zeros((2, 32, 32, 3)))
+    assert net.apply(v, jnp.zeros((2, 32, 32, 3))).shape == (2, 2)
