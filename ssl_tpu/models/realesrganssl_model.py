@@ -17,11 +17,15 @@ from ssl_tpu.utils.registry import MODEL_REGISTRY
 
 
 class _DegradationMixin:
-    """Adds host-side degradation + queue to a recipe."""
+    """Adds blind degradation to a recipe: host-side parity path (default) or
+    the fully on-device jit path (``degradation_device: true`` — the
+    degradation runs INSIDE the train step on the TPU, ops/degrade_jax.py;
+    the dataset then only supplies cropped GT + mask + kernels)."""
 
     def _init_degrader(self, opt: dict):
         train_ds = (opt.get("datasets") or {}).get("train") or {}
         self.gt_size = train_ds.get("gt_size", 256)
+        self.device_degrade = bool(opt.get("degradation_device", False))
         self.degrader = RealESRGANDegrader(
             opt,
             scale=opt.get("scale", 4),
@@ -31,20 +35,49 @@ class _DegradationMixin:
             degradation_order=opt.get("degradation_order", "two"),
             seed=opt.get("manual_seed"),
         )
+        if self.device_degrade:
+            from ssl_tpu.ops.degrade_jax import DegradeJaxConfig
+            fields = DegradeJaxConfig._fields
+            kwargs = {k: tuple(v) if isinstance(v, list) else v
+                      for k, v in opt.items() if k in fields}
+            kwargs["scale"] = opt.get("scale", 4)
+            self.degrade_cfg = DegradeJaxConfig(**kwargs)
         self.l1_gt_usm = opt.get("l1_gt_usm", True)
         self.percep_gt_usm = opt.get("percep_gt_usm", True)
         self.gan_gt_usm = opt.get("gan_gt_usm", False)
 
     def prepare_batch(self, batch: dict) -> dict:
         """Host-side feed_data: degrade + crop + queue (+USM). Call before
-        train_step with raw dataset batches (gt/kernels[/mask])."""
+        train_step with raw dataset batches (gt/kernels[/mask]).  In device
+        mode this is a pass-through (degradation happens inside the jit)."""
         if "lq" in batch:  # already paired (e.g. validation)
+            return batch
+        if self.device_degrade:
             return batch
         batch = dict(batch)
         batch["gt_size"] = self.gt_size
         out = self.degrader({k: np.asarray(v) for k, v in batch.items()
                              if isinstance(v, np.ndarray)} | {"gt_size": self.gt_size})
         return out
+
+    def make_train_step(self):
+        base = super().make_train_step()
+        if not getattr(self, "device_degrade", False):
+            return base
+        from ssl_tpu.ops.degrade_jax import degrade_two_stage_jax
+        cfg = self.degrade_cfg
+
+        def step(state, batch):
+            if "lq" not in batch:
+                import jax
+                key = jax.random.fold_in(state.rng, 0x5351)
+                lq = degrade_two_stage_jax(key, batch["gt"], batch["kernel1"],
+                                           batch["kernel2"], batch["sinc_kernel"], cfg)
+                batch = {k: v for k, v in batch.items()
+                         if k not in ("kernel1", "kernel2", "sinc_kernel")}
+                batch["lq"] = lq
+            return base(state, batch)
+        return step
 
 
 @MODEL_REGISTRY.register()

@@ -1,0 +1,170 @@
+"""On-device (jit) two-stage blind degradation — the TPU fast path.
+
+Reference semantics: realesrganssl_model.py feed_data (:148-317): per-batch
+random draws for resize scale/mode/noise-family/op-order; per-item blur
+kernels (from the dataset) and JPEG qualities.
+
+TPU-first design notes (documented divergences from the host parity path in
+data/realesr_degradation.py):
+- Random-resize changes tensor shapes, which jit cannot express.  The scale
+  range is BUCKETED into a static size set and `lax.switch` picks the branch
+  (the traced index comes from the PRNG key) — every branch runs resize ->
+  noise -> JPEG at its own static size and exits at a common canvas.  The
+  reference's continuous scale becomes a 7-point discretization of the same
+  range; all other ops are exact.
+- Between stages the image passes through a fixed inter-stage canvas (H/2),
+  one extra resample vs the reference.
+- cv2's 'area' mode maps to jax.image.resize 'linear' with antialiasing
+  (scale_and_translate); 'bilinear'/'bicubic' map to 'linear'/'cubic'.
+
+Everything (blur conv, noise, DCT JPEG, sinc) rides the MXU/VPU inside the
+train-step jit — zero host work per batch beyond kernel synthesis."""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ssl_tpu.ops.diffjpeg import diff_jpeg
+from ssl_tpu.ops.img_process import filter2d
+
+
+class DegradeJaxConfig(NamedTuple):
+    scale: int = 4
+    # stage 1
+    resize_prob: Sequence[float] = (0.2, 0.7, 0.1)     # up, down, keep
+    resize_range: Sequence[float] = (0.15, 1.5)
+    gaussian_noise_prob: float = 0.5
+    noise_range: Sequence[float] = (1, 30)
+    poisson_scale_range: Sequence[float] = (0.05, 3)
+    gray_noise_prob: float = 0.4
+    jpeg_range: Sequence[float] = (30, 95)
+    # stage 2
+    second_blur_prob: float = 0.8
+    resize_prob2: Sequence[float] = (0.3, 0.4, 0.3)
+    resize_range2: Sequence[float] = (0.3, 1.2)
+    gaussian_noise_prob2: float = 0.5
+    noise_range2: Sequence[float] = (1, 25)
+    poisson_scale_range2: Sequence[float] = (0.05, 2.5)
+    gray_noise_prob2: float = 0.4
+    jpeg_range2: Sequence[float] = (30, 95)
+    n_buckets: int = 7
+
+
+def _resize_to(img, size, method):
+    b, h, w, c = img.shape
+    if method == "area":
+        # antialiased linear ~ area for downscales
+        scale = (size / h, size / w)
+        return jax.image.scale_and_translate(
+            img, (b, size, size, c), (1, 2),
+            jnp.asarray([scale[0], scale[1]]), jnp.asarray([0.0, 0.0]),
+            method="linear", antialias=True)
+    return jax.image.resize(img, (b, size, size, c), method=method)
+
+
+def _rand_resize_switch(key, img, probs, rrange, base_size, out_common, n_buckets):
+    """Pick a bucketed random size via lax.switch; each branch resizes to its
+    static size, adds nothing else, and resizes to the common canvas
+    (noise/JPEG happen at the common canvas — see _stage)."""
+    # bucket sizes spanning [range0, range1] * base (static python ints)
+    scales = np.linspace(rrange[0], rrange[1], n_buckets)
+    sizes = [max(16, int(round(s * base_size / 8)) * 8) for s in scales]
+    k1, k2, k3 = jax.random.split(key, 3)
+    updown = jax.random.choice(k1, 3, p=jnp.asarray(probs))  # 0=up,1=down,2=keep
+    # map updown to a bucket: up -> scale in [1, hi]; down -> [lo, 1]; keep -> 1
+    one_idx = int(np.argmin(np.abs(scales - 1.0)))
+    up_idx = jax.random.randint(k2, (), one_idx, n_buckets)
+    down_idx = jax.random.randint(k3, (), 0, one_idx + 1)
+    idx = jnp.where(updown == 0, up_idx, jnp.where(updown == 1, down_idx, one_idx))
+    method_i = jax.random.choice(jax.random.fold_in(key, 7), 3)
+
+    def branch(size):
+        def run(operands):
+            im, m_i = operands
+            def to_size(m):
+                return lambda: _resize_to(im, size, m)
+            mid = lax.switch(m_i, [to_size("area"), to_size("linear"), to_size("cubic")])
+            # back to the common canvas (same interpolation family)
+            def back(m):
+                return lambda: _resize_to(mid, out_common, m)
+            return lax.switch(m_i, [back("area"), back("linear"), back("cubic")])
+        return run
+
+    return lax.switch(idx, [branch(s) for s in sizes], (img, method_i))
+
+
+def _add_noise(key, img, cfg: DegradeJaxConfig, stage2: bool):
+    gp = cfg.gaussian_noise_prob2 if stage2 else cfg.gaussian_noise_prob
+    nr = cfg.noise_range2 if stage2 else cfg.noise_range
+    pr = cfg.poisson_scale_range2 if stage2 else cfg.poisson_scale_range
+    grayp = cfg.gray_noise_prob2 if stage2 else cfg.gray_noise_prob
+    b = img.shape[0]
+    kf, ks, kg, kn, kp = jax.random.split(key, 5)
+    use_gauss = jax.random.uniform(kf) < gp
+    sigma = jax.random.uniform(ks, (b, 1, 1, 1), minval=nr[0], maxval=nr[1]) / 255.0
+    gray = (jax.random.uniform(kg, (b, 1, 1, 1)) < grayp).astype(img.dtype)
+    gnoise_c = jax.random.normal(kn, img.shape)
+    gnoise_g = jax.random.normal(jax.random.fold_in(kn, 1), img.shape[:3] + (1,))
+    gnoise = (gray * gnoise_g + (1 - gray) * gnoise_c) * sigma
+
+    # Poisson via Gaussian approximation N(lam, lam) at the reference's
+    # vals=2^round(log2(levels)) scaling (documented approximation; the exact
+    # host path exists for parity)
+    pscale = jax.random.uniform(kp, (b, 1, 1, 1), minval=pr[0], maxval=pr[1])
+    vals = 256.0
+    lum = jnp.mean(img, axis=-1, keepdims=True)
+    base_c = jnp.clip(img, 0, 1)
+    base_g = jnp.clip(lum, 0, 1)
+    base = gray * base_g + (1 - gray) * base_c
+    pn = jax.random.normal(jax.random.fold_in(kn, 2), base.shape)
+    pnoise = pn * jnp.sqrt(base * vals) / vals * pscale
+    pnoise = jnp.broadcast_to(pnoise, img.shape)
+
+    noise = jnp.where(use_gauss, gnoise, pnoise)
+    return jnp.clip(img + noise, 0.0, 1.0)
+
+
+def _jpeg(key, img, jrange):
+    q = jax.random.uniform(key, (img.shape[0],), minval=jrange[0], maxval=jrange[1])
+    return diff_jpeg(jnp.clip(img, 0, 1), q)
+
+
+def degrade_two_stage_jax(key, gt, kernel1, kernel2, sinc_kernel,
+                          cfg: DegradeJaxConfig = DegradeJaxConfig()):
+    """gt (b,H,H,3) [0,1]; kernels (b,21,21). Returns lq (b,H/scale,H/scale,3).
+
+    Fully jit-compatible; call inside the train step or a jitted input stage."""
+    b, H, _, _ = gt.shape
+    target = H // cfg.scale
+    mid = H // 2
+    keys = jax.random.split(key, 12)
+
+    # ---- stage 1
+    out = filter2d(gt, kernel1)
+    out = _rand_resize_switch(keys[0], out, cfg.resize_prob, cfg.resize_range,
+                              H, mid, cfg.n_buckets)
+    out = _add_noise(keys[1], out, cfg, stage2=False)
+    out = _jpeg(keys[2], out, cfg.jpeg_range)
+
+    # ---- stage 2
+    do_blur2 = jax.random.uniform(keys[3]) < cfg.second_blur_prob
+    blurred = filter2d(out, kernel2)
+    out = jnp.where(do_blur2, blurred, out)
+    out = _rand_resize_switch(keys[4], out, cfg.resize_prob2, cfg.resize_range2,
+                              target, target, cfg.n_buckets)
+    out = _add_noise(keys[5], out, cfg, stage2=True)
+
+    # final: random order of [sinc, JPEG] (already at target size)
+    first_sinc = jax.random.uniform(keys[6]) < 0.5
+    v1 = _jpeg(keys[7], filter2d(out, sinc_kernel), cfg.jpeg_range2)
+    v2 = filter2d(_jpeg(keys[8], out, cfg.jpeg_range2), sinc_kernel)
+    out = jnp.where(first_sinc, v1, v2)
+
+    # uint8 rounding like the reference
+    out = jnp.clip(jnp.round(out * 255.0), 0, 255) / 255.0
+    return out

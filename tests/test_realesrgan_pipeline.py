@@ -64,3 +64,44 @@ def test_queue_integration():
     assert out["gt"].shape == (2, 4, 4, 3)
     # gt/lq stay paired through the shuffle
     assert (out["gt"][:, 0, 0, 0] == out["lq"][:, 0, 0, 0]).all()
+
+
+def test_device_degradation_train_step():
+    """degradation_device: the two-stage pipeline runs INSIDE the jitted step."""
+    opt = {
+        "name": "dev_deg", "model_type": "RealESRGANSSLModel", "scale": 4,
+        "is_train": True, "manual_seed": 0, "degradation_device": True,
+        "queue_size": 0, "datasets": {"train": {"gt_size": 32}},
+        "network_g": {"type": "MSRResNet", "num_feat": 8, "num_block": 1, "upscale": 4},
+        "network_d": {"type": "UNetDiscriminatorSN", "num_feat": 4},
+        "path": {},
+        "ssl_setting": {"impl": "dense", "kernel_size_search": 9,
+                        "sigma": 0.004, "kernel_size_window": 5, "generalization": True},
+        "train": {
+            "ema_decay": 0.999,
+            "optim_g": {"type": "Adam", "lr": 1e-4}, "optim_d": {"type": "Adam", "lr": 1e-4},
+            "pixel_opt": {"type": "L1Loss", "loss_weight": 1.0},
+            "selfsim_opt": {"type": "L1Loss", "loss_weight": 1e3},
+            "selfsim1_opt": {"type": "KLDistanceLoss", "loss_weight": 1e3},
+            "gan_opt": {"type": "GANLoss", "gan_type": "vanilla", "loss_weight": 1e-1},
+        },
+    }
+    model = build_model(opt)
+    rng = np.random.RandomState(0)
+    b = 2
+    synth = _KernelSynth({})
+    ks = [synth.sample() for _ in range(b)]
+    batch = {
+        "gt": jnp.asarray(rng.rand(b, 32, 32, 3), jnp.float32),
+        "gt_mask": jnp.asarray(rng.rand(b, 32, 32, 1) < 0.25, jnp.float32),
+        "kernel1": jnp.asarray(np.stack([k[0] for k in ks])),
+        "kernel2": jnp.asarray(np.stack([k[1] for k in ks])),
+        "sinc_kernel": jnp.asarray(np.stack([k[2] for k in ks])),
+    }
+    assert model.prepare_batch(dict(batch)) is not None  # pass-through
+    state = model.init_state(lq_shape=(b, 8, 8, 3))
+    state, logs = model.train_step(state, batch)
+    for k in ("l_pix", "l_selfsim", "l_g_gan"):
+        assert np.isfinite(float(logs[k])), k
+    state, logs = model.train_step(state, batch)  # second step (donation path)
+    assert int(state.step) == 2
