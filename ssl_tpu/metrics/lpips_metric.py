@@ -104,11 +104,4 @@ def calculate_lpips(img, img2, crop_border=0, weights_path=None, **kwargs) -> fl
     return float(model.apply(variables, a, b)[0])
 
 
-@METRIC_REGISTRY.register()
-def calculate_dists(img, img2, crop_border=0, **kwargs) -> float:
-    """DISTS (reference metrics/dists.py uses the dists-pytorch package).
-    Structure+texture similarity over VGG16 features with learned alpha/beta
-    weights — requires DISTS_PTH weights in this zero-egress image."""
-    raise FileNotFoundError(
-        "DISTS weights not available in this zero-egress image. Provide "
-        "DISTS_PTH (torch checkpoint) — converter wired in a later round.")
+# DISTS lives in ssl_tpu/metrics/dists_metric.py (full architecture + scoring).

@@ -72,3 +72,15 @@ def test_fid_math():
     diff = calculate_fid_from_stats(mu1, s1, mu2 + 3.0, s2)
     assert abs(same) < 1e-6
     assert diff > 100
+
+
+def test_dists_arch_scoring():
+    import jax
+    import jax.numpy as jnp
+    from ssl_tpu.metrics.dists_metric import DISTS
+    m = DISTS()
+    x = jnp.ones((1, 64, 64, 3)) * 0.5
+    y = jnp.zeros((1, 64, 64, 3))
+    v = jax.jit(m.init)(jax.random.PRNGKey(0), x, y)
+    assert abs(float(m.apply(v, x, x)[0])) < 1e-4  # identical -> distance 0
+    assert float(m.apply(v, x, y)[0]) > 0.1
