@@ -44,10 +44,32 @@ class LmdbBackend:
             return txn.get(str(filepath).encode("ascii"))
 
 
+class MemcachedBackend:
+    """Memcached storage (reference file_client.py memcached backend; gated on
+    the mc package, which cluster deployments provide)."""
+
+    def __init__(self, server_list_cfg: str, client_cfg: str, sys_path: str | None = None):
+        if sys_path is not None:
+            import sys
+            sys.path.append(sys_path)
+        try:
+            import mc
+        except ImportError as e:
+            raise ImportError("MemcachedBackend requires the 'mc' package") from e
+        self._client = mc.MemcachedClient.GetInstance(server_list_cfg, client_cfg)
+        self._mc_buffer = mc.pyvector()
+        self._mc = mc
+
+    def get(self, filepath: str, client_key: str | None = None) -> bytes:
+        self._client.Get(str(filepath), self._mc_buffer)
+        return self._mc.ConvertBuffer(self._mc_buffer)
+
+
 class FileClient:
     """Facade dispatching on io_backend type (reference file_client.py:85-167)."""
 
-    _backends = {"disk": DiskBackend, "lmdb": LmdbBackend, "memory": MemoryBackend}
+    _backends = {"disk": DiskBackend, "lmdb": LmdbBackend, "memory": MemoryBackend,
+                 "memcached": MemcachedBackend}
 
     def __init__(self, backend: str = "disk", **kwargs):
         if backend not in self._backends:
