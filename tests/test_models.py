@@ -116,3 +116,37 @@ def test_tile_process():
 
 
 import jax  # noqa: E402
+
+
+def test_relativistic_d_split_equivalence():
+    """SURVEY §7.3: the reference does two separate D backwards (real then
+    fake — a DDP-BatchNorm workaround, esrganssl_model.py:251-274); our single
+    combined loss must produce identical gradients."""
+    model = build_model(_tiny_opt("ESRGANModel", with_d=True))
+    state = model.init_state(lq_shape=(2, 8, 8, 3))
+    rng = np.random.RandomState(0)
+    gt = jnp.asarray(rng.rand(2, 32, 32, 3), jnp.float32)
+    sr = jnp.asarray(rng.rand(2, 32, 32, 3), jnp.float32)
+
+    def combined(params_d):
+        real_pred, s1 = model.apply_d(params_d, state.stats_d, gt, True, True)
+        fake_pred, _ = model.apply_d(params_d, s1, sr, True, True)
+        loss, _ = model.gan_d_loss(real_pred, fake_pred)
+        return loss
+
+    def split(params_d):
+        # "real" backward: fake detached inside the mean
+        real_pred, s1 = model.apply_d(params_d, state.stats_d, gt, True, True)
+        fake_detached, _ = model.apply_d(jax.lax.stop_gradient(params_d), s1, sr, True, True)
+        l_real = model.cri_gan(real_pred - jnp.mean(jax.lax.stop_gradient(fake_detached)),
+                               True, is_disc=True) * 0.5
+        # "fake" backward: real detached inside the mean
+        fake_pred, _ = model.apply_d(params_d, s1, sr, True, True)
+        l_fake = model.cri_gan(fake_pred - jnp.mean(jax.lax.stop_gradient(real_pred)),
+                               False, is_disc=True) * 0.5
+        return l_real + l_fake
+
+    g1 = jax.grad(combined)(state.params_d)
+    g2 = jax.grad(split)(state.params_d)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7)
