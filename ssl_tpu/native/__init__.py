@@ -24,7 +24,7 @@ def _build_and_load():
             return _LIB
         _TRIED = True
         src = os.path.join(os.path.dirname(__file__), "pipeline.cpp")
-        out = os.path.join(os.path.dirname(__file__), "_pipeline.so")
+        out = os.path.join(os.path.dirname(__file__), "libpipeline.so")
         if not os.path.exists(out) or os.path.getmtime(out) < os.path.getmtime(src):
             try:
                 subprocess.run(
