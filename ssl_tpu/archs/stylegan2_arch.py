@@ -37,11 +37,20 @@ class EqualLinear(nn.Module):
         return out
 
 
+def _up2(x, resample: str):
+    if resample == "bilinear":
+        b, h, w, c = x.shape
+        return jax.image.resize(x, (b, h * 2, w * 2, c), "bilinear")
+    return upfirdn2d(x, jnp.asarray(make_resample_kernel((1, 3, 3, 1)) * 4),
+                     up=2, down=1, pad=(2, 1))
+
+
 class ModulatedConv(nn.Module):
     out_ch: int
     kernel: int
     demodulate: bool = True
     upsample: bool = False
+    resample: str = "fir"
 
     @nn.compact
     def __call__(self, x, style):
@@ -56,8 +65,7 @@ class ModulatedConv(nn.Module):
             demod = jax.lax.rsqrt(jnp.sum(wmod ** 2, axis=(1, 2, 3)) + 1e-8)
             wmod = wmod * demod[:, None, None, None, :]
         if self.upsample:
-            x = upfirdn2d(x, jnp.asarray(make_resample_kernel((1, 3, 3, 1)) * 4),
-                          up=2, down=1, pad=(2, 1))
+            x = _up2(x, self.resample)
         # per-sample conv via batched im2col einsum
         pad = k // 2
         xp = jnp.pad(x if not self.upsample else x,
@@ -75,10 +83,12 @@ class StyleConv(nn.Module):
     out_ch: int
     kernel: int = 3
     upsample: bool = False
+    resample: str = "fir"
 
     @nn.compact
     def __call__(self, x, style, noise=None):
-        out = ModulatedConv(self.out_ch, self.kernel, upsample=self.upsample)(x, style)
+        out = ModulatedConv(self.out_ch, self.kernel, upsample=self.upsample,
+                            resample=self.resample)(x, style)
         if noise is None:
             noise = jnp.zeros(out.shape[:3] + (1,))
         noise_w = self.param("noise_weight", nn.initializers.zeros, ())
@@ -89,6 +99,7 @@ class StyleConv(nn.Module):
 
 class ToRGB(nn.Module):
     upsample: bool = True
+    resample: str = "fir"
 
     @nn.compact
     def __call__(self, x, style, skip=None):
@@ -96,8 +107,7 @@ class ToRGB(nn.Module):
         out = out + self.param("bias", nn.initializers.zeros, (3,))
         if skip is not None:
             if self.upsample:
-                skip = upfirdn2d(skip, jnp.asarray(make_resample_kernel((1, 3, 3, 1)) * 4),
-                                 up=2, down=1, pad=(2, 1))
+                skip = _up2(skip, self.resample)
             out = out + skip
         return out
 
@@ -108,6 +118,7 @@ class StyleGAN2Generator(nn.Module):
     num_style_feat: int = 512
     num_mlp: int = 8
     channel_multiplier: int = 2
+    resample: str = "fir"  # 'fir' (upfirdn2d) | 'bilinear' (stylegan2_bilinear_arch variant)
 
     def channels(self):
         base = {4: 512, 8: 512, 16: 512, 32: 512, 64: 256 * self.channel_multiplier,
@@ -128,11 +139,12 @@ class StyleGAN2Generator(nn.Module):
         log_size = int(math.log2(self.out_size))
         const = self.param("constant_input", nn.initializers.normal(1.0), (4, 4, ch[4]))
         x = jnp.broadcast_to(const, (b,) + const.shape)
-        x = StyleConv(ch[4], name="conv1")(x, w)
-        skip = ToRGB(upsample=False, name="to_rgb1")(x, w)
+        rs = self.resample
+        x = StyleConv(ch[4], resample=rs, name="conv1")(x, w)
+        skip = ToRGB(upsample=False, resample=rs, name="to_rgb1")(x, w)
         for i in range(3, log_size + 1):
             res = 2 ** i
-            x = StyleConv(ch[res], upsample=True, name=f"conv_up_{res}")(x, w)
-            x = StyleConv(ch[res], name=f"conv_{res}")(x, w)
-            skip = ToRGB(name=f"to_rgb_{res}")(x, w, skip)
+            x = StyleConv(ch[res], upsample=True, resample=rs, name=f"conv_up_{res}")(x, w)
+            x = StyleConv(ch[res], resample=rs, name=f"conv_{res}")(x, w)
+            skip = ToRGB(resample=rs, name=f"to_rgb_{res}")(x, w, skip)
         return skip
