@@ -101,13 +101,14 @@ def test_ranksrgan_ssl_step():
 
 
 def test_stylegan2_generator():
-    net = build_network(dict(type="StyleGAN2Generator", out_size=16,
-                             num_style_feat=32, num_mlp=2))
-    z = jnp.zeros((2, 32))
-    v = net.init(jax.random.PRNGKey(0), z)
-    out = net.apply(v, z)
-    assert out.shape == (2, 16, 16, 3)
-    assert np.isfinite(np.asarray(out)).all()
+    for rs in ("fir", "bilinear"):
+        net = build_network(dict(type="StyleGAN2Generator", out_size=16,
+                                 num_style_feat=32, num_mlp=2, resample=rs))
+        z = jnp.zeros((2, 32))
+        v = net.init(jax.random.PRNGKey(0), z)
+        out = net.apply(v, z)
+        assert out.shape == (2, 16, 16, 3), rs
+        assert np.isfinite(np.asarray(out)).all()
 
 
 def test_mod_and_snv1_discriminators():
