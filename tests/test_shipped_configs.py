@@ -58,3 +58,23 @@ def test_kair_json_config_builds_model(path):
     model = build_model(opt)
     state = model.init_state(lq_shape=(1, 8, 8, 3))
     assert int(state.step) == 0
+
+
+def test_diffusion_config_builds():
+    import yaml as _yaml
+    path = os.path.join(os.path.dirname(CFG_ROOT), "diffusion", "ssl_base.yml")
+    with open(path) as f:
+        cfg = _yaml.safe_load(f)
+    # tiny-ify
+    cfg["model"]["unet"] = {"model_channels": 32, "num_res_blocks": 1,
+                            "channel_mult": [1, 2], "attention_resolutions": [2],
+                            "num_heads": 4}
+    cfg["model"]["first_stage"] = {"embed_dim": 4, "ch": 16, "ch_mult": [1, 2, 2, 2],
+                                   "num_res_blocks": 1}
+    cfg["model"]["context_dim"] = 32
+    cfg["sslopt"]["kernel_size_search"] = 9
+    cfg["sslopt"]["kernel_size_window"] = 5
+    from ssl_tpu.diffusion.main import build_from_config
+    model = build_from_config(cfg)
+    state = model.init_state(gt_shape=(1, 32, 32, 3))
+    assert int(state.step) == 0
