@@ -84,3 +84,39 @@ def test_conversion_kernel_transpose_math():
         jnp.asarray(x), jnp.asarray(w.transpose(2, 3, 1, 0)), (1, 1),
         [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"))
     np.testing.assert_allclose(np.asarray(jout), tout, rtol=1e-4, atol=1e-5)
+
+
+def test_vgg19_torchvision_layout_conversion(tmp_path):
+    """Synthetic torchvision-layout vgg19 state dict -> our extractor; conv
+    outputs must match a torch conv reference on the first tap."""
+    from ssl_tpu.archs.vgg_arch import VGGFeatureExtractor, load_vgg_weights_from_torch
+    rng = np.random.RandomState(0)
+    # features indices for vgg19 convs: 0,2,5,7,10,...
+    cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+           512, 512, 512, 512, "M", 512, 512, 512, 512, "M"]
+    sd = {}
+    idx = 0
+    cin = 3
+    for v in cfg:
+        if v == "M":
+            idx += 1
+            continue
+        sd[f"features.{idx}.weight"] = torch.from_numpy(
+            rng.randn(v, cin, 3, 3).astype(np.float32) * 0.05)
+        sd[f"features.{idx}.bias"] = torch.from_numpy(rng.randn(v).astype(np.float32) * 0.01)
+        cin = v
+        idx += 2
+    path = str(tmp_path / "vgg19.pth")
+    torch.save(sd, path)
+    loaded = load_vgg_weights_from_torch(path)
+    assert "conv1_1" in loaded["params"] and "conv5_4" in loaded["params"]
+    model = VGGFeatureExtractor(layer_name_list=("conv1_1",), use_input_norm=False)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+    params = dict(variables["params"])
+    params["conv1_1"] = jax.tree_util.tree_map(jnp.asarray, loaded["params"]["conv1_1"])
+    x = rng.rand(1, 8, 8, 3).astype(np.float32)
+    out = model.apply({"params": params}, jnp.asarray(x))["conv1_1"]
+    tref = torch.nn.functional.conv2d(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                                      sd["features.0.weight"], sd["features.0.bias"],
+                                      padding=1).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(out), tref, rtol=1e-4, atol=1e-5)
