@@ -173,6 +173,7 @@ class SwinIR(nn.Module):
     upsampler: str = "pixelshuffle"
     resi_connection: str = "1conv"
     num_feat: int = 64
+    patch_norm: bool = True  # LayerNorm after patch embed (swinir_arch.py:739)
 
     @nn.compact
     def __call__(self, x):
@@ -187,6 +188,8 @@ class SwinIR(nn.Module):
 
         feat = nn.Conv(self.embed_dim, (3, 3), padding="SAME", name="conv_first")(x)
         body = feat
+        if self.patch_norm:
+            body = nn.LayerNorm(name="patch_embed_norm")(body)
         for i, (d, nh) in enumerate(zip(self.depths, self.num_heads)):
             body = RSTB(self.embed_dim, d, nh, win, self.mlp_ratio, name=f"layer_{i}")(body)
         body = nn.LayerNorm(name="norm")(body)

@@ -84,8 +84,169 @@ def convert_rrdbnet(sd: dict, scan_blocks: bool = True) -> dict:
     return params
 
 
+def _ln(sd: dict, key: str) -> dict:
+    return {"scale": _to_np(sd[f"{key}.weight"]), "bias": _to_np(sd[f"{key}.bias"])}
+
+
+def _dense(sd: dict, key: str) -> dict:
+    # torch Linear (out, in) -> flax Dense kernel (in, out)
+    return {"kernel": _to_np(sd[f"{key}.weight"]).T, "bias": _to_np(sd[f"{key}.bias"])}
+
+
+def _convp(sd: dict, key: str) -> dict:
+    return {"kernel": _conv_w(sd[f"{key}.weight"]), "bias": _to_np(sd[f"{key}.bias"])}
+
+
+def _swin_block_tree(sd: dict, pfx: str) -> dict:
+    """One reference Swin block (swinir_arch.py:241-254) -> our SwinBlock tree.
+
+    Our _rel_pos_index / qkv reshape order / bias permute replicate the
+    standard Swin math, so relative_position_bias_table copies verbatim and
+    qkv/proj only need the Linear transpose."""
+    return {
+        "LayerNorm_0": _ln(sd, f"{pfx}.norm1"),
+        "WindowAttention_0": {
+            "qkv": _dense(sd, f"{pfx}.attn.qkv"),
+            "proj": _dense(sd, f"{pfx}.attn.proj"),
+            "rel_pos_bias": _to_np(sd[f"{pfx}.attn.relative_position_bias_table"]),
+        },
+        "LayerNorm_1": _ln(sd, f"{pfx}.norm2"),
+        "Dense_0": _dense(sd, f"{pfx}.mlp.fc1"),
+        "Dense_1": _dense(sd, f"{pfx}.mlp.fc2"),
+    }
+
+
+def convert_swinir(sd: dict, scan_blocks: bool = True) -> dict:
+    """Reference SwinIR keys (swinir_arch.py:694-979) -> ssl_tpu SwinIR tree.
+
+    torch: conv_first / layers.{i}.residual_group.blocks.{j}.* /
+    layers.{i}.conv / patch_embed.norm / norm / conv_after_body / upsampler
+    convs.  With scan_blocks (our default) even-depth layers stack the
+    (no-shift, shift) block pairs under layer_{i}/pairs with a leading
+    (depth//2,) axis; otherwise blocks land at layer_{i}/block_{j}.
+    Buffers (relative_position_index, attn_mask) are recomputed, not loaded.
+    Only resi_connection='1conv' layouts are supported."""
+    params: dict = {}
+    for name in ("conv_first", "conv_after_body", "conv_up1", "conv_up2",
+                 "conv_hr", "conv_last"):
+        if f"{name}.weight" in sd:
+            params[name] = _convp(sd, name)
+    if "conv_before_upsample.0.weight" in sd:  # Sequential(conv, lrelu)
+        params["conv_before_upsample"] = _convp(sd, "conv_before_upsample.0")
+    if "norm.weight" in sd:
+        params["norm"] = _ln(sd, "norm")
+    if "patch_embed.norm.weight" in sd:
+        params["patch_embed_norm"] = _ln(sd, "patch_embed.norm")
+    # upsample Sequential: conv at even indices (PixelShuffle between)
+    ups = sorted({int(m.group(1)) for k in sd
+                  if (m := re.match(r"upsample\.(\d+)\.weight", k))})
+    for n, idx in enumerate(ups):
+        params[f"Conv_{n}"] = _convp(sd, f"upsample.{idx}")
+
+    pat = re.compile(r"layers\.(\d+)\.residual_group\.blocks\.(\d+)\.")
+    depths: dict = {}
+    for k in sd:
+        m = pat.match(k)
+        if m:
+            i, j = int(m.group(1)), int(m.group(2))
+            depths[i] = max(depths.get(i, 0), j + 1)
+    for i in sorted(depths):
+        depth = depths[i]
+        layer: dict = {"conv": _convp(sd, f"layers.{i}.conv")}
+        base = f"layers.{i}.residual_group.blocks"
+        if scan_blocks and depth % 2 == 0 and depth > 2:
+            evens = [_swin_block_tree(sd, f"{base}.{2*p}") for p in range(depth // 2)]
+            odds = [_swin_block_tree(sd, f"{base}.{2*p+1}") for p in range(depth // 2)]
+            import jax
+            stack = lambda trees: jax.tree_util.tree_map(lambda *xs: np.stack(xs), *trees)
+            layer["pairs"] = {"SwinBlock_0": stack(evens), "SwinBlock_1": stack(odds)}
+        else:
+            for j in range(depth):
+                layer[f"block_{j}"] = _swin_block_tree(sd, f"{base}.{j}")
+        params[f"layer_{i}"] = layer
+    return params
+
+
+def export_swinir_to_torch(params: dict, path: str, param_key: str = "params",
+                           also_ema: dict | None = None) -> None:
+    """Inverse port: our SwinIR flax tree -> reference .pth key layout."""
+    import torch
+
+    def _t(a):
+        return torch.from_numpy(np.ascontiguousarray(np.asarray(a)))
+
+    def put_conv(sd, key, node):
+        sd[f"{key}.weight"] = _t(np.asarray(node["kernel"]).transpose(3, 2, 0, 1))
+        sd[f"{key}.bias"] = _t(node["bias"])
+
+    def put_ln(sd, key, node):
+        sd[f"{key}.weight"] = _t(node["scale"])
+        sd[f"{key}.bias"] = _t(node["bias"])
+
+    def put_dense(sd, key, node):
+        sd[f"{key}.weight"] = _t(np.asarray(node["kernel"]).T)
+        sd[f"{key}.bias"] = _t(node["bias"])
+
+    def put_block(sd, pfx, blk):
+        put_ln(sd, f"{pfx}.norm1", blk["LayerNorm_0"])
+        attn = blk["WindowAttention_0"]
+        put_dense(sd, f"{pfx}.attn.qkv", attn["qkv"])
+        put_dense(sd, f"{pfx}.attn.proj", attn["proj"])
+        sd[f"{pfx}.attn.relative_position_bias_table"] = _t(attn["rel_pos_bias"])
+        put_ln(sd, f"{pfx}.norm2", blk["LayerNorm_1"])
+        put_dense(sd, f"{pfx}.mlp.fc1", blk["Dense_0"])
+        put_dense(sd, f"{pfx}.mlp.fc2", blk["Dense_1"])
+
+    def tree_to_sd(tree):
+        sd: dict = {}
+        for name in ("conv_first", "conv_after_body", "conv_up1", "conv_up2",
+                     "conv_hr", "conv_last"):
+            if name in tree:
+                put_conv(sd, name, tree[name])
+        if "conv_before_upsample" in tree:
+            put_conv(sd, "conv_before_upsample.0", tree["conv_before_upsample"])
+        if "norm" in tree:
+            put_ln(sd, "norm", tree["norm"])
+        if "patch_embed_norm" in tree:
+            put_ln(sd, "patch_embed.norm", tree["patch_embed_norm"])
+        n = 0
+        while f"Conv_{n}" in tree:
+            put_conv(sd, f"upsample.{2*n}", tree[f"Conv_{n}"])
+            n += 1
+        i = 0
+        while f"layer_{i}" in tree:
+            layer = tree[f"layer_{i}"]
+            put_conv(sd, f"layers.{i}.conv", layer["conv"])
+            base = f"layers.{i}.residual_group.blocks"
+            if "pairs" in layer:
+                npairs = np.asarray(jax_leaves_first(layer["pairs"])).shape[0]
+                for p in range(npairs):
+                    take = lambda t: {k: take(v) for k, v in t.items()} \
+                        if isinstance(t, dict) else np.asarray(t)[p]
+                    put_block(sd, f"{base}.{2*p}", take(layer["pairs"]["SwinBlock_0"]))
+                    put_block(sd, f"{base}.{2*p+1}", take(layer["pairs"]["SwinBlock_1"]))
+            else:
+                j = 0
+                while f"block_{j}" in layer:
+                    put_block(sd, f"{base}.{j}", layer[f"block_{j}"])
+                    j += 1
+            i += 1
+        return sd
+
+    payload = {param_key: tree_to_sd(params)}
+    if also_ema is not None:
+        payload["params_ema"] = tree_to_sd(also_ema)
+    torch.save(payload, path)
+
+
+def jax_leaves_first(tree):
+    import jax
+    return jax.tree_util.tree_leaves(tree)[0]
+
+
 CONVERTERS = {
     "rrdbnet": (lambda sd: any(".rdb1.conv1." in k for k in sd), convert_rrdbnet),
+    "swinir": (lambda sd: any(".residual_group.blocks." in k for k in sd), convert_swinir),
 }
 
 

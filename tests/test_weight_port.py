@@ -120,3 +120,29 @@ def test_vgg19_torchvision_layout_conversion(tmp_path):
                                       sd["features.0.weight"], sd["features.0.bias"],
                                       padding=1).numpy().transpose(0, 2, 3, 1)
     np.testing.assert_allclose(np.asarray(out), tref, rtol=1e-4, atol=1e-5)
+
+
+def test_swinir_export_import_roundtrip(tmp_path):
+    """flax SwinIR -> reference .pth layout -> flax must be bit-exact, and the
+    reloaded params must drive the forward pass."""
+    from ssl_tpu.utils.weight_port import export_swinir_to_torch
+    net = build_network(dict(type="SwinIR", upscale=4, embed_dim=8, depths=[4, 4],
+                             num_heads=[2, 2], window_size=4, img_size=8,
+                             upsampler="pixelshuffle", num_feat=8))
+    v = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+    path = str(tmp_path / "swinir.pth")
+    export_swinir_to_torch(v["params"], path)
+    # exported layout must look like a reference checkpoint
+    sd = torch.load(path, map_location="cpu", weights_only=False)["params"]
+    assert "layers.0.residual_group.blocks.3.attn.qkv.weight" in sd
+    assert "patch_embed.norm.weight" in sd and "upsample.2.weight" in sd
+    loaded = load_params_auto(path, "params", v["params"])
+    assert loaded is not None
+    a = jax.tree_util.tree_leaves_with_path(v["params"])
+    b = jax.tree_util.tree_leaves_with_path(loaded)
+    assert len(a) == len(b)
+    for (pa, la), (pb, lb) in zip(a, b):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    out = net.apply({"params": loaded}, jnp.ones((1, 8, 8, 3)) * 0.3)
+    assert out.shape == (1, 32, 32, 3) and np.isfinite(np.asarray(out)).all()
