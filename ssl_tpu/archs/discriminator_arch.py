@@ -95,8 +95,8 @@ class UNetDiscriminatorSN(nn.Module):
         x6 = lrelu(_SNConv(self.num_feat, (3, 3), 1, use_bias=False, name="conv6")(x5u, us))
         if self.skip_connection:
             x6 = x6 + x0
-        out = lrelu(_SNConv(self.num_feat, (3, 3), 1, name="conv7")(x6, us))
-        out = lrelu(_SNConv(self.num_feat, (3, 3), 1, name="conv8")(out, us))
+        out = lrelu(_SNConv(self.num_feat, (3, 3), 1, use_bias=False, name="conv7")(x6, us))
+        out = lrelu(_SNConv(self.num_feat, (3, 3), 1, use_bias=False, name="conv8")(out, us))
         return nn.Conv(1, (3, 3), padding="SAME", name="conv9")(out)
 
 

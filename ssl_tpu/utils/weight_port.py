@@ -239,6 +239,55 @@ def export_swinir_to_torch(params: dict, path: str, param_key: str = "params",
     torch.save(payload, path)
 
 
+def convert_unet_disc_sn(sd: dict) -> dict:
+    """Reference UNetDiscriminatorSN keys (discriminator_arch.py:342-354) ->
+    our flax tree.  torch spectral_norm stores the UNNORMALIZED weight as
+    `convN.weight_orig` (+ power-iteration buffers weight_u/weight_v); flax
+    nn.SpectralNorm likewise keeps the raw kernel in params and normalizes at
+    apply time, so weight_orig maps directly to the kernel.  The u/sigma
+    batch_stats re-warm in a few forward passes (singular values are invariant
+    to the OIHW->HWIO flattening permutation/transpose)."""
+    params: dict = {}
+    n = 0
+    while f"conv{n}.weight" in sd or f"conv{n}.weight_orig" in sd:
+        if f"conv{n}.weight_orig" in sd:  # spectral-normalized conv
+            node: dict = {"kernel": _conv_w(sd[f"conv{n}.weight_orig"])}
+            if f"conv{n}.bias" in sd:
+                node["bias"] = _to_np(sd[f"conv{n}.bias"])
+            params[f"conv{n}"] = {"Conv_0": node}
+        else:
+            params[f"conv{n}"] = _convp(sd, f"conv{n}")
+        n += 1
+    return params
+
+
+def sn_batch_stats_from_torch(sd: dict, ref_batch_stats: dict) -> dict:
+    """Recompute flax SpectralNorm (u, sigma) batch_stats from a torch
+    state dict's weight_orig tensors via numpy power iteration, shaped to
+    flax's convention (matrix = HWIO kernel reshaped (-1, out), u: (1, out))."""
+    out: dict = {}
+    for name, node in ref_batch_stats.items():
+        w = sd.get(f"{name}.weight_orig")
+        if w is None or not isinstance(node, dict):
+            out[name] = node
+            continue
+        a = _conv_w(w).reshape(-1, w.shape[0])  # (h*w*in, out)
+        rng = np.random.RandomState(0)
+        u = rng.randn(1, a.shape[1]).astype(np.float32)
+        u /= np.linalg.norm(u) + 1e-12
+        for _ in range(50):
+            v = a @ u.T
+            v /= np.linalg.norm(v) + 1e-12
+            u = (a.T @ v).T
+            u /= np.linalg.norm(u) + 1e-12
+        sigma = float(v.T @ a @ u.T)
+        inner = dict(node["SpectralNorm_0"])
+        for k in inner:
+            inner[k] = np.float32(sigma) if k.endswith("sigma") else u.astype(np.float32)
+        out[name] = {"SpectralNorm_0": inner}
+    return out
+
+
 def jax_leaves_first(tree):
     import jax
     return jax.tree_util.tree_leaves(tree)[0]
@@ -247,6 +296,8 @@ def jax_leaves_first(tree):
 CONVERTERS = {
     "rrdbnet": (lambda sd: any(".rdb1.conv1." in k for k in sd), convert_rrdbnet),
     "swinir": (lambda sd: any(".residual_group.blocks." in k for k in sd), convert_swinir),
+    "unet_disc_sn": (lambda sd: "conv9.weight" in sd and "conv1.weight_orig" in sd,
+                     lambda sd: convert_unet_disc_sn(sd)),
 }
 
 

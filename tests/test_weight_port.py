@@ -146,3 +146,43 @@ def test_swinir_export_import_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
     out = net.apply({"params": loaded}, jnp.ones((1, 8, 8, 3)) * 0.3)
     assert out.shape == (1, 32, 32, 3) and np.isfinite(np.asarray(out)).all()
+
+
+def test_unet_disc_sn_conversion(tmp_path):
+    """Synthetic RealESRGAN-layout UNetDiscriminatorSN .pth -> flax tree +
+    power-iteration sigma matching the true largest singular value."""
+    from ssl_tpu.utils.weight_port import convert_unet_disc_sn, sn_batch_stats_from_torch
+    nf = 4
+    rng = np.random.RandomState(0)
+    sd = {}
+    shapes = {0: (nf, 3, 3, 3), 1: (nf * 2, nf, 4, 4), 2: (nf * 4, nf * 2, 4, 4),
+              3: (nf * 8, nf * 4, 4, 4), 4: (nf * 4, nf * 8, 3, 3),
+              5: (nf * 2, nf * 4, 3, 3), 6: (nf, nf * 2, 3, 3),
+              7: (nf, nf, 3, 3), 8: (nf, nf, 3, 3), 9: (1, nf, 3, 3)}
+    for n, shp in shapes.items():
+        w = torch.from_numpy(rng.randn(*shp).astype(np.float32) * 0.1)
+        if n in (0, 9):
+            sd[f"conv{n}.weight"] = w
+            sd[f"conv{n}.bias"] = torch.zeros(shp[0])
+        else:
+            sd[f"conv{n}.weight_orig"] = w
+            sd[f"conv{n}.weight_u"] = torch.from_numpy(rng.randn(shp[0]).astype(np.float32))
+            sd[f"conv{n}.weight_v"] = torch.from_numpy(
+                rng.randn(int(np.prod(shp[1:]))).astype(np.float32))
+    path = str(tmp_path / "net_d.pth")
+    torch.save({"params": sd}, path)
+
+    net = build_network(dict(type="UNetDiscriminatorSN", num_feat=nf))
+    ref = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    loaded = load_params_auto(path, "params", ref["params"])
+    assert loaded is not None
+    from ssl_tpu.utils.weight_port import load_torch_state_dict
+    bs = sn_batch_stats_from_torch(load_torch_state_dict(path), ref["batch_stats"])
+    # sigma must match the true top singular value of the flattened kernel
+    w1 = sd["conv1.weight_orig"].numpy().reshape(nf * 2, -1)
+    true_sigma = np.linalg.svd(w1, compute_uv=False)[0]
+    got = [v for k, v in bs["conv1"]["SpectralNorm_0"].items() if k.endswith("sigma")][0]
+    np.testing.assert_allclose(got, true_sigma, rtol=1e-4)
+    out = net.apply({"params": loaded, "batch_stats": bs},
+                    jnp.ones((1, 32, 32, 3)) * 0.5, train=False)
+    assert out.shape == (1, 32, 32, 1) and np.isfinite(np.asarray(out)).all()
