@@ -261,6 +261,49 @@ def convert_unet_disc_sn(sd: dict) -> dict:
     return params
 
 
+def convert_vgg_style_disc(sd: dict) -> dict:
+    """Reference VGGStyleDiscriminator keys (discriminator_arch.py:113-191) ->
+    our flax params tree (auto-named Conv_N/BatchNorm_N/Dense_N modules).
+
+    linear1 needs a flatten-order fixup: torch flattens NCHW (c-major), we
+    flatten NHWC (spatial-major), so its weight is permuted per-block before
+    the Linear transpose.  BN running stats go via vgg_disc_batch_stats."""
+    params: dict = {"Conv_0": _convp(sd, "conv0_0")}
+    conv_n, bn_n = 1, 0
+    names = ["conv0_1"]
+    for k in range(1, 6):
+        if f"conv{k}_0.weight" in sd:
+            names += [f"conv{k}_0", f"conv{k}_1"]
+    for name in names:
+        params[f"Conv_{conv_n}"] = {"kernel": _conv_w(sd[f"{name}.weight"])}
+        bn = name.replace("conv", "bn")
+        params[f"BatchNorm_{bn_n}"] = {"scale": _to_np(sd[f"{bn}.weight"]),
+                                       "bias": _to_np(sd[f"{bn}.bias"])}
+        conv_n += 1
+        bn_n += 1
+    w1 = _to_np(sd["linear1.weight"])  # (100, c*s*s) in torch [c][h][w] order
+    c = sd[names[-1] + ".weight"].shape[0]
+    s = int(round((w1.shape[1] // c) ** 0.5))
+    w1 = w1.reshape(w1.shape[0], c, s, s).transpose(0, 2, 3, 1).reshape(w1.shape[0], -1)
+    params["Dense_0"] = {"kernel": w1.T, "bias": _to_np(sd["linear1.bias"])}
+    params["Dense_1"] = _dense(sd, "linear2")
+    return params
+
+
+def vgg_disc_batch_stats(sd: dict, ref_batch_stats: dict) -> dict:
+    """BN running stats for VGGStyleDiscriminator: torch running_mean/var ->
+    flax BatchNorm_N mean/var, in the same ordering as convert_vgg_style_disc."""
+    names = ["bn0_1"]
+    for k in range(1, 6):
+        if f"bn{k}_0.weight" in sd:
+            names += [f"bn{k}_0", f"bn{k}_1"]
+    out = dict(ref_batch_stats)
+    for n, name in enumerate(names):
+        out[f"BatchNorm_{n}"] = {"mean": _to_np(sd[f"{name}.running_mean"]),
+                                 "var": _to_np(sd[f"{name}.running_var"])}
+    return out
+
+
 def sn_batch_stats_from_torch(sd: dict, ref_batch_stats: dict) -> dict:
     """Recompute flax SpectralNorm (u, sigma) batch_stats from a torch
     state dict's weight_orig tensors via numpy power iteration, shaped to
@@ -298,6 +341,8 @@ CONVERTERS = {
     "swinir": (lambda sd: any(".residual_group.blocks." in k for k in sd), convert_swinir),
     "unet_disc_sn": (lambda sd: "conv9.weight" in sd and "conv1.weight_orig" in sd,
                      lambda sd: convert_unet_disc_sn(sd)),
+    "vgg_style_disc": (lambda sd: "conv0_0.weight" in sd and "linear1.weight" in sd,
+                       convert_vgg_style_disc),
 }
 
 

@@ -186,3 +186,59 @@ def test_unet_disc_sn_conversion(tmp_path):
     out = net.apply({"params": loaded, "batch_stats": bs},
                     jnp.ones((1, 32, 32, 3)) * 0.5, train=False)
     assert out.shape == (1, 32, 32, 1) and np.isfinite(np.asarray(out)).all()
+
+
+def test_vgg_style_disc_conversion(tmp_path):
+    """Synthetic VGGStyleDiscriminator .pth -> flax tree; the linear1
+    flatten-order fixup (NCHW vs NHWC) is checked numerically."""
+    from ssl_tpu.utils.weight_port import (convert_vgg_style_disc,
+                                           vgg_disc_batch_stats,
+                                           load_torch_state_dict)
+    nf = 4
+    rng = np.random.RandomState(0)
+
+    def conv(cout, cin, k, bias=False):
+        d = {"weight": torch.from_numpy(rng.randn(cout, cin, k, k).astype(np.float32) * 0.1)}
+        if bias:
+            d["bias"] = torch.zeros(cout)
+        return d
+
+    sd = {}
+    for k, v in conv(nf, 3, 3, bias=True).items():
+        sd[f"conv0_0.{k}"] = v
+    plan = [("conv0_1", nf, nf, 4)]
+    cin = nf
+    for i, mult in enumerate((2, 4, 8, 8), start=1):
+        f = nf * mult
+        plan += [(f"conv{i}_0", f, cin, 3), (f"conv{i}_1", f, f, 4)]
+        cin = f
+    for name, cout, ci, k in plan:
+        sd[f"{name}.weight"] = conv(cout, ci, k)["weight"]
+        bn = name.replace("conv", "bn")
+        sd[f"{bn}.weight"] = torch.from_numpy(1 + 0.1 * rng.randn(cout).astype(np.float32))
+        sd[f"{bn}.bias"] = torch.from_numpy(0.1 * rng.randn(cout).astype(np.float32))
+        sd[f"{bn}.running_mean"] = torch.from_numpy(0.1 * rng.randn(cout).astype(np.float32))
+        sd[f"{bn}.running_var"] = torch.from_numpy(1 + 0.1 * rng.rand(cout).astype(np.float32))
+    c_last = nf * 8
+    sd["linear1.weight"] = torch.from_numpy(rng.randn(100, c_last * 16).astype(np.float32) * 0.01)
+    sd["linear1.bias"] = torch.zeros(100)
+    sd["linear2.weight"] = torch.from_numpy(rng.randn(1, 100).astype(np.float32) * 0.01)
+    sd["linear2.bias"] = torch.zeros(1)
+    path = str(tmp_path / "net_d_vgg.pth")
+    torch.save({"params": sd}, path)
+
+    net = build_network(dict(type="VGGStyleDiscriminator", num_feat=nf, input_size=128))
+    ref = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+    loaded = load_params_auto(path, "params", ref["params"])
+    assert loaded is not None
+    bs = vgg_disc_batch_stats(load_torch_state_dict(path), ref["batch_stats"])
+    out = net.apply({"params": loaded, "batch_stats": bs},
+                    jnp.ones((1, 128, 128, 3)) * 0.5, train=False)
+    assert out.shape == (1, 1) and np.isfinite(np.asarray(out)).all()
+
+    # flatten-order fixup: torch linear1 on NCHW-flat == our Dense_0 on NHWC-flat
+    feat = rng.randn(1, c_last, 4, 4).astype(np.float32)
+    y_torch = (torch.from_numpy(feat.reshape(1, -1)) @ sd["linear1.weight"].T).numpy()
+    nhwc_flat = jnp.asarray(feat.transpose(0, 2, 3, 1).reshape(1, -1))
+    y_ours = np.asarray(nhwc_flat @ loaded["Dense_0"]["kernel"])
+    np.testing.assert_allclose(y_ours, y_torch, rtol=1e-4, atol=1e-5)
