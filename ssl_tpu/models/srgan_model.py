@@ -47,8 +47,31 @@ class SRGANModel(SRModel):
         var_d = jax.jit(self.net_d.init)(jax.random.PRNGKey(seed + 1), jnp.zeros(gt_shape, jnp.float32))
         params_d = var_d["params"]
         stats_d = var_d.get("batch_stats", {})
+        params_d, stats_d = self._load_pretrain_d(params_d, stats_d)
         return state.replace(params_d=params_d, stats_d=stats_d,
                              opt_state_d=self.tx_d.init(params_d))
+
+    def _load_pretrain_d(self, params_d, stats_d):
+        """Load pretrain_network_d if given (reference srgan_model.py:29-35);
+        torch .pth via the per-arch converters, incl. SN/BN stats when the
+        layout carries them."""
+        path = (self.opt.get("path") or {}).get("pretrain_network_d")
+        if not path:
+            return params_d, stats_d
+        from ssl_tpu.utils.weight_port import (load_params_auto, load_torch_state_dict,
+                                               sn_batch_stats_from_torch,
+                                               vgg_disc_batch_stats)
+        key = self.opt["path"].get("param_key_d", "params")
+        loaded = load_params_auto(path, param_key=key, reference_tree=params_d)
+        if loaded is None:
+            return params_d, stats_d
+        if path.endswith((".pth", ".pt")) and stats_d:
+            sd = load_torch_state_dict(path, key)
+            if any(k.endswith("weight_orig") for k in sd):
+                stats_d = sn_batch_stats_from_torch(sd, stats_d)
+            elif any(k.endswith("running_mean") for k in sd):
+                stats_d = vgg_disc_batch_stats(sd, stats_d)
+        return loaded, stats_d
 
     # ----------------------------------------------------------------- helpers
     def apply_d(self, params_d, stats_d, x, train=True, mutable=False):

@@ -242,3 +242,41 @@ def test_vgg_style_disc_conversion(tmp_path):
     nhwc_flat = jnp.asarray(feat.transpose(0, 2, 3, 1).reshape(1, -1))
     y_ours = np.asarray(nhwc_flat @ loaded["Dense_0"]["kernel"])
     np.testing.assert_allclose(y_ours, y_torch, rtol=1e-4, atol=1e-5)
+
+
+def test_model_loads_pretrain_network_d(tmp_path):
+    """pretrain_network_d wiring: an SRGAN model built with a torch-layout D
+    checkpoint must pick up the converted weights."""
+    from ssl_tpu.utils.weight_port import convert_unet_disc_sn  # noqa: F401
+    nf = 4
+    rng = np.random.RandomState(1)
+    sd = {"conv0.weight": torch.from_numpy(rng.randn(nf, 3, 3, 3).astype(np.float32)),
+          "conv0.bias": torch.zeros(nf),
+          "conv9.weight": torch.from_numpy(rng.randn(1, nf, 3, 3).astype(np.float32)),
+          "conv9.bias": torch.zeros(1)}
+    chans = [(nf * 2, nf, 4), (nf * 4, nf * 2, 4), (nf * 8, nf * 4, 4),
+             (nf * 4, nf * 8, 3), (nf * 2, nf * 4, 3), (nf, nf * 2, 3),
+             (nf, nf, 3), (nf, nf, 3)]
+    for n, (co, ci, k) in enumerate(chans, start=1):
+        sd[f"conv{n}.weight_orig"] = torch.from_numpy(rng.randn(co, ci, k, k).astype(np.float32) * 0.1)
+        sd[f"conv{n}.weight_u"] = torch.zeros(co)
+        sd[f"conv{n}.weight_v"] = torch.zeros(ci * k * k)
+    path = str(tmp_path / "net_d.pth")
+    torch.save({"params": sd}, path)
+
+    from ssl_tpu.models import build_model
+    opt = {"model_type": "SRGANModel", "scale": 4, "is_train": True, "num_gpu": 1,
+           "network_g": {"type": "MSRResNet", "num_feat": 8, "num_block": 2},
+           "network_d": {"type": "UNetDiscriminatorSN", "num_feat": nf},
+           "path": {"pretrain_network_d": path},
+           "train": {"optim_g": {"type": "Adam", "lr": 1e-4},
+                     "optim_d": {"type": "Adam", "lr": 1e-4},
+                     "pixel_opt": {"type": "L1Loss", "loss_weight": 1.0},
+                     "gan_opt": {"type": "GANLoss", "gan_type": "vanilla",
+                                 "loss_weight": 0.1},
+                     "scheduler": {"type": "MultiStepLR", "milestones": [100]}}}
+    model = build_model(opt)
+    state = model.init_state(lq_shape=(1, 8, 8, 3))
+    got = np.asarray(state.params_d["conv1"]["Conv_0"]["kernel"])
+    want = sd["conv1.weight_orig"].numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_array_equal(got, want)
