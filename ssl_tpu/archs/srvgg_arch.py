@@ -2,10 +2,21 @@
 
 from __future__ import annotations
 
+import jax.numpy as jnp
 from flax import linen as nn
 
 from ssl_tpu.archs.arch_util import pixel_shuffle, resize_nearest
 from ssl_tpu.utils.registry import ARCH_REGISTRY
+
+
+class ChannelPReLU(nn.Module):
+    """Per-channel PReLU (torch nn.PReLU(num_parameters=C) parity; flax's
+    nn.PReLU is a shared scalar, which can't carry ported checkpoints)."""
+
+    @nn.compact
+    def __call__(self, x):
+        alpha = self.param("alpha", nn.initializers.constant(0.25), (x.shape[-1],))
+        return jnp.where(x >= 0, x, alpha * x)
 
 
 @ARCH_REGISTRY.register()
@@ -21,7 +32,7 @@ class SRVGGNetCompact(nn.Module):
         if self.act_type == "relu":
             return nn.relu(x)
         if self.act_type == "prelu":
-            return nn.PReLU(name=name)(x)
+            return ChannelPReLU(name=name)(x)
         if self.act_type == "leakyrelu":
             return nn.leaky_relu(x, 0.1)
         raise ValueError(self.act_type)

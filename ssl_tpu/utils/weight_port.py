@@ -239,6 +239,43 @@ def export_swinir_to_torch(params: dict, path: str, param_key: str = "params",
     torch.save(payload, path)
 
 
+def convert_srvgg(sd: dict) -> dict:
+    """Reference SRVGGNetCompact keys (srvgg_arch.py:7-70: body.{k} alternating
+    conv / per-channel PReLU, final conv) -> our named flax tree."""
+    idxs = sorted({int(m.group(1)) for k in sd
+                   if (m := re.match(r"body\.(\d+)\.weight", k))})
+    last = max(idxs)
+    params: dict = {"conv_first": _convp(sd, "body.0")}
+    if "body.1.weight" in sd and sd["body.1.weight"].dim() == 1:
+        params["act_first"] = {"alpha": _to_np(sd["body.1.weight"])}
+    n_conv = (last - 2) // 2
+    for i in range(n_conv):
+        params[f"conv_{i}"] = _convp(sd, f"body.{2*i+2}")
+        act_k = f"body.{2*i+3}.weight"
+        if act_k in sd:
+            params[f"act_{i}"] = {"alpha": _to_np(sd[act_k])}
+    params["conv_last"] = _convp(sd, f"body.{last}")
+    return params
+
+
+def convert_msrresnet(sd: dict) -> dict:
+    """Reference MSRResNet keys (srresnet_arch.py: conv_first / body.{i}.conv1-2 /
+    upconv1-2 / conv_hr / conv_last) -> our body_{i}/Conv3x3_{j}/Conv_0 tree."""
+    params: dict = {}
+    for name in ("conv_first", "upconv1", "upconv2", "conv_hr", "conv_last"):
+        if f"{name}.weight" in sd:
+            params[name] = _convp(sd, name)
+    pat = re.compile(r"body\.(\d+)\.conv(\d)\.weight")
+    for k in sd:
+        m = pat.match(k)
+        if not m:
+            continue
+        i, j = int(m.group(1)), int(m.group(2))
+        params.setdefault(f"body_{i}", {})[f"Conv3x3_{j-1}"] = {
+            "Conv_0": _convp(sd, f"body.{i}.conv{j}")}
+    return params
+
+
 def convert_unet_disc_sn(sd: dict) -> dict:
     """Reference UNetDiscriminatorSN keys (discriminator_arch.py:342-354) ->
     our flax tree.  torch spectral_norm stores the UNNORMALIZED weight as
@@ -343,6 +380,10 @@ CONVERTERS = {
                      lambda sd: convert_unet_disc_sn(sd)),
     "vgg_style_disc": (lambda sd: "conv0_0.weight" in sd and "linear1.weight" in sd,
                        convert_vgg_style_disc),
+    "srvgg": (lambda sd: "body.0.weight" in sd and not any(".conv" in k for k in sd),
+              convert_srvgg),
+    "msrresnet": (lambda sd: "conv_first.weight" in sd and "body.0.conv1.weight" in sd,
+                  convert_msrresnet),
 }
 
 

@@ -280,3 +280,55 @@ def test_model_loads_pretrain_network_d(tmp_path):
     got = np.asarray(state.params_d["conv1"]["Conv_0"]["kernel"])
     want = sd["conv1.weight_orig"].numpy().transpose(2, 3, 1, 0)
     np.testing.assert_array_equal(got, want)
+
+
+def test_srvgg_conversion(tmp_path):
+    """realesr-general layout (body.N alternating conv/PReLU) -> SRVGGNetCompact."""
+    nf, n_conv = 8, 3
+    rng = np.random.RandomState(2)
+    sd = {}
+    chans = [(nf, 3)] + [(nf, nf)] * n_conv
+    for i, (co, ci) in enumerate(chans):
+        sd[f"body.{2*i}.weight"] = torch.from_numpy(rng.randn(co, ci, 3, 3).astype(np.float32) * 0.1)
+        sd[f"body.{2*i}.bias"] = torch.zeros(co)
+        sd[f"body.{2*i+1}.weight"] = torch.from_numpy(0.25 + 0.01 * rng.randn(co).astype(np.float32))
+    last = 2 * (n_conv + 1)
+    sd[f"body.{last}.weight"] = torch.from_numpy(rng.randn(48, nf, 3, 3).astype(np.float32) * 0.1)
+    sd[f"body.{last}.bias"] = torch.zeros(48)
+    path = str(tmp_path / "srvgg.pth")
+    torch.save({"params": sd}, path)
+
+    net = build_network(dict(type="SRVGGNetCompact", num_feat=nf, num_conv=n_conv, upscale=4))
+    ref = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+    loaded = load_params_auto(path, "params", ref["params"])
+    assert loaded is not None
+    np.testing.assert_array_equal(np.asarray(loaded["act_first"]["alpha"]),
+                                  sd["body.1.weight"].numpy())
+    out = net.apply({"params": loaded}, jnp.ones((1, 8, 8, 3)) * 0.5)
+    assert out.shape == (1, 32, 32, 3) and np.isfinite(np.asarray(out)).all()
+
+
+def test_msrresnet_conversion(tmp_path):
+    nf, nb = 8, 2
+    rng = np.random.RandomState(3)
+
+    def conv(co, ci, k=3):
+        return (torch.from_numpy(rng.randn(co, ci, k, k).astype(np.float32) * 0.1),
+                torch.zeros(co))
+
+    sd = {}
+    for name, (ci, co) in {"conv_first": (3, nf), "upconv1": (nf, nf * 4),
+                           "upconv2": (nf, nf * 4), "conv_hr": (nf, nf),
+                           "conv_last": (nf, 3)}.items():
+        sd[f"{name}.weight"], sd[f"{name}.bias"] = conv(co, ci)
+    for i in range(nb):
+        for j in (1, 2):
+            sd[f"body.{i}.conv{j}.weight"], sd[f"body.{i}.conv{j}.bias"] = conv(nf, nf)
+    path = str(tmp_path / "msrresnet.pth")
+    torch.save({"params": sd}, path)
+    net = build_network(dict(type="MSRResNet", num_feat=nf, num_block=nb, upscale=4))
+    ref = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+    loaded = load_params_auto(path, "params", ref["params"])
+    assert loaded is not None
+    out = net.apply({"params": loaded}, jnp.ones((1, 8, 8, 3)) * 0.5)
+    assert out.shape == (1, 32, 32, 3) and np.isfinite(np.asarray(out)).all()
