@@ -137,7 +137,8 @@ class _ECB(nn.Module):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
             y = y + z2
         if self.act == "prelu":
-            return nn.PReLU()(y)
+            from ssl_tpu.archs.srvgg_arch import ChannelPReLU
+            return ChannelPReLU()(y)
         return y
 
 
