@@ -1,0 +1,56 @@
+"""Offline checkpoint conversion CLI: torch .pth <-> ssl_tpu .pkl trees.
+
+Import: any layout load_params_auto detects (RRDBNet / SwinIR / SRVGG /
+MSRResNet / UNetDiscriminatorSN / VGGStyleDiscriminator / torchvision VGG19).
+Export: RRDBNet and SwinIR back to reference-consumable .pth
+(reference users load these with basicsr's load_network, base_model.py:289).
+
+  python scripts/convert_checkpoint.py import net_g.pth out.pkl [--key params_ema]
+  python scripts/convert_checkpoint.py export-rrdb ours.pkl net_g.pth
+  python scripts/convert_checkpoint.py export-swinir ours.pkl net_g.pth
+"""
+
+import argparse
+import os
+import pickle
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("mode", choices=["import", "export-rrdb", "export-swinir"])
+    ap.add_argument("src")
+    ap.add_argument("dst")
+    ap.add_argument("--key", default="params", help="param key inside the .pth/.pkl")
+    args = ap.parse_args()
+
+    if args.mode == "import":
+        from ssl_tpu.utils.weight_port import load_params_auto
+        import numpy as np
+        import jax
+        tree = load_params_auto(args.src, param_key=args.key)
+        if tree is None:
+            raise SystemExit(f"no converter matched the layout of {args.src}")
+        tree = jax.tree_util.tree_map(np.asarray, tree)
+        with open(args.dst, "wb") as f:
+            pickle.dump({args.key: tree}, f)
+        n = sum(x.size for x in jax.tree_util.tree_leaves(tree))
+        print(f"wrote {args.dst} ({n/1e6:.2f}M params)")
+        return
+
+    with open(args.src, "rb") as f:
+        payload = pickle.load(f)
+    tree = payload.get(args.key, payload) if isinstance(payload, dict) else payload
+    if args.mode == "export-rrdb":
+        from ssl_tpu.utils.weight_port import export_rrdbnet_to_torch
+        export_rrdbnet_to_torch(tree, args.dst, param_key=args.key)
+    else:
+        from ssl_tpu.utils.weight_port import export_swinir_to_torch
+        export_swinir_to_torch(tree, args.dst, param_key=args.key)
+    print(f"wrote {args.dst}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,4 +1,5 @@
 """Weight porting: reference RRDBNet .pth layout -> scanned flax tree."""
+import os
 import numpy as np
 import pytest
 
@@ -332,3 +333,22 @@ def test_msrresnet_conversion(tmp_path):
     assert loaded is not None
     out = net.apply({"params": loaded}, jnp.ones((1, 8, 8, 3)) * 0.5)
     assert out.shape == (1, 32, 32, 3) and np.isfinite(np.asarray(out)).all()
+
+
+def test_convert_checkpoint_cli(tmp_path):
+    """scripts/convert_checkpoint.py import path end-to-end."""
+    import pickle
+    import subprocess
+    import sys as _sys
+    sd = _synthetic_rrdb_state_dict()
+    src = str(tmp_path / "net_g.pth")
+    dst = str(tmp_path / "net_g.pkl")
+    torch.save({"params": sd}, src)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run([_sys.executable, os.path.join(root, "scripts", "convert_checkpoint.py"),
+                        "import", src, dst], capture_output=True, text=True,
+                       env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stderr
+    with open(dst, "rb") as f:
+        tree = pickle.load(f)["params"]
+    assert "conv_first" in tree and "body" in tree
