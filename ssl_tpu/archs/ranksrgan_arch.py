@@ -86,14 +86,29 @@ class Discriminator_VGG_296(nn.Module):
 
 @ARCH_REGISTRY.register()
 class Ranker_VGG12_296(nn.Module):
-    """Frozen perceptual Ranker (reference :168-227): VGG12 stack + global
-    pooling + 2-layer head producing a scalar rank score."""
+    """Frozen perceptual Ranker (reference ranksrgan_arch.py:168-227): VGG12
+    stack (all convs WITH bias, unlike the discriminator) + global average
+    pool + Linear(512,100)-lrelu-Linear(100,1) head.  Module names mirror the
+    reference keys so checkpoints port via convert_ranker."""
     in_nc: int = 3
     nf: int = 64
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        feat = _VGGDownStack(self.nf, 5)(x, train)
-        feat = feat.mean(axis=(1, 2))  # global average pool
-        feat = nn.leaky_relu(nn.Dense(1024)(feat), 0.2)
-        return nn.Dense(1)(feat)
+        lrelu = lambda v: nn.leaky_relu(v, 0.2)
+        norm = lambda v, name: nn.BatchNorm(use_running_average=not train,
+                                            momentum=0.9, name=name)(v)
+        feat = lrelu(nn.Conv(self.nf, (3, 3), padding="SAME", name="conv0_0")(x))
+        feat = lrelu(norm(nn.Conv(self.nf, (4, 4), strides=2, padding=((1, 1), (1, 1)),
+                                  name="conv0_1")(feat), "bn0_1"))
+        mult = 2
+        for k in range(1, 5):
+            f = self.nf * min(mult, 8)
+            feat = lrelu(norm(nn.Conv(f, (3, 3), padding="SAME",
+                                      name=f"conv{k}_0")(feat), f"bn{k}_0"))
+            feat = lrelu(norm(nn.Conv(f, (4, 4), strides=2, padding=((1, 1), (1, 1)),
+                                      name=f"conv{k}_1")(feat), f"bn{k}_1"))
+            mult *= 2
+        feat = feat.mean(axis=(1, 2))  # AvgPool2d(full) + flatten
+        feat = nn.leaky_relu(nn.Dense(100, name="linear1")(feat), 0.2)
+        return nn.Dense(1, name="linear2")(feat)

@@ -38,14 +38,20 @@ class RankSRGANSSLModel(ESRGANSSLModel):
             # frozen ranker params live in state.extra (restored with the state;
             # pretrained ranker weights load via path.pretrain_network_r)
             params_r = var_r["params"]
+            stats_r = var_r.get("batch_stats", {})
             path = (self.opt.get("path") or {}).get("pretrain_network_r")
             if path:
-                from ssl_tpu.utils.weight_port import load_params_auto
+                from ssl_tpu.utils.weight_port import (load_params_auto,
+                                                       load_torch_state_dict,
+                                                       ranker_batch_stats)
                 loaded = load_params_auto(path, "params", params_r)
                 if loaded is not None:
                     params_r = loaded
+                    if path.endswith((".pth", ".pt")) and stats_r:
+                        stats_r = ranker_batch_stats(
+                            load_torch_state_dict(path, "params"), stats_r)
             state = state.replace(extra={"params_r": params_r,
-                                         "stats_r": var_r.get("batch_stats", {})})
+                                         "stats_r": stats_r})
         return state
 
     def g_losses(self, params_g, state, batch, rng):

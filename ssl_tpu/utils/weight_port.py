@@ -327,6 +327,34 @@ def convert_vgg_style_disc(sd: dict) -> dict:
     return params
 
 
+def convert_ranker(sd: dict) -> dict:
+    """Reference Ranker_VGG12_296 keys (ranksrgan_arch.py:168-227) -> our
+    name-mirrored flax tree.  classifier.0/.2 -> linear1/linear2; the global
+    average pool means no flatten-order fixup is needed."""
+    params: dict = {}
+    for k in sd:
+        m = re.match(r"(conv\d_\d)\.weight", k)
+        if m:
+            params[m.group(1)] = _convp(sd, m.group(1))
+        m = re.match(r"(bn\d_\d)\.weight", k)
+        if m:
+            params[m.group(1)] = {"scale": _to_np(sd[f"{m.group(1)}.weight"]),
+                                  "bias": _to_np(sd[f"{m.group(1)}.bias"])}
+    params["linear1"] = _dense(sd, "classifier.0")
+    params["linear2"] = _dense(sd, "classifier.2")
+    return params
+
+
+def ranker_batch_stats(sd: dict, ref_batch_stats: dict) -> dict:
+    """BN running stats for the Ranker (same key names both sides)."""
+    out = dict(ref_batch_stats)
+    for name in list(out):
+        if f"{name}.running_mean" in sd:
+            out[name] = {"mean": _to_np(sd[f"{name}.running_mean"]),
+                         "var": _to_np(sd[f"{name}.running_var"])}
+    return out
+
+
 def vgg_disc_batch_stats(sd: dict, ref_batch_stats: dict) -> dict:
     """BN running stats for VGGStyleDiscriminator: torch running_mean/var ->
     flax BatchNorm_N mean/var, in the same ordering as convert_vgg_style_disc."""
@@ -384,6 +412,8 @@ CONVERTERS = {
               convert_srvgg),
     "msrresnet": (lambda sd: "conv_first.weight" in sd and "body.0.conv1.weight" in sd,
                   convert_msrresnet),
+    "ranker": (lambda sd: "conv0_0.weight" in sd and "classifier.0.weight" in sd,
+               convert_ranker),
 }
 
 

@@ -352,3 +352,43 @@ def test_convert_checkpoint_cli(tmp_path):
     with open(dst, "rb") as f:
         tree = pickle.load(f)["params"]
     assert "conv_first" in tree and "body" in tree
+
+
+def test_ranker_conversion(tmp_path):
+    """Reference Ranker_VGG12_296 layout -> name-mirrored flax tree + BN stats."""
+    from ssl_tpu.utils.weight_port import (load_torch_state_dict, ranker_batch_stats)
+    nf = 4
+    rng = np.random.RandomState(4)
+    sd = {}
+    chans = [("conv0_0", nf, 3, 3, False), ("conv0_1", nf, nf, 4, True)]
+    cin, mult = nf, 2
+    for k in range(1, 5):
+        f = nf * min(mult, 8)
+        chans += [(f"conv{k}_0", f, cin, 3, True), (f"conv{k}_1", f, f, 4, True)]
+        cin, mult = f, mult * 2
+    for name, co, ci, k, has_bn in chans:
+        sd[f"{name}.weight"] = torch.from_numpy(rng.randn(co, ci, k, k).astype(np.float32) * 0.1)
+        sd[f"{name}.bias"] = torch.from_numpy(0.01 * rng.randn(co).astype(np.float32))
+        if has_bn:
+            bn = name.replace("conv", "bn")
+            sd[f"{bn}.weight"] = torch.ones(co)
+            sd[f"{bn}.bias"] = torch.zeros(co)
+            sd[f"{bn}.running_mean"] = torch.zeros(co)
+            sd[f"{bn}.running_var"] = torch.ones(co)
+    sd["classifier.0.weight"] = torch.from_numpy(rng.randn(100, nf * 8).astype(np.float32) * 0.01)
+    sd["classifier.0.bias"] = torch.zeros(100)
+    sd["classifier.2.weight"] = torch.from_numpy(rng.randn(1, 100).astype(np.float32) * 0.01)
+    sd["classifier.2.bias"] = torch.zeros(1)
+    path = str(tmp_path / "ranker.pth")
+    torch.save({"params": sd}, path)
+
+    net = build_network(dict(type="Ranker_VGG12_296", nf=nf))
+    ref = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    loaded = load_params_auto(path, "params", ref["params"])
+    assert loaded is not None
+    bs = ranker_batch_stats(load_torch_state_dict(path), ref["batch_stats"])
+    out = net.apply({"params": loaded, "batch_stats": bs},
+                    jnp.ones((1, 64, 64, 3)) * 0.5, False)
+    assert out.shape == (1, 1) and np.isfinite(np.asarray(out)).all()
+    np.testing.assert_array_equal(np.asarray(loaded["linear1"]["kernel"]),
+                                  sd["classifier.0.weight"].numpy().T)
