@@ -276,6 +276,67 @@ def convert_msrresnet(sd: dict) -> dict:
     return params
 
 
+def _spsr_conv(sd: dict, base: str) -> dict:
+    """conv_block keys: '<base>.0.weight' when an activation kept it a
+    Sequential, bare '<base>.weight' when flattened to the Conv itself."""
+    key = f"{base}.0.weight" if f"{base}.0.weight" in sd else f"{base}.weight"
+    node = {"kernel": _conv_w(sd[key])}
+    bkey = key[:-len("weight")] + "bias"
+    if bkey in sd:
+        node["bias"] = _to_np(sd[bkey])
+    return node
+
+
+def _spsr_rrdb(sd: dict, pfx: str) -> dict:
+    """Old-style RRDB keys (spsr_arch.py:172-259: RDB{1-3}.conv{1-5}) ->
+    our RRDB tree (ResidualDenseBlock_{j}/Conv3x3_{k}/Conv_0)."""
+    out: dict = {}
+    for j in (1, 2, 3):
+        blk = {}
+        for k in (1, 2, 3, 4, 5):
+            blk[f"Conv3x3_{k-1}"] = {"Conv_0": _spsr_conv(sd, f"{pfx}.RDB{j}.conv{k}")}
+        out[f"ResidualDenseBlock_{j-1}"] = blk
+    return out
+
+
+def convert_spsr(sd: dict) -> dict:
+    """Reference SPSRNet keys (spsr_arch.py:290-438) -> our flax tree.
+
+    torch layout (flattened `sequential`): model.0 = fea_conv,
+    model.1.sub.{0..nb-1} = RRDB trunk, model.1.sub.{nb} = LR_conv,
+    model.{>=2} convs = upsampler convs then HR_conv0 (HR_conv0_new.0 is a
+    duplicate alias of the last one), HR_conv1_new = HR_conv1; gradient branch
+    b_* / b_module.{idx}; fusion f_*.  Fixed Sobel buffers
+    (get_g_nopadding.weight_h/v) are recomputed, not loaded."""
+    params: dict = {"fea_conv": _spsr_conv(sd, "model.0")}
+    idxs = sorted({int(m.group(1)) for k in sd
+                   if (m := re.match(r"model\.1\.sub\.(\d+)\.RDB", k))})
+    for i in idxs:
+        params[f"rb_{i}"] = _spsr_rrdb(sd, f"model.1.sub.{i}")
+    params["LR_conv"] = _spsr_conv(sd, f"model.1.sub.{max(idxs) + 1}")
+    ups = sorted({int(m.group(1)) for k in sd
+                  if (m := re.match(r"model\.(\d+)\.weight", k)) and int(m.group(1)) >= 2})
+    for u, n in enumerate(ups[:-1]):
+        params[f"up_{u}"] = {"Conv_0": _spsr_conv(sd, f"model.{n}")}
+    params["HR_conv0"] = _spsr_conv(sd, f"model.{ups[-1]}")
+    params["HR_conv1"] = _spsr_conv(sd, "HR_conv1_new")
+    params["b_fea_conv"] = _spsr_conv(sd, "b_fea_conv")
+    for k in (1, 2, 3, 4):
+        params[f"b_block_{k}"] = _spsr_rrdb(sd, f"b_block_{k}")
+        params[f"b_concat_{k}"] = _spsr_conv(sd, f"b_concat_{k}")
+    params["b_LR_conv"] = _spsr_conv(sd, "b_LR_conv")
+    bups = sorted({int(m.group(1)) for k in sd
+                   if (m := re.match(r"b_module\.(\d+)\.weight", k))})
+    for u, n in enumerate(bups[:-2]):
+        params[f"b_up_{u}"] = {"Conv_0": _spsr_conv(sd, f"b_module.{n}")}
+    params["b_HR_conv0"] = _spsr_conv(sd, f"b_module.{bups[-2]}")
+    params["b_HR_conv1"] = _spsr_conv(sd, f"b_module.{bups[-1]}")
+    for name in ("conv_w", "f_concat", "f_HR_conv0", "f_HR_conv1"):
+        params[name] = _spsr_conv(sd, name)
+    params["f_block"] = _spsr_rrdb(sd, "f_block")
+    return params
+
+
 def convert_unet_disc_sn(sd: dict) -> dict:
     """Reference UNetDiscriminatorSN keys (discriminator_arch.py:342-354) ->
     our flax tree.  torch spectral_norm stores the UNNORMALIZED weight as
@@ -414,6 +475,8 @@ CONVERTERS = {
                   convert_msrresnet),
     "ranker": (lambda sd: "conv0_0.weight" in sd and "classifier.0.weight" in sd,
                convert_ranker),
+    "spsr": (lambda sd: any(k.startswith("model.1.sub.") for k in sd)
+             and "b_fea_conv.weight" in sd, convert_spsr),
 }
 
 

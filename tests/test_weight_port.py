@@ -392,3 +392,66 @@ def test_ranker_conversion(tmp_path):
     assert out.shape == (1, 1) and np.isfinite(np.asarray(out)).all()
     np.testing.assert_array_equal(np.asarray(loaded["linear1"]["kernel"]),
                                   sd["classifier.0.weight"].numpy().T)
+
+
+def test_spsr_conversion(tmp_path):
+    """Old-style SPSRNet layout (flattened sequential; model.1.sub RRDBs,
+    b_module gradient branch) -> our dual-branch tree."""
+    nf, gc, nb = 8, 4, 23
+    rng = np.random.RandomState(5)
+
+    def conv(co, ci, k=3):
+        return (torch.from_numpy(rng.randn(co, ci, k, k).astype(np.float32) * 0.05),
+                torch.from_numpy(0.01 * rng.randn(co).astype(np.float32)))
+
+    def put_conv(sd, base, co, ci, k=3, seq=False):
+        key = f"{base}.0" if seq else base
+        sd[f"{key}.weight"], sd[f"{key}.bias"] = conv(co, ci, k)
+
+    def put_rrdb(sd, pfx, f):
+        for j in (1, 2, 3):
+            cin = f
+            for k in (1, 2, 3, 4, 5):
+                cout = gc if k < 5 else f
+                # conv1-4 have act (Sequential .0), conv5 flattens bare
+                put_conv(sd, f"{pfx}.RDB{j}.conv{k}", cout, cin, seq=(k < 5))
+                cin = cin + gc if k < 5 else cin
+
+    sd = {}
+    put_conv(sd, "model.0", nf, 3)
+    for i in range(nb):
+        put_rrdb(sd, f"model.1.sub.{i}", nf)
+    put_conv(sd, f"model.1.sub.{nb}", nf, nf)
+    put_conv(sd, "model.3", nf, nf)   # upconv1 (model.2 = paramless Upsample)
+    put_conv(sd, "model.6", nf, nf)   # upconv2
+    put_conv(sd, "model.8", nf, nf)   # HR_conv0 (dup alias HR_conv0_new.0)
+    put_conv(sd, "HR_conv0_new.0", nf, nf)
+    put_conv(sd, "HR_conv1_new", nf, nf)
+    put_conv(sd, "b_fea_conv", nf, 3)
+    for k in (1, 2, 3, 4):
+        put_rrdb(sd, f"b_block_{k}", nf * 2)
+        put_conv(sd, f"b_concat_{k}", nf, nf * 2)
+    put_conv(sd, "b_LR_conv", nf, nf)
+    put_conv(sd, "b_module.1", nf, nf)
+    put_conv(sd, "b_module.4", nf, nf)
+    put_conv(sd, "b_module.6", nf, nf)
+    put_conv(sd, "b_module.8", nf, nf)
+    put_conv(sd, "conv_w", 3, nf, k=1)
+    put_conv(sd, "f_concat", nf, nf * 2)
+    put_rrdb(sd, "f_block", nf * 2)
+    put_conv(sd, "f_HR_conv0.0", nf, nf)
+    put_conv(sd, "f_HR_conv1", 3, nf)
+    path = str(tmp_path / "spsr.pth")
+    torch.save({"params": sd}, path)
+
+    net = build_network(dict(type="SPSRNet", nf=nf, nb=nb, gc=gc, upscale=4))
+    ref = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+    loaded = load_params_auto(path, "params", ref["params"])
+    assert loaded is not None
+    outs = net.apply({"params": loaded}, jnp.ones((1, 8, 8, 3)) * 0.5)
+    assert outs[0].shape == (1, 32, 32, 3) and outs[1].shape == (1, 32, 32, 3)
+    assert all(np.isfinite(np.asarray(o)).all() for o in outs)
+    # trunk block 0 first conv must land at rb_0
+    np.testing.assert_array_equal(
+        np.asarray(loaded["rb_0"]["ResidualDenseBlock_0"]["Conv3x3_0"]["Conv_0"]["kernel"]),
+        sd["model.1.sub.0.RDB1.conv1.0.weight"].numpy().transpose(2, 3, 1, 0))
