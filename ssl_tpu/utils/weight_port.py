@@ -337,6 +337,35 @@ def convert_spsr(sd: dict) -> dict:
     return params
 
 
+def convert_elan(sd: dict) -> dict:
+    """Reference ELAN keys (elan_arch.py:237-320) -> our flax tree.
+
+    torch: head.0 / tail.0 convs; body.{i}.modules_lfe.lfe_{j}.conv{0,1}
+    .shift_conv.conv1x1 (ShiftConv2d1 'fast-training-speed': a FIXED grouped
+    shift kernel — skipped, ours shifts via jnp.roll — then a learned 1x1);
+    body.{i}.modules_gmsa.gmsa_{j}.project_inp.0 (1x1) + .1.norm (LayerNorm)
+    + project_out."""
+    params: dict = {"head": _convp(sd, "head.0"), "tail": _convp(sd, "tail.0")}
+    for k in sd:
+        m = re.match(r"body\.(\d+)\.modules_lfe\.lfe_(\d+)\.conv(\d)"
+                     r"\.shift_conv\.conv1x1\.weight", k)
+        if m:
+            i, j, c = m.group(1), m.group(2), int(m.group(3))
+            base = k[:-len(".weight")]
+            params.setdefault(f"body_{i}", {}).setdefault(f"lfe_{j}", {})[
+                f"ShiftConv_{c}"] = {"Conv_0": _convp(sd, base)}
+        m = re.match(r"body\.(\d+)\.modules_gmsa\.(gmsa_\d+)\.project_out\.weight", k)
+        if m:
+            i, g = m.group(1), m.group(2)
+            pfx = f"body.{i}.modules_gmsa.{g}"
+            params.setdefault(f"body_{i}", {})[g] = {
+                "Conv_0": _convp(sd, f"{pfx}.project_inp.0"),
+                "LayerNorm_0": _ln(sd, f"{pfx}.project_inp.1.norm"),
+                "Conv_1": _convp(sd, f"{pfx}.project_out"),
+            }
+    return params
+
+
 def convert_unet_disc_sn(sd: dict) -> dict:
     """Reference UNetDiscriminatorSN keys (discriminator_arch.py:342-354) ->
     our flax tree.  torch spectral_norm stores the UNNORMALIZED weight as
@@ -477,6 +506,7 @@ CONVERTERS = {
                convert_ranker),
     "spsr": (lambda sd: any(k.startswith("model.1.sub.") for k in sd)
              and "b_fea_conv.weight" in sd, convert_spsr),
+    "elan": (lambda sd: any(".modules_gmsa." in k for k in sd), convert_elan),
 }
 
 

@@ -455,3 +455,45 @@ def test_spsr_conversion(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(loaded["rb_0"]["ResidualDenseBlock_0"]["Conv3x3_0"]["Conv_0"]["kernel"]),
         sd["model.1.sub.0.RDB1.conv1.0.weight"].numpy().transpose(2, 3, 1, 0))
+
+
+def test_elan_conversion(tmp_path):
+    """Reference ELAN layout (ShiftConv2d1 + shared-attention GMSA) -> our tree."""
+    c, m_elan, n_share, r_exp = 12, 2, 1, 2
+    rng = np.random.RandomState(6)
+
+    def c1x1(co, ci):
+        return (torch.from_numpy(rng.randn(co, ci, 1, 1).astype(np.float32) * 0.1),
+                torch.from_numpy(0.01 * rng.randn(co).astype(np.float32)))
+
+    sd = {}
+    sd["head.0.weight"] = torch.from_numpy(rng.randn(c, 3, 3, 3).astype(np.float32) * 0.1)
+    sd["head.0.bias"] = torch.zeros(c)
+    sd["tail.0.weight"] = torch.from_numpy(rng.randn(48, c, 3, 3).astype(np.float32) * 0.1)
+    sd["tail.0.bias"] = torch.zeros(48)
+    for i in range(m_elan // (1 + n_share)):
+        for j in range(1 + n_share):
+            lfe = f"body.{i}.modules_lfe.lfe_{j}"
+            for cc, (co, ci) in enumerate([(c * r_exp, c), (c, c * r_exp)]):
+                w, b = c1x1(co, ci)
+                sd[f"{lfe}.conv{cc}.shift_conv.conv1x1.weight"] = w
+                sd[f"{lfe}.conv{cc}.shift_conv.conv1x1.bias"] = b
+                sd[f"{lfe}.conv{cc}.shift_conv.weight"] = torch.zeros(ci, 1, 3, 3)  # fixed, skipped
+            g = f"body.{i}.modules_gmsa.gmsa_{j}"
+            pc = c * 2 if j == 0 else c
+            w, b = c1x1(pc, c)
+            sd[f"{g}.project_inp.0.weight"], sd[f"{g}.project_inp.0.bias"] = w, b
+            sd[f"{g}.project_inp.1.norm.weight"] = torch.ones(pc)
+            sd[f"{g}.project_inp.1.norm.bias"] = torch.zeros(pc)
+            w, b = c1x1(c, c)
+            sd[f"{g}.project_out.weight"], sd[f"{g}.project_out.bias"] = w, b
+    path = str(tmp_path / "elan.pth")
+    torch.save({"params": sd}, path)
+
+    net = build_network(dict(type="ELAN", c_elan=c, m_elan=m_elan, n_share=n_share,
+                             window_sizes=[2, 4, 8], scale=4))
+    ref = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+    loaded = load_params_auto(path, "params", ref["params"])
+    assert loaded is not None
+    out = net.apply({"params": loaded}, jnp.ones((1, 8, 8, 3)) * 0.5)
+    assert out.shape == (1, 32, 32, 3) and np.isfinite(np.asarray(out)).all()
