@@ -1,0 +1,225 @@
+"""CFW (Controllable Feature Wrapping) decoder training — StableSR stage 2.
+
+Reference parity: the reference trains AutoencoderKLResi separately on
+(GT, model-input, model-output) triplets dumped by gt_input_output
+(Diffusion-Based-SR scripts/gt_input_output.py:1-335, configs/GT_input_output/)
+with pixel + perceptual + adversarial losses (ldm autoencoder training,
+autoencoder.py:469 consuming LPIPSWithDiscriminator); only the decoder-side
+weights learn, the encoder stays the frozen SD VAE encoder.
+
+TPU-native re-design: ONE jitted train step over a functional TrainState.
+The frozen encoder/quant_conv params live in `state.extra` and are merged
+into the apply-tree inside the loss, so gradients flow only to the decoder,
+post_quant_conv, and the zero-initialized CFW fusion convs; the latent is the
+(stop-gradient) encoder mean of the stage-1 output image, and the fusion
+features come from encoding the (bicubically upscaled) model input.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ssl_tpu.archs import build_network
+from ssl_tpu.diffusion.vae import AutoencoderKLResi
+from ssl_tpu.losses import build_loss
+from ssl_tpu.models.base_model import TrainState, build_optimizer, ema_update
+from ssl_tpu.models.lr_scheduler import build_schedule
+
+_FROZEN = ("encoder", "quant_conv")
+
+
+def _split_params(params: dict):
+    trainable = {k: v for k, v in params.items() if k not in _FROZEN}
+    frozen = {k: v for k, v in params.items() if k in _FROZEN}
+    return trainable, frozen
+
+
+class CFWTrainModel:
+    """Stage-2 CFW decoder trainer (gan-style G/D alternation)."""
+
+    def __init__(self, opt: dict):
+        self.opt = opt
+        vae_cfg = opt.get("vae") or {}
+        self.net = AutoencoderKLResi(**vae_cfg)
+        train_opt = opt.get("train") or {}
+        self.pixel_weight = float(train_opt.get("pixel_weight", 1.0))
+        self.schedule_g = build_schedule(train_opt, train_opt.get("optim_g", {}).get("lr", 1e-4))
+        self.tx_g = build_optimizer(train_opt.get("optim_g", {"type": "Adam", "lr": 1e-4}),
+                                    self.schedule_g)
+        self.cri_perceptual = (build_loss(train_opt["perceptual_opt"])
+                               if train_opt.get("perceptual_opt") else None)
+        self.net_d = (build_network(dict(opt["network_d"]))
+                      if opt.get("network_d") else None)
+        if self.net_d is not None:
+            self.schedule_d = build_schedule(train_opt, train_opt.get("optim_d", {}).get("lr", 1e-4))
+            self.tx_d = build_optimizer(train_opt.get("optim_d", {"type": "Adam", "lr": 1e-4}),
+                                        self.schedule_d)
+            self.cri_gan = build_loss(train_opt.get("gan_opt", {
+                "type": "GANLoss", "gan_type": "vanilla", "loss_weight": 0.1}))
+        self.ema_decay = float(train_opt.get("ema_decay", 0.999))
+        self._train_step = None
+
+    # ------------------------------------------------------------------ state
+    def init_state(self, gt_shape=(1, 64, 64, 3), seed: int = 0) -> TrainState:
+        rng = jax.random.PRNGKey(seed)
+        x = jnp.zeros(gt_shape, jnp.float32)
+        variables = jax.jit(self.net.init)(rng, x)
+        trainable, frozen = _split_params(variables["params"])
+        # pretrained VAE (SD checkpoint or stage-1 save) via pickle tree
+        path = (self.opt.get("path") or {}).get("pretrain_vae")
+        if path:
+            from ssl_tpu.utils.weight_port import load_params_auto
+            loaded = load_params_auto(path, "params", variables["params"])
+            if loaded is not None:
+                trainable, frozen = _split_params(loaded)
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32), rng=rng,
+            params_g=trainable, opt_state_g=self.tx_g.init(trainable),
+            ema_params_g=jax.tree_util.tree_map(jnp.copy, trainable),
+            extra={"frozen": frozen})
+        if self.net_d is not None:
+            var_d = jax.jit(self.net_d.init)(jax.random.PRNGKey(seed + 1), x)
+            state = state.replace(params_d=var_d["params"],
+                                  stats_d=var_d.get("batch_stats", {}),
+                                  opt_state_d=self.tx_d.init(var_d["params"]))
+        return state
+
+    # ------------------------------------------------------------------ apply
+    def _decode_cfw(self, trainable, frozen, sr_img, lq_img):
+        """z = frozen-encoder mean of the stage-1 output; feas from the LQ."""
+        params = {**frozen, **trainable}
+
+        def enc(x):
+            return self.net.apply({"params": params}, x, method=AutoencoderKLResi.encode)
+
+        z_mean, _, _ = enc(sr_img)
+        _, _, feas = enc(lq_img)
+        z_mean = jax.lax.stop_gradient(z_mean)
+        feas = [jax.lax.stop_gradient(f) for f in feas]
+        return self.net.apply({"params": params}, z_mean, feas,
+                              method=AutoencoderKLResi.decode)
+
+    def apply_d(self, params_d, stats_d, x, mutable=False):
+        variables = {"params": params_d, "batch_stats": stats_d}
+        if mutable:
+            out, new_vars = self.net_d.apply(variables, x, True, mutable=["batch_stats"])
+            return out, new_vars.get("batch_stats", stats_d)
+        return self.net_d.apply(variables, x, True), stats_d
+
+    # ------------------------------------------------------------- train step
+    def make_train_step(self):
+        if self._train_step is not None:
+            return self._train_step
+
+        def g_loss_fn(trainable, state: TrainState, batch: dict):
+            dec = self._decode_cfw(trainable, state.extra["frozen"],
+                                   batch["sr"], batch["lq"])
+            logs = {}
+            l_pix = self.pixel_weight * jnp.mean(jnp.abs(dec - batch["gt"]))
+            total = l_pix
+            logs["l_pix"] = l_pix
+            if self.cri_perceptual is not None:
+                l_percep, _ = self.cri_perceptual(dec, batch["gt"])
+                if l_percep is not None:
+                    total = total + l_percep
+                    logs["l_percep"] = l_percep
+            if self.net_d is not None:
+                fake_pred, _ = self.apply_d(state.params_d, state.stats_d, dec, mutable=True)
+                l_g_gan = self.cri_gan(fake_pred, True, is_disc=False)
+                total = total + l_g_gan
+                logs["l_g_gan"] = l_g_gan
+            logs["l_total"] = total
+            return total, (logs, dec)
+
+        def step(state: TrainState, batch: dict) -> tuple[TrainState, dict]:
+            (_, (logs, dec)), grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+                state.params_g, state, batch)
+            updates, new_opt_g = self.tx_g.update(grads, state.opt_state_g, state.params_g)
+            import optax
+            new_params_g = optax.apply_updates(state.params_g, updates)
+            new_ema = ema_update(state.ema_params_g, new_params_g, self.ema_decay)
+            state = state.replace(params_g=new_params_g, opt_state_g=new_opt_g,
+                                  ema_params_g=new_ema)
+            if self.net_d is not None:
+                dec_sg = jax.lax.stop_gradient(dec)
+
+                def d_loss_fn(params_d):
+                    real_pred, stats1 = self.apply_d(params_d, state.stats_d,
+                                                     batch["gt"], mutable=True)
+                    fake_pred, stats2 = self.apply_d(params_d, stats1, dec_sg, mutable=True)
+                    l_d = (self.cri_gan(real_pred, True, is_disc=True)
+                           + self.cri_gan(fake_pred, False, is_disc=True))
+                    return l_d, stats2
+
+                (l_d, new_stats), grads_d = jax.value_and_grad(d_loss_fn, has_aux=True)(
+                    state.params_d)
+                upd_d, new_opt_d = self.tx_d.update(grads_d, state.opt_state_d, state.params_d)
+                import optax
+                new_params_d = optax.apply_updates(state.params_d, upd_d)
+                state = state.replace(params_d=new_params_d, opt_state_d=new_opt_d,
+                                      stats_d=new_stats)
+                logs["l_d"] = l_d
+            state = state.replace(step=state.step + 1)
+            return state, logs
+
+        self._train_step = jax.jit(step, donate_argnums=(0,))
+        return self._train_step
+
+    # -------------------------------------------------------------- inference
+    def decode(self, state: TrainState, sr_img, lq_img, use_ema: bool = True):
+        trainable = state.ema_params_g if use_ema else state.params_g
+        return self._decode_cfw(trainable, state.extra["frozen"], sr_img, lq_img)
+
+
+class CFWTripletDataset:
+    """Aligned (gt, inputs, outputs) folder triplets as dumped by
+    scripts/gt_input_output.py (reference scripts/gt_input_output.py:1-335).
+    `inputs` are upscaled to gt resolution if smaller (bicubic), matching the
+    reference's CFW data convention."""
+
+    def __init__(self, gt_dir: str, input_dir: str, output_dir: str,
+                 crop_size: int = 0, seed: int = 0):
+        import os
+        from ssl_tpu.utils.img_util import imfrombytes
+
+        def listing(d):
+            return sorted(os.path.join(d, f) for f in os.listdir(d)
+                          if f.lower().endswith((".png", ".jpg", ".jpeg", ".bmp")))
+
+        self.gt_paths = listing(gt_dir)
+        self.in_paths = listing(input_dir)
+        self.out_paths = listing(output_dir)
+        assert len(self.gt_paths) == len(self.in_paths) == len(self.out_paths), \
+            "gt/inputs/outputs folders must have matching file counts"
+        self.crop = crop_size
+        self.rng = np.random.RandomState(seed)
+
+    def __len__(self):
+        return len(self.gt_paths)
+
+    def _read(self, path):
+        with open(path, "rb") as f:
+            data = f.read()
+        from ssl_tpu.utils.img_util import imfrombytes
+        return imfrombytes(data, float32=True)
+
+    def __getitem__(self, idx):
+        gt = self._read(self.gt_paths[idx])
+        lq = self._read(self.in_paths[idx])
+        sr = self._read(self.out_paths[idx])
+        if lq.shape[:2] != gt.shape[:2]:
+            from ssl_tpu.utils.matlab_resize import imresize
+            lq = imresize(lq, gt.shape[0] / lq.shape[0])
+        if self.crop:
+            h, w = gt.shape[:2]
+            top = self.rng.randint(0, max(1, h - self.crop + 1))
+            left = self.rng.randint(0, max(1, w - self.crop + 1))
+            sl = np.s_[top:top + self.crop, left:left + self.crop]
+            gt, lq, sr = gt[sl], lq[sl], sr[sl]
+        return {"gt": gt.astype(np.float32), "lq": lq.astype(np.float32),
+                "sr": sr.astype(np.float32)}

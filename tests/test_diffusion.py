@@ -113,3 +113,60 @@ def test_autoencoder_kl_resi_cfw():
     mean2, logvar2, feas = vae.apply(v, x, method=AutoencoderKLResi.encode)
     dec = vae.apply(v, mean2, feas, method=AutoencoderKLResi.decode)
     assert dec.shape == x.shape
+
+
+def test_cfw_train_step(tmp_path):
+    """CFW stage-2 training: decoder/fusion learn, encoder stays frozen."""
+    import numpy as np
+    from ssl_tpu.diffusion.cfw_train import CFWTrainModel
+    opt = {
+        "vae": {"embed_dim": 4, "ch": 16, "ch_mult": [1, 2, 2, 2], "num_res_blocks": 1},
+        "network_d": {"type": "UNetDiscriminatorSNv1", "num_feat": 4},
+        "train": {"optim_g": {"type": "Adam", "lr": 1e-3},
+                  "optim_d": {"type": "Adam", "lr": 1e-3},
+                  "gan_opt": {"type": "GANLoss", "gan_type": "vanilla",
+                              "loss_weight": 0.05},
+                  "scheduler": {"type": "MultiStepLR", "milestones": [1000]}},
+    }
+    model = CFWTrainModel(opt)
+    state = model.init_state(gt_shape=(1, 32, 32, 3))
+    frozen_before = jax.tree_util.tree_map(np.asarray, state.extra["frozen"])
+    rng = np.random.RandomState(0)
+    batch = {k: jnp.asarray(rng.rand(1, 32, 32, 3), jnp.float32)
+             for k in ("gt", "lq", "sr")}
+    step = model.make_train_step()
+    params_before = jax.tree_util.tree_map(np.asarray, state.params_g)
+    for _ in range(2):
+        state, logs = step(state, batch)
+    assert np.isfinite(float(logs["l_total"])) and np.isfinite(float(logs["l_d"]))
+    # frozen encoder identical, trainable decoder moved
+    for a, b in zip(jax.tree_util.tree_leaves(frozen_before),
+                    jax.tree_util.tree_leaves(state.extra["frozen"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    moved = any(not np.allclose(np.asarray(a), np.asarray(b))
+                for a, b in zip(jax.tree_util.tree_leaves(params_before),
+                                jax.tree_util.tree_leaves(state.params_g)))
+    assert moved
+    # CFW inference decode path
+    out = model.decode(state, batch["sr"], batch["lq"])
+    assert out.shape == (1, 32, 32, 3)
+
+
+def test_cfw_triplet_dataset(tmp_path):
+    import numpy as np
+    import os
+    from PIL import Image
+    from ssl_tpu.diffusion.cfw_train import CFWTripletDataset
+    rng = np.random.RandomState(0)
+    for sub, size in (("gt", 32), ("inputs", 8), ("outputs", 32)):
+        os.makedirs(tmp_path / sub)
+        for i in range(2):
+            arr = (rng.rand(size, size, 3) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(tmp_path / sub / f"{i:03d}.png")
+    ds = CFWTripletDataset(str(tmp_path / "gt"), str(tmp_path / "inputs"),
+                           str(tmp_path / "outputs"), crop_size=16)
+    assert len(ds) == 2
+    item = ds[0]
+    assert item["gt"].shape == (16, 16, 3)
+    assert item["lq"].shape == (16, 16, 3)  # upscaled 8->32 then cropped
+    assert item["sr"].shape == (16, 16, 3)
