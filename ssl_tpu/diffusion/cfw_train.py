@@ -70,9 +70,17 @@ class CFWTrainModel:
         x = jnp.zeros(gt_shape, jnp.float32)
         variables = jax.jit(self.net.init)(rng, x)
         trainable, frozen = _split_params(variables["params"])
-        # pretrained VAE (SD checkpoint or stage-1 save) via pickle tree
+        # pretrained VAE: our pickle tree, or an SD/ldm .pth|.ckpt (CFW fuse
+        # convs stay zero-init when absent from the checkpoint)
         path = (self.opt.get("path") or {}).get("pretrain_vae")
-        if path:
+        if path and path.endswith((".pth", ".pt", ".ckpt")):
+            from ssl_tpu.utils.weight_port import (convert_ldm_vae,
+                                                   load_torch_state_dict,
+                                                   merge_into_tree, _as_jnp)
+            sd = load_torch_state_dict(path, "state_dict")
+            merged = merge_into_tree(variables["params"], _as_jnp(convert_ldm_vae(sd)))
+            trainable, frozen = _split_params(merged)
+        elif path:
             from ssl_tpu.utils.weight_port import load_params_auto
             loaded = load_params_auto(path, "params", variables["params"])
             if loaded is not None:

@@ -366,6 +366,76 @@ def convert_elan(sd: dict) -> dict:
     return params
 
 
+def convert_ldm_vae(sd: dict) -> dict:
+    """Stable-Diffusion / ldm AutoencoderKL keys -> our diffusion/vae.py tree.
+
+    Accepts either a bare VAE state dict or a full SD checkpoint (keys under
+    'first_stage_model.').  torch layout: encoder|decoder .conv_in/.conv_out/
+    .norm_out, .down|.up .{i}.block.{j}.(norm1|conv1|norm2|conv2|nin_shortcut),
+    .{i}.(downsample|upsample).conv, .mid.block_1/attn_1/block_2, plus
+    quant_conv/post_quant_conv (reference ldm/models/autoencoder.py:291).
+    ldm's decoder ModuleList is insert(0)-built so up.{i}=0 is the finest
+    level, matching our up_{i} naming.  The CFW decoder's zero-init fuse_{i}
+    convs have no SD counterpart — merge with merge_into_tree to keep them."""
+    if any(k.startswith("first_stage_model.") for k in sd):
+        sd = {k[len("first_stage_model."):]: v for k, v in sd.items()
+              if k.startswith("first_stage_model.")}
+
+    def resblk(pfx):
+        node = {"GroupNorm_0": _ln(sd, f"{pfx}.norm1"),
+                "Conv_0": _convp(sd, f"{pfx}.conv1"),
+                "GroupNorm_1": _ln(sd, f"{pfx}.norm2"),
+                "Conv_1": _convp(sd, f"{pfx}.conv2")}
+        if f"{pfx}.nin_shortcut.weight" in sd:
+            node["Conv_2"] = _convp(sd, f"{pfx}.nin_shortcut")
+        return node
+
+    def attn(pfx):
+        return {"GroupNorm_0": _ln(sd, f"{pfx}.norm"),
+                **{n: _convp(sd, f"{pfx}.{n}") for n in ("q", "k", "v", "proj_out")}}
+
+    def coder(name, direction):
+        out = {"conv_in": _convp(sd, f"{name}.conv_in"),
+               "conv_out": _convp(sd, f"{name}.conv_out"),
+               "norm_out": _ln(sd, f"{name}.norm_out"),
+               "mid_block_1": resblk(f"{name}.mid.block_1"),
+               "mid_attn": attn(f"{name}.mid.attn_1"),
+               "mid_block_2": resblk(f"{name}.mid.block_2")}
+        pat = re.compile(rf"{name}\.{direction}\.(\d+)\.block\.(\d+)\.conv1\.weight")
+        for k in sd:
+            m = pat.match(k)
+            if m:
+                i, j = m.group(1), m.group(2)
+                out[f"{direction}_{i}_block_{j}"] = resblk(f"{name}.{direction}.{i}.block.{j}")
+            m = re.match(rf"{name}\.{direction}\.(\d+)\.(downsample|upsample)\.conv\.weight", k)
+            if m:
+                out[f"{direction}_{m.group(1)}_{m.group(2)}"] = _convp(
+                    sd, f"{name}.{direction}.{m.group(1)}.{m.group(2)}.conv")
+        return out
+
+    return {"encoder": coder("encoder", "down"),
+            "decoder": coder("decoder", "up"),
+            "quant_conv": _convp(sd, "quant_conv"),
+            "post_quant_conv": _convp(sd, "post_quant_conv")}
+
+
+def merge_into_tree(ref_tree, converted: dict):
+    """Overlay converted leaves onto an initialized reference tree, keeping
+    reference leaves with no counterpart (e.g. CFW fuse convs absent from SD
+    checkpoints).  Shape mismatches raise."""
+    if not isinstance(ref_tree, dict):
+        if np.shape(ref_tree) != np.shape(converted):
+            raise ValueError(f"shape mismatch {np.shape(ref_tree)} vs {np.shape(converted)}")
+        return converted
+    out = dict(ref_tree)
+    for k, v in converted.items():
+        if k in out:
+            out[k] = merge_into_tree(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
 def convert_unet_disc_sn(sd: dict) -> dict:
     """Reference UNetDiscriminatorSN keys (discriminator_arch.py:342-354) ->
     our flax tree.  torch spectral_norm stores the UNNORMALIZED weight as
@@ -507,6 +577,8 @@ CONVERTERS = {
     "spsr": (lambda sd: any(k.startswith("model.1.sub.") for k in sd)
              and "b_fea_conv.weight" in sd, convert_spsr),
     "elan": (lambda sd: any(".modules_gmsa." in k for k in sd), convert_elan),
+    "ldm_vae": (lambda sd: any(k.endswith("decoder.mid.attn_1.q.weight") for k in sd),
+                convert_ldm_vae),
 }
 
 

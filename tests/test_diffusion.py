@@ -170,3 +170,73 @@ def test_cfw_triplet_dataset(tmp_path):
     assert item["gt"].shape == (16, 16, 3)
     assert item["lq"].shape == (16, 16, 3)  # upscaled 8->32 then cropped
     assert item["sr"].shape == (16, 16, 3)
+
+
+def test_ldm_vae_conversion():
+    """SD/ldm first_stage_model layout -> our VAE tree, merged into the CFW
+    autoencoder (fuse convs keep their zero init)."""
+    import numpy as np
+    import torch
+    from ssl_tpu.diffusion.vae import AutoencoderKLResi
+    from ssl_tpu.utils.weight_port import convert_ldm_vae, merge_into_tree
+    ch, z = 8, 4
+    rng = np.random.RandomState(0)
+    sd = {}
+
+    def conv(name, co, ci, k=3):
+        sd[f"{name}.weight"] = torch.from_numpy(rng.randn(co, ci, k, k).astype(np.float32) * 0.05)
+        sd[f"{name}.bias"] = torch.zeros(co)
+
+    def norm(name, c):
+        sd[f"{name}.weight"] = torch.ones(c)
+        sd[f"{name}.bias"] = torch.zeros(c)
+
+    def resblk(pfx, ci, co):
+        norm(f"{pfx}.norm1", ci)
+        conv(f"{pfx}.conv1", co, ci)
+        norm(f"{pfx}.norm2", co)
+        conv(f"{pfx}.conv2", co, co)
+        if ci != co:
+            conv(f"{pfx}.nin_shortcut", co, ci, k=1)
+
+    def attn(pfx, c):
+        norm(f"{pfx}.norm", c)
+        for n in ("q", "k", "v", "proj_out"):
+            conv(f"{pfx}.{n}", c, c, k=1)
+
+    # encoder: ch_mult (1,2), 1 res block
+    conv("encoder.conv_in", ch, 3)
+    resblk("encoder.down.0.block.0", ch, ch)
+    conv("encoder.down.0.downsample.conv", ch, ch)
+    resblk("encoder.down.1.block.0", ch, 2 * ch)
+    resblk("encoder.mid.block_1", 2 * ch, 2 * ch)
+    attn("encoder.mid.attn_1", 2 * ch)
+    resblk("encoder.mid.block_2", 2 * ch, 2 * ch)
+    norm("encoder.norm_out", 2 * ch)
+    conv("encoder.conv_out", 2 * z, 2 * ch)
+    # decoder
+    conv("decoder.conv_in", 2 * ch, z)
+    resblk("decoder.mid.block_1", 2 * ch, 2 * ch)
+    attn("decoder.mid.attn_1", 2 * ch)
+    resblk("decoder.mid.block_2", 2 * ch, 2 * ch)
+    resblk("decoder.up.1.block.0", 2 * ch, 2 * ch)
+    resblk("decoder.up.1.block.1", 2 * ch, 2 * ch)
+    conv("decoder.up.1.upsample.conv", 2 * ch, 2 * ch)
+    resblk("decoder.up.0.block.0", 2 * ch, ch)
+    resblk("decoder.up.0.block.1", ch, ch)
+    norm("decoder.norm_out", ch)
+    conv("decoder.conv_out", 3, ch)
+    conv("quant_conv", 2 * z, 2 * z, k=1)
+    conv("post_quant_conv", z, z, k=1)
+    # exercise the full-SD-checkpoint prefix path too
+    sd = {f"first_stage_model.{k}": v for k, v in sd.items()}
+
+    net = AutoencoderKLResi(embed_dim=z, ch=ch, ch_mult=(1, 2), num_res_blocks=1)
+    ref = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    converted = convert_ldm_vae(sd)
+    merged = merge_into_tree(ref["params"], jax.tree_util.tree_map(jnp.asarray, converted))
+    np.testing.assert_array_equal(
+        np.asarray(merged["encoder"]["conv_in"]["kernel"]),
+        sd["first_stage_model.encoder.conv_in.weight"].numpy().transpose(2, 3, 1, 0))
+    out, mean, logvar = net.apply({"params": merged}, jnp.ones((1, 16, 16, 3)) * 0.4)
+    assert out.shape == (1, 16, 16, 3) and np.isfinite(np.asarray(out)).all()
