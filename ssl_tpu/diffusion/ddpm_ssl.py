@@ -68,7 +68,8 @@ class StableSRSSL:
                  structcond: EncoderUNetModelWT | None = None,
                  vae: AutoencoderKL | None = None,
                  ssl_setting: SSLSetting | None = None,
-                 lr: float = 5e-5, accumulate: int = 1):
+                 lr: float = 5e-5, accumulate: int = 1,
+                 vae_ckpt: str | None = None):
         self.cfg = cfg
         self.unet = unet or UNetModelDualcondV2(context_dim=cfg.context_dim)
         self.structcond = structcond or EncoderUNetModelWT(
@@ -83,6 +84,7 @@ class StableSRSSL:
                                cfg.linear_start, cfg.linear_end))
         tx = optax.adamw(lr)
         self.tx = optax.MultiSteps(tx, accumulate) if accumulate > 1 else tx
+        self.vae_ckpt = vae_ckpt
         self._train_step = None
 
     # ------------------------------------------------------------------- init
@@ -91,6 +93,15 @@ class StableSRSSL:
         r1, r2, r3, r4 = jax.random.split(rng, 4)
         gt = jnp.zeros(gt_shape, jnp.float32)
         vae_vars = jax.jit(self.vae.init)(r1, gt)
+        if self.vae_ckpt:
+            # frozen first stage from an SD/ldm checkpoint (the reference loads
+            # SD 2.1 via ckpt_path, configs/StableSRISSLStage1)
+            from ssl_tpu.utils.weight_port import (convert_ldm_vae, _as_jnp,
+                                                   load_torch_state_dict,
+                                                   merge_into_tree)
+            sd = load_torch_state_dict(self.vae_ckpt, "state_dict")
+            vae_vars = {"params": merge_into_tree(
+                vae_vars["params"], _as_jnp(convert_ldm_vae(sd)))}
         z_shape = (gt_shape[0], gt_shape[1] // 8, gt_shape[2] // 8, self.vae.embed_dim)
         z = jnp.zeros(z_shape, jnp.float32)
         t = jnp.zeros((gt_shape[0],), jnp.int32)

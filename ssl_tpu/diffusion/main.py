@@ -57,7 +57,8 @@ def build_from_config(cfg: dict):
                                l1_weight=dcfg.ssl_l1_weight, kl_weight=dcfg.ssl_kl_weight,
                                impl=sslopt.get("impl", "dense")),
         lr=cfg.get("train", {}).get("lr", 5e-5),
-        accumulate=cfg.get("train", {}).get("accumulate_grad_batches", 1))
+        accumulate=cfg.get("train", {}).get("accumulate_grad_batches", 1),
+        vae_ckpt=m.get("vae_ckpt"))
     return model
 
 

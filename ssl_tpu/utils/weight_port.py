@@ -548,7 +548,7 @@ def sn_batch_stats_from_torch(sd: dict, ref_batch_stats: dict) -> dict:
             v /= np.linalg.norm(v) + 1e-12
             u = (a.T @ v).T
             u /= np.linalg.norm(u) + 1e-12
-        sigma = float(v.T @ a @ u.T)
+        sigma = float((v.T @ a @ u.T).item())
         inner = dict(node["SpectralNorm_0"])
         for k in inner:
             inner[k] = np.float32(sigma) if k.endswith("sigma") else u.astype(np.float32)

@@ -240,3 +240,57 @@ def test_ldm_vae_conversion():
         sd["first_stage_model.encoder.conv_in.weight"].numpy().transpose(2, 3, 1, 0))
     out, mean, logvar = net.apply({"params": merged}, jnp.ones((1, 16, 16, 3)) * 0.4)
     assert out.shape == (1, 16, 16, 3) and np.isfinite(np.asarray(out)).all()
+
+
+def test_stablesr_vae_ckpt_loading(tmp_path):
+    """StableSRSSL init_state loads the frozen first stage from an SD-layout
+    checkpoint via convert_ldm_vae (here: exported from a fresh tiny VAE)."""
+    import numpy as np
+    import torch
+    from ssl_tpu.diffusion import AutoencoderKL, DiffusionSSLConfig, StableSRSSL
+    from ssl_tpu.diffusion import EncoderUNetModelWT, UNetModelDualcondV2
+    vae = AutoencoderKL(embed_dim=4, ch=8, ch_mult=(1, 2, 2, 2), num_res_blocks=1)
+    # build a torch-layout sd by inverting our own tree (kernel -> OIHW etc.)
+    ref = vae.init(jax.random.PRNGKey(3), jnp.zeros((1, 32, 32, 3)))["params"]
+
+    def to_sd(tree, pfx, sd):
+        for k, v in tree.items():
+            name = f"{pfx}.{k}" if pfx else k
+            if isinstance(v, dict):
+                # invert our naming back to ldm naming
+                name = (name.replace("mid_attn", "mid.attn_1")
+                        .replace("mid_block_", "mid.block_")
+                        .replace("norm_out", "norm_out"))
+                import re as _re
+                name = _re.sub(r"(down|up)_(\d+)_block_(\d+)", r"\1.\2.block.\3", name)
+                name = _re.sub(r"(down|up)_(\d+)_(downsample|upsample)", r"\1.\2.\3.conv", name)
+                to_sd(v, name, sd)
+            else:
+                arr = np.asarray(v)
+                leaf_map = {"kernel": "weight", "scale": "weight", "bias": "bias"}
+                base, leaf = name.rsplit(".", 1)
+                # our auto-named ResnetBlock internals -> ldm norms/convs
+                base = (base.replace("GroupNorm_0", "norm1").replace("GroupNorm_1", "norm2")
+                        .replace("Conv_0", "conv1").replace("Conv_1", "conv2")
+                        .replace("Conv_2", "nin_shortcut"))
+                if base.endswith("mid.attn_1.norm1"):
+                    base = base[:-len("norm1")] + "norm"
+                if leaf == "kernel":
+                    arr = arr.transpose(3, 2, 0, 1)
+                sd[f"{base}.{leaf_map[leaf]}"] = torch.from_numpy(np.ascontiguousarray(arr))
+
+    sd = {}
+    to_sd(ref, "", sd)
+    path = str(tmp_path / "sd_vae.ckpt")
+    torch.save({"state_dict": sd}, path)
+
+    model = StableSRSSL(
+        DiffusionSSLConfig(context_dim=32),
+        unet=UNetModelDualcondV2(model_channels=32, num_res_blocks=1,
+                                 channel_mult=(1, 2), attention_resolutions=(2,),
+                                 num_heads=4, context_dim=32),
+        structcond=EncoderUNetModelWT(model_channels=32, channel_mult=(1, 2)),
+        vae=vae, vae_ckpt=path)
+    state = model.init_state(gt_shape=(1, 32, 32, 3))
+    got = np.asarray(state.frozen["vae"]["encoder"]["conv_in"]["kernel"])
+    np.testing.assert_allclose(got, np.asarray(ref["encoder"]["conv_in"]["kernel"]))
