@@ -2,7 +2,8 @@
 
 Import: any layout load_params_auto detects (RRDBNet / SwinIR / SRVGG /
 MSRResNet / UNetDiscriminatorSN / VGGStyleDiscriminator / torchvision VGG19).
-Export: RRDBNet and SwinIR back to reference-consumable .pth
+Export: RRDBNet / SwinIR / MSRResNet / SRVGGNetCompact back to
+reference-consumable .pth
 (reference users load these with basicsr's load_network, base_model.py:289).
 
   python scripts/convert_checkpoint.py import net_g.pth out.pkl [--key params_ema]
@@ -20,7 +21,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("mode", choices=["import", "export-rrdb", "export-swinir"])
+    ap.add_argument("mode", choices=["import", "export-rrdb", "export-swinir",
+                                 "export-msrresnet", "export-srvgg"])
     ap.add_argument("src")
     ap.add_argument("dst")
     ap.add_argument("--key", default="params", help="param key inside the .pth/.pkl")
@@ -43,12 +45,12 @@ def main():
     with open(args.src, "rb") as f:
         payload = pickle.load(f)
     tree = payload.get(args.key, payload) if isinstance(payload, dict) else payload
-    if args.mode == "export-rrdb":
-        from ssl_tpu.utils.weight_port import export_rrdbnet_to_torch
-        export_rrdbnet_to_torch(tree, args.dst, param_key=args.key)
-    else:
-        from ssl_tpu.utils.weight_port import export_swinir_to_torch
-        export_swinir_to_torch(tree, args.dst, param_key=args.key)
+    from ssl_tpu.utils import weight_port as wp
+    exporter = {"export-rrdb": wp.export_rrdbnet_to_torch,
+                "export-swinir": wp.export_swinir_to_torch,
+                "export-msrresnet": wp.export_msrresnet_to_torch,
+                "export-srvgg": wp.export_srvgg_to_torch}[args.mode]
+    exporter(tree, args.dst, param_key=args.key)
     print(f"wrote {args.dst}")
 
 

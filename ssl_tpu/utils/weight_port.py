@@ -556,6 +556,67 @@ def sn_batch_stats_from_torch(sd: dict, ref_batch_stats: dict) -> dict:
     return out
 
 
+def export_msrresnet_to_torch(params: dict, path: str, param_key: str = "params",
+                              also_ema: dict | None = None) -> None:
+    """Inverse port: our MSRResNet tree -> reference srresnet_arch.py layout."""
+    import torch
+
+    def _t(a):
+        return torch.from_numpy(np.ascontiguousarray(np.asarray(a)))
+
+    def tree_to_sd(tree):
+        sd = {}
+        for name in ("conv_first", "upconv1", "upconv2", "conv_hr", "conv_last"):
+            if name in tree:
+                sd[f"{name}.weight"] = _t(np.asarray(tree[name]["kernel"]).transpose(3, 2, 0, 1))
+                sd[f"{name}.bias"] = _t(tree[name]["bias"])
+        i = 0
+        while f"body_{i}" in tree:
+            for j in (1, 2):
+                node = tree[f"body_{i}"][f"Conv3x3_{j-1}"]["Conv_0"]
+                sd[f"body.{i}.conv{j}.weight"] = _t(np.asarray(node["kernel"]).transpose(3, 2, 0, 1))
+                sd[f"body.{i}.conv{j}.bias"] = _t(node["bias"])
+            i += 1
+        return sd
+
+    payload = {param_key: tree_to_sd(params)}
+    if also_ema is not None:
+        payload["params_ema"] = tree_to_sd(also_ema)
+    torch.save(payload, path)
+
+
+def export_srvgg_to_torch(params: dict, path: str, param_key: str = "params",
+                          also_ema: dict | None = None) -> None:
+    """Inverse port: our SRVGGNetCompact tree -> reference srvgg_arch.py
+    body.{k} layout (alternating conv / per-channel PReLU)."""
+    import torch
+
+    def _t(a):
+        return torch.from_numpy(np.ascontiguousarray(np.asarray(a)))
+
+    def tree_to_sd(tree):
+        sd = {"body.0.weight": _t(np.asarray(tree["conv_first"]["kernel"]).transpose(3, 2, 0, 1)),
+              "body.0.bias": _t(tree["conv_first"]["bias"])}
+        if "act_first" in tree:
+            sd["body.1.weight"] = _t(tree["act_first"]["alpha"])
+        i = 0
+        while f"conv_{i}" in tree:
+            sd[f"body.{2*i+2}.weight"] = _t(np.asarray(tree[f"conv_{i}"]["kernel"]).transpose(3, 2, 0, 1))
+            sd[f"body.{2*i+2}.bias"] = _t(tree[f"conv_{i}"]["bias"])
+            if f"act_{i}" in tree:
+                sd[f"body.{2*i+3}.weight"] = _t(tree[f"act_{i}"]["alpha"])
+            i += 1
+        last = 2 * i + 2
+        sd[f"body.{last}.weight"] = _t(np.asarray(tree["conv_last"]["kernel"]).transpose(3, 2, 0, 1))
+        sd[f"body.{last}.bias"] = _t(tree["conv_last"]["bias"])
+        return sd
+
+    payload = {param_key: tree_to_sd(params)}
+    if also_ema is not None:
+        payload["params_ema"] = tree_to_sd(also_ema)
+    torch.save(payload, path)
+
+
 def jax_leaves_first(tree):
     import jax
     return jax.tree_util.tree_leaves(tree)[0]

@@ -497,3 +497,24 @@ def test_elan_conversion(tmp_path):
     assert loaded is not None
     out = net.apply({"params": loaded}, jnp.ones((1, 8, 8, 3)) * 0.5)
     assert out.shape == (1, 32, 32, 3) and np.isfinite(np.asarray(out)).all()
+
+
+def test_msrresnet_srvgg_export_roundtrip(tmp_path):
+    """flax -> reference layout -> flax bit-exact for MSRResNet and SRVGG."""
+    from ssl_tpu.utils.weight_port import (export_msrresnet_to_torch,
+                                           export_srvgg_to_torch)
+    for arch, exporter, fname in (
+            (dict(type="MSRResNet", num_feat=8, num_block=2, upscale=4),
+             export_msrresnet_to_torch, "msr.pth"),
+            (dict(type="SRVGGNetCompact", num_feat=8, num_conv=2, upscale=4),
+             export_srvgg_to_torch, "srvgg.pth")):
+        net = build_network(dict(arch))
+        v = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+        path = str(tmp_path / fname)
+        exporter(v["params"], path)
+        loaded = load_params_auto(path, "params", v["params"])
+        assert loaded is not None
+        for (pa, la), (pb, lb) in zip(jax.tree_util.tree_leaves_with_path(v["params"]),
+                                      jax.tree_util.tree_leaves_with_path(loaded)):
+            assert pa == pb
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
