@@ -1,0 +1,181 @@
+"""CLIP RN50 — image/text towers for CLIPIQA (TPU-native flax).
+
+Reference parity: the GAN tree's vendored CLIP (scripts/metrics/clip/model.py:
+ModifiedResNet + text Transformer; clipiqa_pyiqa/clip_model.py resizes the
+attention-pool positional embedding for non-224 inputs).  NHWC flax
+re-implementation of the public CLIP architecture: 3-conv stem with avgpool,
+Bottleneck layers whose stride-2 is an avgpool before the last 1x1
+(anti-aliased downsample), attention pooling head, and a pre-LN causal text
+transformer.  Weights load from OpenAI-CLIP-layout .pth via
+utils.weight_port.convert_clip_rn50 (zero-egress: user-supplied).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+class Bottleneck(nn.Module):
+    """CLIP ModifiedResNet bottleneck: 1x1 -> 3x3 -> (avgpool if stride) -> 1x1,
+    all BN; downsample branch = avgpool + 1x1 conv + BN."""
+    planes: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bn = lambda name: nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                       epsilon=1e-5, name=name)
+        out = nn.relu(bn("bn1")(nn.Conv(self.planes, (1, 1), use_bias=False,
+                                        name="conv1")(x)))
+        out = nn.relu(bn("bn2")(nn.Conv(self.planes, (3, 3), padding="SAME",
+                                        use_bias=False, name="conv2")(out)))
+        if self.stride > 1:
+            out = nn.avg_pool(out, (self.stride, self.stride),
+                              strides=(self.stride, self.stride))
+        out = bn("bn3")(nn.Conv(self.planes * 4, (1, 1), use_bias=False,
+                                name="conv3")(out))
+        if self.stride > 1 or x.shape[-1] != self.planes * 4:
+            sc = x
+            if self.stride > 1:
+                sc = nn.avg_pool(sc, (self.stride, self.stride),
+                                 strides=(self.stride, self.stride))
+            sc = bn("downsample_bn")(nn.Conv(self.planes * 4, (1, 1), use_bias=False,
+                                             name="downsample_conv")(sc))
+        else:
+            sc = x
+        return nn.relu(out + sc)
+
+
+class AttentionPool2d(nn.Module):
+    """CLIP attention pooling: mean-token query over flattened feature map
+    with a learned positional embedding (resized bilinearly for non-224
+    inputs, matching clipiqa's clip_model.py)."""
+    embed_dim: int
+    num_heads: int
+    output_dim: int
+    spacial_dim: int = 7
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        seq = x.reshape(b, h * w, c)
+        seq = jnp.concatenate([seq.mean(axis=1, keepdims=True), seq], axis=1)
+        pos = self.param("positional_embedding",
+                         nn.initializers.normal(c ** -0.5),
+                         (self.spacial_dim ** 2 + 1, c))
+        if h * w != self.spacial_dim ** 2:  # resize for non-224 inputs
+            cls_pos, grid = pos[:1], pos[1:]
+            grid = grid.reshape(self.spacial_dim, self.spacial_dim, c)
+            grid = jax.image.resize(grid, (h, w, c), method="bilinear")
+            pos = jnp.concatenate([cls_pos, grid.reshape(h * w, c)], axis=0)
+        seq = seq + pos[None]
+        q = nn.Dense(c, name="q_proj")(seq[:, :1])
+        k = nn.Dense(c, name="k_proj")(seq)
+        v = nn.Dense(c, name="v_proj")(seq)
+        hd = c // self.num_heads
+        q = q.reshape(b, 1, self.num_heads, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, -1, self.num_heads, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, -1, self.num_heads, hd).transpose(0, 2, 1, 3)
+        attn = jax.nn.softmax(jnp.einsum("bhnd,bhmd->bhnm", q * hd ** -0.5, k), -1)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, 1, c)[:, 0]
+        return nn.Dense(self.output_dim, name="c_proj")(out)
+
+
+class ModifiedResNet(nn.Module):
+    """CLIP RN50 visual tower (width 64, layers (3,4,6,3), embed 1024)."""
+    layers: Sequence[int] = (3, 4, 6, 3)
+    width: int = 64
+    output_dim: int = 1024
+    heads: int = 32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bn = lambda name: nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                       epsilon=1e-5, name=name)
+        # 3-conv stem, stride 2 then avgpool
+        x = nn.relu(bn("bn1")(nn.Conv(self.width // 2, (3, 3), strides=2,
+                                      padding=1, use_bias=False, name="conv1")(x)))
+        x = nn.relu(bn("bn2")(nn.Conv(self.width // 2, (3, 3), padding=1,
+                                      use_bias=False, name="conv2")(x)))
+        x = nn.relu(bn("bn3")(nn.Conv(self.width, (3, 3), padding=1,
+                                      use_bias=False, name="conv3")(x)))
+        x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        for i, blocks in enumerate(self.layers):
+            planes = self.width * 2 ** i
+            for j in range(blocks):
+                stride = 2 if (j == 0 and i > 0) else 1
+                x = Bottleneck(planes, stride, name=f"layer{i+1}_{j}")(x, train)
+        return AttentionPool2d(self.width * 32, self.heads, self.output_dim,
+                               name="attnpool")(x)
+
+
+class _TextBlock(nn.Module):
+    width: int
+    heads: int
+
+    @nn.compact
+    def __call__(self, x, mask):
+        b, n, c = x.shape
+        y = nn.LayerNorm(name="ln_1")(x)
+        qkv = nn.Dense(c * 3, name="in_proj")(y)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        hd = c // self.heads
+        rs = lambda t: t.reshape(b, n, self.heads, hd).transpose(0, 2, 1, 3)
+        attn = jnp.einsum("bhnd,bhmd->bhnm", rs(q) * hd ** -0.5, rs(k)) + mask
+        attn = jax.nn.softmax(attn, axis=-1)
+        o = jnp.einsum("bhnm,bhmd->bhnd", attn, rs(v))
+        o = o.transpose(0, 2, 1, 3).reshape(b, n, c)
+        x = x + nn.Dense(c, name="out_proj")(o)
+        y = nn.LayerNorm(name="ln_2")(x)
+        y = nn.Dense(c * 4, name="c_fc")(y)
+        y = y * jax.nn.sigmoid(1.702 * y)  # QuickGELU
+        return x + nn.Dense(c, name="c_proj")(y)
+
+
+class CLIPTextEncoder(nn.Module):
+    """CLIP text tower.  __call__ takes token ids; encode_embeddings takes
+    precomputed token embeddings (CLIPIQA's learned PromptLearner path, which
+    bypasses the tokenizer entirely — no BPE vocab needed)."""
+    vocab_size: int = 49408
+    context_length: int = 77
+    width: int = 512
+    layers: int = 12
+    heads: int = 8
+    embed_dim: int = 1024
+
+    def setup(self):
+        self.token_embedding = nn.Embed(self.vocab_size, self.width,
+                                        name="token_embedding")
+        self.positional_embedding = self.param(
+            "positional_embedding", nn.initializers.normal(0.01),
+            (self.context_length, self.width))
+        self.blocks = [_TextBlock(self.width, self.heads, name=f"resblock_{i}")
+                       for i in range(self.layers)]
+        self.ln_final = nn.LayerNorm(name="ln_final")
+        self.text_projection = self.param(
+            "text_projection", nn.initializers.normal(self.width ** -0.5),
+            (self.width, self.embed_dim))
+
+    def _run(self, x, eot_idx):
+        n = x.shape[1]
+        mask = jnp.triu(jnp.full((n, n), -jnp.inf), k=1)[None, None]
+        x = x + self.positional_embedding[None, :n]
+        for blk in self.blocks:
+            x = blk(x, mask)
+        x = self.ln_final(x)
+        pooled = jnp.take_along_axis(x, eot_idx[:, None, None].astype(jnp.int32), 1)[:, 0]
+        return pooled @ self.text_projection
+
+    def __call__(self, token_ids):
+        x = self.token_embedding(token_ids)
+        eot = jnp.argmax(token_ids, axis=-1)  # eot token has the highest id
+        return self._run(x, eot)
+
+    def encode_embeddings(self, embeds, eot_idx):
+        return self._run(embeds, eot_idx)

@@ -29,15 +29,69 @@ def clipiqa_score(image_features: np.ndarray, good_text: np.ndarray,
     return float(e[0] / e.sum())
 
 
+_CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+_CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+_cache: dict = {}
+
+
+def _load_clip(path: str):
+    if path in _cache:
+        return _cache[path]
+    import jax
+    import jax.numpy as jnp
+    from ssl_tpu.archs.clip_arch import CLIPTextEncoder, ModifiedResNet
+    from ssl_tpu.utils.weight_port import convert_clip_rn50, load_torch_state_dict
+    sd = load_torch_state_dict(path, "state_dict")
+    vis_p, vis_s, text_p = convert_clip_rn50(sd)
+    width = sd["visual.conv1.weight"].shape[0] * 2
+    embed = sd["text_projection"].shape[1]
+    n_layers = len([k for k in sd if k.endswith(".ln_1.weight")])
+    twidth = sd["positional_embedding"].shape[1]
+    import re
+    counts = [0, 0, 0, 0]
+    for k in sd:
+        m = re.match(r"visual\.layer(\d)\.(\d+)\.conv1\.weight", k)
+        if m:
+            li, j = int(m.group(1)), int(m.group(2))
+            counts[li - 1] = max(counts[li - 1], j + 1)
+    visual = ModifiedResNet(layers=tuple(counts), width=width,
+                            output_dim=embed, heads=width // 2)
+    textenc = CLIPTextEncoder(width=twidth, layers=n_layers,
+                              heads=twidth // 64, embed_dim=embed,
+                              vocab_size=sd["token_embedding.weight"].shape[0])
+    as_j = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+    bundle = (visual, as_j(vis_p), as_j(vis_s), textenc, as_j(text_p))
+    _cache[path] = bundle
+    return bundle
+
+
 @METRIC_REGISTRY.register()
-def calculate_clipiqa(img, weights_path=None, **kwargs) -> float:
+def calculate_clipiqa(img, weights_path=None, prompt_tokens=None, **kwargs) -> float:
+    """img: HWC uint8/float [0,255].  weights_path: OpenAI CLIP RN50 .pt.
+    prompt_tokens: (2, 77) int token ids for the antonym pair ('Good photo.',
+    'Bad photo.'); required because the BPE vocab is not vendored
+    (zero-egress) — precompute ids with any CLIP tokenizer."""
+    import jax.numpy as jnp
     path = weights_path or os.environ.get("CLIP_RN50_PTH")
     if not path or not os.path.exists(path):
         raise FileNotFoundError(
-            "CLIPIQA requires CLIP RN50 weights (set CLIP_RN50_PTH). The scoring "
-            "math is implemented (clipiqa_score); the backbone converter is wired "
-            "when weights are supplied.")
-    raise NotImplementedError("CLIP RN50 backbone conversion lands with supplied weights.")
+            "CLIPIQA requires CLIP RN50 weights (set CLIP_RN50_PTH); the backbone "
+            "(archs/clip_arch.py) and converter (convert_clip_rn50) are wired.")
+    if prompt_tokens is None:
+        tok_path = os.environ.get("CLIP_PROMPT_TOKENS_NPY")
+        if not tok_path or not os.path.exists(tok_path):
+            raise FileNotFoundError(
+                "CLIPIQA needs the antonym prompt token ids (pass prompt_tokens "
+                "or set CLIP_PROMPT_TOKENS_NPY to a (2,77) int .npy).")
+        prompt_tokens = np.load(tok_path)
+    visual, vis_p, vis_s, textenc, text_p = _load_clip(path)
+    x = np.asarray(img, np.float32) / 255.0
+    x = (x - _CLIP_MEAN) / _CLIP_STD
+    feats = visual.apply({"params": vis_p, "batch_stats": vis_s}, jnp.asarray(x)[None])
+    tfeats = textenc.apply({"params": text_p}, jnp.asarray(prompt_tokens, jnp.int32))
+    tfeats = np.asarray(tfeats)
+    return clipiqa_score(np.asarray(feats)[0], tfeats[0], tfeats[1])
 
 
 @METRIC_REGISTRY.register()

@@ -617,6 +617,67 @@ def export_srvgg_to_torch(params: dict, path: str, param_key: str = "params",
     torch.save(payload, path)
 
 
+def convert_clip_rn50(sd: dict):
+    """OpenAI-CLIP layout (visual ModifiedResNet + text transformer) -> our
+    archs/clip_arch.py trees.  Returns (visual_params, visual_batch_stats,
+    text_params).  Reference: the GAN tree's vendored clip/model.py consumed
+    by clipiqa (scripts/metrics/clipiqa_pyiqa/)."""
+    vis: dict = {}
+    vstats: dict = {}
+
+    def put_bn(dst_p, dst_s, name, base):
+        dst_p[name] = {"scale": _to_np(sd[f"{base}.weight"]),
+                       "bias": _to_np(sd[f"{base}.bias"])}
+        dst_s[name] = {"mean": _to_np(sd[f"{base}.running_mean"]),
+                       "var": _to_np(sd[f"{base}.running_var"])}
+
+    for n in (1, 2, 3):
+        vis[f"conv{n}"] = {"kernel": _conv_w(sd[f"visual.conv{n}.weight"])}
+        put_bn(vis, vstats, f"bn{n}", f"visual.bn{n}")
+    pat = re.compile(r"visual\.layer(\d)\.(\d+)\.conv1\.weight")
+    for k in sd:
+        m = pat.match(k)
+        if not m:
+            continue
+        li, j = m.group(1), m.group(2)
+        base = f"visual.layer{li}.{j}"
+        name = f"layer{li}_{j}"
+        node: dict = {}
+        nstat: dict = {}
+        for c in (1, 2, 3):
+            node[f"conv{c}"] = {"kernel": _conv_w(sd[f"{base}.conv{c}.weight"])}
+            put_bn(node, nstat, f"bn{c}", f"{base}.bn{c}")
+        if f"{base}.downsample.0.weight" in sd:
+            node["downsample_conv"] = {"kernel": _conv_w(sd[f"{base}.downsample.0.weight"])}
+            put_bn(node, nstat, "downsample_bn", f"{base}.downsample.1")
+        vis[name] = node
+        vstats[name] = nstat
+    ap = "visual.attnpool"
+    vis["attnpool"] = {
+        "positional_embedding": _to_np(sd[f"{ap}.positional_embedding"]),
+        **{n: _dense(sd, f"{ap}.{n}") for n in ("q_proj", "k_proj", "v_proj", "c_proj")},
+    }
+
+    text: dict = {"token_embedding": {"embedding": _to_np(sd["token_embedding.weight"])},
+                  "positional_embedding": _to_np(sd["positional_embedding"]),
+                  "ln_final": _ln(sd, "ln_final"),
+                  "text_projection": _to_np(sd["text_projection"])}
+    i = 0
+    while f"transformer.resblocks.{i}.ln_1.weight" in sd:
+        base = f"transformer.resblocks.{i}"
+        text[f"resblock_{i}"] = {
+            "ln_1": _ln(sd, f"{base}.ln_1"),
+            "in_proj": {"kernel": _to_np(sd[f"{base}.attn.in_proj_weight"]).T,
+                        "bias": _to_np(sd[f"{base}.attn.in_proj_bias"])},
+            "out_proj": _dense(sd, f"{base}.attn.out_proj"),
+            "ln_2": _ln(sd, f"{base}.ln_2"),
+            "c_fc": _dense(sd, f"{base}.mlp.c_fc"),
+            "c_proj": _dense(sd, f"{base}.mlp.c_proj"),
+        }
+        i += 1
+    return vis, vstats, text
+
+
 def jax_leaves_first(tree):
     import jax
     return jax.tree_util.tree_leaves(tree)[0]

@@ -84,3 +84,75 @@ def test_dists_arch_scoring():
     v = jax.jit(m.init)(jax.random.PRNGKey(0), x, y)
     assert abs(float(m.apply(v, x, x)[0])) < 1e-4  # identical -> distance 0
     assert float(m.apply(v, x, y)[0]) > 0.1
+
+
+def test_clip_rn50_conversion_and_clipiqa(tmp_path, monkeypatch):
+    """Synthetic OpenAI-CLIP-layout RN50 checkpoint -> flax towers; CLIPIQA
+    end-to-end on random weights (score in (0,1))."""
+    import torch
+    from ssl_tpu.utils.weight_port import convert_clip_rn50
+    width, embed, twidth = 8, 16, 64
+    rng = np.random.RandomState(0)
+    sd = {}
+
+    def conv(name, co, ci, k):
+        sd[f"{name}.weight"] = torch.from_numpy(rng.randn(co, ci, k, k).astype(np.float32) * 0.05)
+
+    def bn(name, c):
+        sd[f"{name}.weight"] = torch.ones(c)
+        sd[f"{name}.bias"] = torch.zeros(c)
+        sd[f"{name}.running_mean"] = torch.zeros(c)
+        sd[f"{name}.running_var"] = torch.ones(c)
+
+    def dense(name, co, ci):
+        sd[f"{name}.weight"] = torch.from_numpy(rng.randn(co, ci).astype(np.float32) * 0.05)
+        sd[f"{name}.bias"] = torch.zeros(co)
+
+    conv("visual.conv1", width // 2, 3, 3); bn("visual.bn1", width // 2)
+    conv("visual.conv2", width // 2, width // 2, 3); bn("visual.bn2", width // 2)
+    conv("visual.conv3", width, width // 2, 3); bn("visual.bn3", width)
+    cin = width
+    for li in range(1, 5):
+        planes = width * 2 ** (li - 1)
+        base = f"visual.layer{li}.0"
+        conv(f"{base}.conv1", planes, cin, 1); bn(f"{base}.bn1", planes)
+        conv(f"{base}.conv2", planes, planes, 3); bn(f"{base}.bn2", planes)
+        conv(f"{base}.conv3", planes * 4, planes, 1); bn(f"{base}.bn3", planes * 4)
+        conv(f"{base}.downsample.0", planes * 4, cin, 1)
+        bn(f"{base}.downsample.1", planes * 4)
+        cin = planes * 4
+    ap = "visual.attnpool"
+    sd[f"{ap}.positional_embedding"] = torch.from_numpy(
+        rng.randn(50, cin).astype(np.float32) * 0.02)
+    for n in ("q_proj", "k_proj", "v_proj"):
+        dense(f"{ap}.{n}", cin, cin)
+    dense(f"{ap}.c_proj", embed, cin)
+    # text tower (2 blocks)
+    sd["token_embedding.weight"] = torch.from_numpy(rng.randn(512, twidth).astype(np.float32) * 0.02)
+    sd["positional_embedding"] = torch.from_numpy(rng.randn(77, twidth).astype(np.float32) * 0.01)
+    for i in range(2):
+        b = f"transformer.resblocks.{i}"
+        sd[f"{b}.ln_1.weight"] = torch.ones(twidth); sd[f"{b}.ln_1.bias"] = torch.zeros(twidth)
+        sd[f"{b}.attn.in_proj_weight"] = torch.from_numpy(
+            rng.randn(3 * twidth, twidth).astype(np.float32) * 0.05)
+        sd[f"{b}.attn.in_proj_bias"] = torch.zeros(3 * twidth)
+        dense(f"{b}.attn.out_proj", twidth, twidth)
+        sd[f"{b}.ln_2.weight"] = torch.ones(twidth); sd[f"{b}.ln_2.bias"] = torch.zeros(twidth)
+        dense(f"{b}.mlp.c_fc", 4 * twidth, twidth)
+        dense(f"{b}.mlp.c_proj", twidth, 4 * twidth)
+    sd["ln_final.weight"] = torch.ones(twidth); sd["ln_final.bias"] = torch.zeros(twidth)
+    sd["text_projection"] = torch.from_numpy(rng.randn(twidth, embed).astype(np.float32) * 0.05)
+    path = str(tmp_path / "clip_rn50.pt")
+    torch.save({"state_dict": sd}, path)
+
+    vis_p, vis_s, text_p = convert_clip_rn50(torch.load(path, weights_only=False)["state_dict"])
+    assert "layer4_0" in vis_p and "resblock_1" in text_p
+
+    from ssl_tpu.metrics.clipiqa import calculate_clipiqa
+    img = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+    toks = np.zeros((2, 77), np.int64)
+    toks[:, 0] = 1
+    toks[0, 1], toks[1, 1] = 100, 200
+    toks[:, 2] = 511  # eot = max id
+    score = calculate_clipiqa(img, weights_path=path, prompt_tokens=toks)
+    assert 0.0 < score < 1.0
