@@ -80,11 +80,16 @@ def calculate_clipiqa(img, weights_path=None, prompt_tokens=None, **kwargs) -> f
             "(archs/clip_arch.py) and converter (convert_clip_rn50) are wired.")
     if prompt_tokens is None:
         tok_path = os.environ.get("CLIP_PROMPT_TOKENS_NPY")
-        if not tok_path or not os.path.exists(tok_path):
+        if tok_path and os.path.exists(tok_path):
+            prompt_tokens = np.load(tok_path)
+        elif os.environ.get("CLIP_BPE_PATH"):
+            from ssl_tpu.utils.clip_tokenizer import SimpleTokenizer
+            prompt_tokens = SimpleTokenizer().tokenize(["Good photo.", "Bad photo."])
+        else:
             raise FileNotFoundError(
-                "CLIPIQA needs the antonym prompt token ids (pass prompt_tokens "
-                "or set CLIP_PROMPT_TOKENS_NPY to a (2,77) int .npy).")
-        prompt_tokens = np.load(tok_path)
+                "CLIPIQA needs the antonym prompt token ids: pass prompt_tokens, "
+                "set CLIP_PROMPT_TOKENS_NPY to a (2,77) int .npy, or set "
+                "CLIP_BPE_PATH to the CLIP merges file for on-the-fly tokenizing.")
     visual, vis_p, vis_s, textenc, text_p = _load_clip(path)
     x = np.asarray(img, np.float32) / 255.0
     x = (x - _CLIP_MEAN) / _CLIP_STD
