@@ -179,3 +179,16 @@ class CLIPTextEncoder(nn.Module):
 
     def encode_embeddings(self, embeds, eot_idx):
         return self._run(embeds, eot_idx)
+
+    def hidden_states(self, token_ids, penultimate: bool = True):
+        """(b, 77, width) token hidden states — StableSR's conditioning uses
+        the penultimate layer of the frozen (Open)CLIP text tower
+        (FrozenOpenCLIPEmbedder, layer='penultimate')."""
+        x = self.token_embedding(token_ids)
+        n = x.shape[1]
+        mask = jnp.triu(jnp.full((n, n), -jnp.inf), k=1)[None, None]
+        x = x + self.positional_embedding[None, :n]
+        upto = len(self.blocks) - 1 if penultimate else len(self.blocks)
+        for blk in self.blocks[:upto]:
+            x = blk(x, mask)
+        return self.ln_final(x)

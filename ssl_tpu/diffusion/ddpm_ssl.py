@@ -69,7 +69,8 @@ class StableSRSSL:
                  vae: AutoencoderKL | None = None,
                  ssl_setting: SSLSetting | None = None,
                  lr: float = 5e-5, accumulate: int = 1,
-                 vae_ckpt: str | None = None):
+                 vae_ckpt: str | None = None,
+                 clip_text_ckpt: str | None = None):
         self.cfg = cfg
         self.unet = unet or UNetModelDualcondV2(context_dim=cfg.context_dim)
         self.structcond = structcond or EncoderUNetModelWT(
@@ -85,7 +86,29 @@ class StableSRSSL:
         tx = optax.adamw(lr)
         self.tx = optax.MultiSteps(tx, accumulate) if accumulate > 1 else tx
         self.vae_ckpt = vae_ckpt
+        self.clip_text_ckpt = clip_text_ckpt
         self._train_step = None
+
+    def _clip_null_context(self):
+        """Empty-prompt penultimate-layer CLIP embedding — the reference's
+        fixed conditioning (FrozenOpenCLIPEmbedder('') in StableSR; SSL keeps
+        the prompt empty).  Requires CLIP_BPE_PATH for tokenizing ''."""
+        from ssl_tpu.archs.clip_arch import CLIPTextEncoder
+        from ssl_tpu.utils.clip_tokenizer import SimpleTokenizer
+        from ssl_tpu.utils.weight_port import convert_clip_rn50, load_torch_state_dict
+        sd = load_torch_state_dict(self.clip_text_ckpt, "state_dict")
+        _, _, text_p = convert_clip_rn50(sd)
+        twidth = sd["positional_embedding"].shape[1]
+        n_layers = len([k for k in sd if k.endswith(".ln_1.weight")])
+        enc = CLIPTextEncoder(width=twidth, layers=n_layers, heads=max(1, twidth // 64),
+                              embed_dim=sd["text_projection"].shape[1],
+                              vocab_size=sd["token_embedding.weight"].shape[0],
+                              context_length=self.cfg.context_len)
+        toks = SimpleTokenizer().tokenize([""], context_length=self.cfg.context_len)
+        text_p = jax.tree_util.tree_map(jnp.asarray, text_p)
+        hidden = enc.apply({"params": text_p}, jnp.asarray(toks),
+                           method=CLIPTextEncoder.hidden_states)
+        return hidden[0]  # (context_len, width)
 
     # ------------------------------------------------------------------- init
     def init_state(self, gt_shape=(1, 64, 64, 3), seed: int = 0) -> DiffusionTrainState:
@@ -111,11 +134,17 @@ class StableSRSSL:
                                sc_vars, z, t)
         feats0 = [jnp.zeros(f.shape, f.dtype) for f in feats]
         unet_vars = jax.jit(self.unet.init)(r3, z, t, ctx, feats0)
+        if self.clip_text_ckpt:
+            null_ctx = self._clip_null_context()
+            assert null_ctx.shape[-1] == self.cfg.context_dim, \
+                f"CLIP text width {null_ctx.shape[-1]} != context_dim {self.cfg.context_dim}"
+        else:
+            null_ctx = jax.random.normal(r4, (self.cfg.context_len,
+                                              self.cfg.context_dim)) * 0.02
         params = {
             "unet": unet_vars["params"],
             "structcond": sc_vars["params"],
-            "null_context": jax.random.normal(r4, (self.cfg.context_len,
-                                                   self.cfg.context_dim)) * 0.02,
+            "null_context": null_ctx,
         }
         return DiffusionTrainState(step=jnp.asarray(0, jnp.int32), rng=rng,
                                    params=params, frozen={"vae": vae_vars["params"]},

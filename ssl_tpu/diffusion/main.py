@@ -58,7 +58,8 @@ def build_from_config(cfg: dict):
                                impl=sslopt.get("impl", "dense")),
         lr=cfg.get("train", {}).get("lr", 5e-5),
         accumulate=cfg.get("train", {}).get("accumulate_grad_batches", 1),
-        vae_ckpt=m.get("vae_ckpt"))
+        vae_ckpt=m.get("vae_ckpt"),
+        clip_text_ckpt=m.get("clip_text_ckpt"))
     return model
 
 

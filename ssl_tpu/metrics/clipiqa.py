@@ -58,7 +58,7 @@ def _load_clip(path: str):
     visual = ModifiedResNet(layers=tuple(counts), width=width,
                             output_dim=embed, heads=width // 2)
     textenc = CLIPTextEncoder(width=twidth, layers=n_layers,
-                              heads=twidth // 64, embed_dim=embed,
+                              heads=max(1, twidth // 64), embed_dim=embed,
                               vocab_size=sd["token_embedding.weight"].shape[0])
     as_j = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
     bundle = (visual, as_j(vis_p), as_j(vis_s), textenc, as_j(text_p))
