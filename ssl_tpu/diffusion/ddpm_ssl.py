@@ -13,9 +13,10 @@ TPU redesign notes:
   jax.checkpoint to bound memory (SURVEY §7.3 'Diffusion memory').
 - Gradient accumulation (Lightning accumulate_grad_batches: 12,
   configs/SSL/base.yaml:190) maps to optax.MultiSteps.
-- The text context for SR is the empty prompt; with no CLIP weights on a
-  zero-egress image it is a learned null-context vector (config
-  ``context_dim``), documented divergence until OpenCLIP weights are supplied.
+- The text context for SR is the empty prompt.  With ``clip_text_ckpt`` (+
+  CLIP_BPE_PATH) it is the converted CLIP text tower's empty-prompt
+  penultimate hidden states, matching FrozenOpenCLIPEmbedder; without weights
+  (zero-egress image) it falls back to a learned null-context vector.
 """
 
 from __future__ import annotations
