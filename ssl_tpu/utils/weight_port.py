@@ -436,6 +436,26 @@ def merge_into_tree(ref_tree, converted: dict):
     return out
 
 
+def convert_old_rrdbnet(sd: dict) -> dict:
+    """KAIR / old-ESRGAN 'model.*' flattened-sequential RRDBNet layout
+    (reference train_BSGRAN models, bsrgan_arch-style: model.0 fea conv,
+    model.1.sub.{i} RRDBs, model.1.sub.{nb} trunk conv, then upsample convs,
+    HRconv, conv_last) -> our BSRGANRRDBNet/RRDBBebyGANNet tree (everything
+    nested under _RRDBTrunkNet_0)."""
+    inner: dict = {"conv_first": _spsr_conv(sd, "model.0")}
+    idxs = sorted({int(m.group(1)) for k in sd
+                   if (m := re.match(r"model\.1\.sub\.(\d+)\.RDB", k))})
+    for i in idxs:
+        inner[f"body_{i}"] = _spsr_rrdb(sd, f"model.1.sub.{i}")
+    inner["trunk_conv"] = _spsr_conv(sd, f"model.1.sub.{max(idxs) + 1}")
+    ups = sorted({int(m.group(1)) for k in sd
+                  if (m := re.match(r"model\.(\d+)\.weight", k)) and int(m.group(1)) >= 2})
+    names = ["upconv1", "upconv2"][: len(ups) - 2] + ["HRconv", "conv_last"]
+    for name, n in zip(names, ups):
+        inner[name] = _spsr_conv(sd, f"model.{n}")
+    return {"_RRDBTrunkNet_0": inner}
+
+
 def convert_unet_disc_sn(sd: dict) -> dict:
     """Reference UNetDiscriminatorSN keys (discriminator_arch.py:342-354) ->
     our flax tree.  torch spectral_norm stores the UNNORMALIZED weight as
@@ -698,6 +718,8 @@ CONVERTERS = {
                convert_ranker),
     "spsr": (lambda sd: any(k.startswith("model.1.sub.") for k in sd)
              and "b_fea_conv.weight" in sd, convert_spsr),
+    "old_rrdbnet": (lambda sd: any(k.startswith("model.1.sub.") for k in sd)
+                    and "b_fea_conv.weight" not in sd, convert_old_rrdbnet),
     "elan": (lambda sd: any(".modules_gmsa." in k for k in sd), convert_elan),
     "ldm_vae": (lambda sd: any(k.endswith("decoder.mid.attn_1.q.weight") for k in sd),
                 convert_ldm_vae),

@@ -518,3 +518,38 @@ def test_msrresnet_srvgg_export_roundtrip(tmp_path):
                                       jax.tree_util.tree_leaves_with_path(loaded)):
             assert pa == pb
             np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_old_rrdbnet_kair_conversion(tmp_path):
+    """KAIR/old-ESRGAN 'model.*' layout -> BSRGANRRDBNet (x4)."""
+    nf, gc, nb = 8, 4, 2
+    rng = np.random.RandomState(7)
+
+    def put_conv(sd, base, co, ci):
+        sd[f"{base}.weight"] = torch.from_numpy(rng.randn(co, ci, 3, 3).astype(np.float32) * 0.05)
+        sd[f"{base}.bias"] = torch.from_numpy(0.01 * rng.randn(co).astype(np.float32))
+
+    sd = {}
+    put_conv(sd, "model.0", nf, 3)
+    for i in range(nb):
+        for j in (1, 2, 3):
+            cin = nf
+            for k in (1, 2, 3, 4, 5):
+                co = gc if k < 5 else nf
+                key = f"model.1.sub.{i}.RDB{j}.conv{k}" + (".0" if k < 5 else "")
+                put_conv(sd, key, co, cin)
+                cin = cin + gc if k < 5 else cin
+    put_conv(sd, f"model.1.sub.{nb}", nf, nf)
+    put_conv(sd, "model.3", nf, nf)    # upconv1
+    put_conv(sd, "model.6", nf, nf)    # upconv2
+    put_conv(sd, "model.8", nf, nf)    # HRconv
+    put_conv(sd, "model.10", 3, nf)    # conv_last
+    path = str(tmp_path / "bsrgan.pth")
+    torch.save(sd, path)  # KAIR saves bare state dicts
+
+    net = build_network(dict(type="BSRGANRRDBNet", nf=nf, nb=nb, gc=gc, sf=4))
+    ref = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+    loaded = load_params_auto(path, "params", ref["params"])
+    assert loaded is not None
+    out = net.apply({"params": loaded}, jnp.ones((1, 8, 8, 3)) * 0.5)
+    assert out.shape == (1, 32, 32, 3) and np.isfinite(np.asarray(out)).all()
