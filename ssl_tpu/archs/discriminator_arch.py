@@ -194,3 +194,34 @@ class DiscriminatorSN_VGG_192(nn.Module):
         feat = feat.reshape(feat.shape[0], -1)
         feat = lrelu(nn.Dense(100)(feat))
         return nn.Dense(1)(feat)
+
+
+@ARCH_REGISTRY.register()
+class NLayerDiscriminator(nn.Module):
+    """PatchGAN discriminator (taming/pix2pix layout; the reference's CFW /
+    autoencoder adversarial loss uses it via LPIPSWithDiscriminator,
+    ldm/modules/losses/contperceptual.py:22).  BN variant, stride-2 pyramid,
+    1-channel logit map."""
+    input_nc: int = 3
+    ndf: int = 64
+    n_layers: int = 3
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        lrelu = lambda v: nn.leaky_relu(v, 0.2)
+        norm = lambda v: nn.BatchNorm(use_running_average=not train,
+                                      momentum=0.9)(v)
+        h = lrelu(nn.Conv(self.ndf, (4, 4), strides=2,
+                          padding=((1, 1), (1, 1)), name="conv0")(x))
+        mult = 1
+        for n in range(1, self.n_layers):
+            mult = min(2 ** n, 8)
+            h = lrelu(norm(nn.Conv(self.ndf * mult, (4, 4), strides=2,
+                                   padding=((1, 1), (1, 1)), use_bias=False,
+                                   name=f"conv{n}")(h)))
+        mult = min(2 ** self.n_layers, 8)
+        h = lrelu(norm(nn.Conv(self.ndf * mult, (4, 4), strides=1,
+                               padding=((1, 1), (1, 1)), use_bias=False,
+                               name=f"conv{self.n_layers}")(h)))
+        return nn.Conv(1, (4, 4), strides=1, padding=((1, 1), (1, 1)),
+                       name="conv_out")(h)

@@ -178,3 +178,13 @@ def test_hifacegan_and_deresnet():
                              downscales=(2, 1)))
     v = net.init(jax.random.PRNGKey(0), jnp.zeros((2, 32, 32, 3)))
     assert net.apply(v, jnp.zeros((2, 32, 32, 3))).shape == (2, 2)
+
+
+def test_nlayer_discriminator():
+    from ssl_tpu.archs import build_network
+    net = build_network(dict(type="NLayerDiscriminator", ndf=8, n_layers=3))
+    v = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    out, _ = net.apply(v, jnp.ones((1, 64, 64, 3)) * 0.5, True,
+                       mutable=["batch_stats"])
+    assert out.shape[0] == 1 and out.shape[-1] == 1
+    assert np.isfinite(np.asarray(out)).all()
