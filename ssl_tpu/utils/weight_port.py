@@ -535,6 +535,46 @@ def ranker_batch_stats(sd: dict, ref_batch_stats: dict) -> dict:
     return out
 
 
+def convert_vgg296_disc(sd: dict) -> dict:
+    """Reference Discriminator_VGG_296 keys (ranksrgan_arch.py:108-165) ->
+    our tree (_VGGDownStack_0 with auto-named Conv_N/BatchNorm_N + Dense head,
+    same NCHW/NHWC flatten fixup as VGGStyleDiscriminator)."""
+    inner: dict = {"Conv_0": _convp(sd, "conv0_0")}
+    conv_n, bn_n = 1, 0
+    names = ["conv0_1"]
+    for k in range(1, 6):
+        if f"conv{k}_0.weight" in sd:
+            names += [f"conv{k}_0", f"conv{k}_1"]
+    for name in names:
+        inner[f"Conv_{conv_n}"] = {"kernel": _conv_w(sd[f"{name}.weight"])}
+        bn = name.replace("conv", "bn")
+        inner[f"BatchNorm_{bn_n}"] = {"scale": _to_np(sd[f"{bn}.weight"]),
+                                      "bias": _to_np(sd[f"{bn}.bias"])}
+        conv_n += 1
+        bn_n += 1
+    w1 = _to_np(sd["linear1.weight"])
+    c = sd[names[-1] + ".weight"].shape[0]
+    s = int(round((w1.shape[1] // c) ** 0.5))
+    w1 = w1.reshape(w1.shape[0], c, s, s).transpose(0, 2, 3, 1).reshape(w1.shape[0], -1)
+    return {"_VGGDownStack_0": inner,
+            "Dense_0": {"kernel": w1.T, "bias": _to_np(sd["linear1.bias"])},
+            "Dense_1": _dense(sd, "linear2")}
+
+
+def vgg296_disc_batch_stats(sd: dict, ref_batch_stats: dict) -> dict:
+    names = ["bn0_1"]
+    for k in range(1, 6):
+        if f"bn{k}_0.weight" in sd:
+            names += [f"bn{k}_0", f"bn{k}_1"]
+    inner = dict(ref_batch_stats.get("_VGGDownStack_0", {}))
+    for n, name in enumerate(names):
+        inner[f"BatchNorm_{n}"] = {"mean": _to_np(sd[f"{name}.running_mean"]),
+                                   "var": _to_np(sd[f"{name}.running_var"])}
+    out = dict(ref_batch_stats)
+    out["_VGGDownStack_0"] = inner
+    return out
+
+
 def vgg_disc_batch_stats(sd: dict, ref_batch_stats: dict) -> dict:
     """BN running stats for VGGStyleDiscriminator: torch running_mean/var ->
     flax BatchNorm_N mean/var, in the same ordering as convert_vgg_style_disc."""
@@ -710,6 +750,8 @@ CONVERTERS = {
                      lambda sd: convert_unet_disc_sn(sd)),
     "vgg_style_disc": (lambda sd: "conv0_0.weight" in sd and "linear1.weight" in sd,
                        convert_vgg_style_disc),
+    "vgg296_disc": (lambda sd: "conv0_0.weight" in sd and "linear1.weight" in sd,
+                    convert_vgg296_disc),
     "srvgg": (lambda sd: "body.0.weight" in sd and not any(".conv" in k for k in sd),
               convert_srvgg),
     "msrresnet": (lambda sd: "conv_first.weight" in sd and "body.0.conv1.weight" in sd,
@@ -799,15 +841,22 @@ def load_params_auto(path: str, param_key: str = "params", reference_tree=None):
         return _as_jnp(tree)
     if path.endswith((".pth", ".pt")):
         sd = load_torch_state_dict(path, param_key)
+        fallback = None
         for name, (detect, convert) in CONVERTERS.items():
-            if detect(sd):
+            if not detect(sd):
+                continue
+            try:
                 tree = _as_jnp(convert(sd))
-                if reference_tree is not None and not _tree_shapes_match(tree, reference_tree):
-                    import logging
-                    logging.getLogger("ssl_tpu").warning(
-                        "load_params_auto(%s): converted tree shape mismatch; ignoring", path)
-                    return None
+            except Exception:
+                continue
+            if reference_tree is None or _tree_shapes_match(tree, reference_tree):
                 return tree
+            fallback = fallback if fallback is not None else name
+        if fallback is not None:
+            import logging
+            logging.getLogger("ssl_tpu").warning(
+                "load_params_auto(%s): converter '%s' matched but shapes mismatch; ignoring",
+                path, fallback)
         return None
     return None
 

@@ -553,3 +553,42 @@ def test_old_rrdbnet_kair_conversion(tmp_path):
     assert loaded is not None
     out = net.apply({"params": loaded}, jnp.ones((1, 8, 8, 3)) * 0.5)
     assert out.shape == (1, 32, 32, 3) and np.isfinite(np.asarray(out)).all()
+
+
+def test_vgg296_disc_conversion(tmp_path):
+    """Discriminator_VGG_296 layout resolves to the nested _VGGDownStack tree
+    (multi-converter disambiguation by shape match)."""
+    from ssl_tpu.utils.weight_port import vgg296_disc_batch_stats, load_torch_state_dict
+    nf = 4
+    rng = np.random.RandomState(8)
+    sd = {"conv0_0.weight": torch.from_numpy(rng.randn(nf, 3, 3, 3).astype(np.float32) * 0.1),
+          "conv0_0.bias": torch.zeros(nf)}
+    plan = [("conv0_1", nf, nf, 4)]
+    cin = nf
+    for i, mult in enumerate((2, 4, 8, 8), start=1):
+        f = nf * mult
+        plan += [(f"conv{i}_0", f, cin, 3), (f"conv{i}_1", f, f, 4)]
+        cin = f
+    for name, co, ci, k in plan:
+        sd[f"{name}.weight"] = torch.from_numpy(rng.randn(co, ci, k, k).astype(np.float32) * 0.1)
+        bn = name.replace("conv", "bn")
+        sd[f"{bn}.weight"] = torch.ones(co)
+        sd[f"{bn}.bias"] = torch.zeros(co)
+        sd[f"{bn}.running_mean"] = torch.zeros(co)
+        sd[f"{bn}.running_var"] = torch.ones(co)
+    # 296 -> 9x9 spatial at the head
+    sd["linear1.weight"] = torch.from_numpy(rng.randn(100, cin * 81).astype(np.float32) * 0.01)
+    sd["linear1.bias"] = torch.zeros(100)
+    sd["linear2.weight"] = torch.from_numpy(rng.randn(1, 100).astype(np.float32) * 0.01)
+    sd["linear2.bias"] = torch.zeros(1)
+    path = str(tmp_path / "d296.pth")
+    torch.save({"params": sd}, path)
+
+    net = build_network(dict(type="Discriminator_VGG_296", nf=nf))
+    ref = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 296, 296, 3)))
+    loaded = load_params_auto(path, "params", ref["params"])
+    assert loaded is not None and "_VGGDownStack_0" in loaded
+    bs = vgg296_disc_batch_stats(load_torch_state_dict(path), ref["batch_stats"])
+    out = net.apply({"params": loaded, "batch_stats": bs},
+                    jnp.ones((1, 296, 296, 3)) * 0.5, False)
+    assert out.shape == (1, 1) and np.isfinite(np.asarray(out)).all()
