@@ -184,6 +184,18 @@ class CFWTrainModel:
         return self._decode_cfw(trainable, state.extra["frozen"], sr_img, lq_img)
 
 
+def save_cfw_params(state: TrainState, path: str, use_ema: bool = True) -> None:
+    """Export the full AutoencoderKLResi tree (trainable merged with the
+    frozen encoder) as {'params': tree} for test_cli --vqgan_ckpt."""
+    import pickle
+    import numpy as np
+    trainable = state.ema_params_g if use_ema else state.params_g
+    full = {**state.extra["frozen"], **trainable}
+    full = jax.tree_util.tree_map(np.asarray, full)
+    with open(path, "wb") as f:
+        pickle.dump({"params": full}, f)
+
+
 class CFWTripletDataset:
     """Aligned (gt, inputs, outputs) folder triplets as dumped by
     scripts/gt_input_output.py (reference scripts/gt_input_output.py:1-335).
@@ -229,5 +241,6 @@ class CFWTripletDataset:
             left = self.rng.randint(0, max(1, w - self.crop + 1))
             sl = np.s_[top:top + self.crop, left:left + self.crop]
             gt, lq, sr = gt[sl], lq[sl], sr[sl]
-        return {"gt": gt.astype(np.float32), "lq": lq.astype(np.float32),
-                "sr": sr.astype(np.float32)}
+        # [-1, 1] — the VAE's (and test_cli's) working range
+        to_range = lambda a: a.astype(np.float32) * 2.0 - 1.0
+        return {"gt": to_range(gt), "lq": to_range(lq), "sr": to_range(sr)}

@@ -24,6 +24,10 @@ def main():
     parser.add_argument("--upscale", type=float, default=4.0)
     parser.add_argument("--colorfix_type", choices=["nofix", "adain", "wavelet"],
                         default="adain")
+    parser.add_argument("--vqgan_ckpt", default=None,
+                        help="CFW decoder params pickle (diffusion/cfw_train.py "
+                             "save_cfw_params); decodes with LQ-feature fusion "
+                             "like reference test.py's separate VQGAN ckpt")
     parser.add_argument("--tile_latent", type=int, default=0, help="latent tile size (0=off)")
     args = parser.parse_args()
 
@@ -45,6 +49,14 @@ def main():
 
     os.makedirs(args.outdir, exist_ok=True)
     vae_params = state.frozen["vae"]
+    cfw = None
+    if args.vqgan_ckpt:
+        from ssl_tpu.diffusion.vae import AutoencoderKLResi
+        fs_cfg = cfg.get("model", {}).get("first_stage", {}) or {}
+        cfw_net = AutoencoderKLResi(**fs_cfg)
+        with open(args.vqgan_ckpt, "rb") as f:
+            cfw_params = pickle.load(f)["params"]
+        cfw = (cfw_net, jax.tree_util.tree_map(jnp.asarray, cfw_params))
     rng = jax.random.PRNGKey(42)
 
     def apply_fn(x, t, ctx, z_lq):
@@ -73,7 +85,15 @@ def main():
             z = tiled_sample(sample_tile, z_lq, args.tile_latent, args.tile_latent // 4)
         else:
             z = sample_tile(z_lq)
-        img = np.asarray(model.decode(vae_params, z))[0]
+        if cfw is not None:
+            cfw_net, cfw_params = cfw
+            _, _, feas = cfw_net.apply({"params": cfw_params}, lq_t,
+                                       method=cfw_net.encode)
+            img = np.asarray(cfw_net.apply(
+                {"params": cfw_params}, z / model.cfg.scale_factor, feas,
+                method=cfw_net.decode))[0]
+        else:
+            img = np.asarray(model.decode(vae_params, z))[0]
         img = np.clip((img + 1) / 2, 0, 1).astype(np.float32)
         if args.colorfix_type == "adain":
             img = adain_color_fix(img, lq_up)
