@@ -6,6 +6,7 @@ Usage:
 """
 
 import argparse
+import json
 import os
 import sys
 
@@ -24,6 +25,8 @@ def main():
     parser.add_argument("--num_feat", type=int, default=64)
     parser.add_argument("--num_block", type=int, default=23)
     parser.add_argument("--param_key", default="params_ema")
+    parser.add_argument("--net_opt", default=None,
+                        help='extra network_g options as JSON, e.g. \'{"num_grow_ch": 32}\'')
     parser.add_argument("--tile_size", type=int, default=0, help="0 = no tiling")
     parser.add_argument("--tile_pad", type=int, default=32)
     args = parser.parse_args()
@@ -36,7 +39,8 @@ def main():
         "name": "inference", "model_type": "SRModel", "scale": args.scale,
         "is_train": False, "manual_seed": 0,
         "network_g": {"type": args.arch, "num_feat": args.num_feat,
-                      "num_block": args.num_block},
+                      "num_block": args.num_block,
+                      **(json.loads(args.net_opt) if args.net_opt else {})},
         "path": {},
         "tile_process": args.tile_size > 0,
         "tile_size": args.tile_size, "tile_pad": args.tile_pad,

@@ -65,3 +65,38 @@ def test_eval_pipeline_end_to_end(tmp_path):
     for root, _, files in os.walk(tmp_path / "results"):
         found += [f for f in files if f.endswith(".png")]
     assert len(found) >= 2
+
+
+def test_inference_cli_end_to_end(tmp_path, monkeypatch):
+    """inference/inference_ssl_sr.py with a torch .pth and tiling."""
+    import sys
+    from PIL import Image
+    import importlib.util
+    import jax.numpy as jnp
+    from ssl_tpu.archs import build_network
+    from ssl_tpu.utils.weight_port import export_rrdbnet_to_torch
+
+    net = build_network(dict(type="RRDBNet", num_feat=8, num_block=2, num_grow_ch=4))
+    v = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+    ckpt = str(tmp_path / "net_g.pth")
+    export_rrdbnet_to_torch(v["params"], ckpt)
+
+    in_dir = tmp_path / "in"
+    os.makedirs(in_dir)
+    rng = np.random.RandomState(1)
+    Image.fromarray((rng.rand(24, 20, 3) * 255).astype(np.uint8)).save(in_dir / "x.png")
+    out_dir = str(tmp_path / "out")
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "inf_cli", os.path.join(root, "inference", "inference_ssl_sr.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(sys, "argv", [
+        "inference_ssl_sr", "--input", str(in_dir), "--output", out_dir,
+        "--model_path", ckpt, "--num_feat", "8", "--num_block", "2",
+        "--param_key", "params", "--net_opt", '{"num_grow_ch": 4}',
+        "--tile_size", "16", "--tile_pad", "4"])
+    mod.main()
+    out = np.asarray(Image.open(os.path.join(out_dir, "x.png")))
+    assert out.shape == (96, 80, 3) and np.isfinite(out).all()
