@@ -738,6 +738,43 @@ def convert_clip_rn50(sd: dict):
     return vis, vstats, text
 
 
+def export_unet_disc_sn_to_torch(params: dict, path: str, param_key: str = "params") -> None:
+    """Inverse port: our UNetDiscriminatorSN tree -> reference torch
+    spectral_norm layout (conv{N}.weight_orig + power-iterated weight_u/v
+    buffers so sigma is immediately correct on the torch side)."""
+    import torch
+
+    def _t(a):
+        return torch.from_numpy(np.ascontiguousarray(np.asarray(a)))
+
+    sd: dict = {}
+    n = 0
+    while f"conv{n}" in params:
+        node = params[f"conv{n}"]
+        if "Conv_0" in node:  # spectral-normalized conv
+            kernel = np.asarray(node["Conv_0"]["kernel"])  # HWIO
+            w = kernel.transpose(3, 2, 0, 1)  # OIHW
+            sd[f"conv{n}.weight_orig"] = _t(w)
+            a = w.reshape(w.shape[0], -1)  # torch SN matrix (out, in*k*k)
+            rng = np.random.RandomState(0)
+            u = rng.randn(a.shape[0]).astype(np.float32)
+            u /= np.linalg.norm(u) + 1e-12
+            for _ in range(300):
+                v = a.T @ u
+                v /= np.linalg.norm(v) + 1e-12
+                u = a @ v
+                u /= np.linalg.norm(u) + 1e-12
+            sd[f"conv{n}.weight_u"] = _t(u)
+            sd[f"conv{n}.weight_v"] = _t(v)
+            if "bias" in node["Conv_0"]:
+                sd[f"conv{n}.bias"] = _t(node["Conv_0"]["bias"])
+        else:
+            sd[f"conv{n}.weight"] = _t(np.asarray(node["kernel"]).transpose(3, 2, 0, 1))
+            sd[f"conv{n}.bias"] = _t(node["bias"])
+        n += 1
+    torch.save({param_key: sd}, path)
+
+
 def jax_leaves_first(tree):
     import jax
     return jax.tree_util.tree_leaves(tree)[0]

@@ -592,3 +592,25 @@ def test_vgg296_disc_conversion(tmp_path):
     out = net.apply({"params": loaded, "batch_stats": bs},
                     jnp.ones((1, 296, 296, 3)) * 0.5, False)
     assert out.shape == (1, 1) and np.isfinite(np.asarray(out)).all()
+
+
+def test_unet_disc_sn_export_roundtrip(tmp_path):
+    """flax UNet-SN D -> torch spectral_norm layout -> flax bit-exact kernels,
+    with the exported weight_u giving sigma == top singular value."""
+    from ssl_tpu.utils.weight_port import export_unet_disc_sn_to_torch
+    net = build_network(dict(type="UNetDiscriminatorSN", num_feat=4))
+    v = net.init(jax.random.PRNGKey(2), jnp.zeros((1, 32, 32, 3)))
+    path = str(tmp_path / "net_d.pth")
+    export_unet_disc_sn_to_torch(v["params"], path)
+    sd = torch.load(path, weights_only=False)["params"]
+    assert "conv1.weight_orig" in sd and "conv1.weight_u" in sd
+    # sigma from exported (u, v) must match SVD of the flattened kernel
+    a = sd["conv1.weight_orig"].numpy().reshape(sd["conv1.weight_orig"].shape[0], -1)
+    sigma = float(sd["conv1.weight_u"].numpy() @ a @ sd["conv1.weight_v"].numpy())
+    np.testing.assert_allclose(sigma, np.linalg.svd(a, compute_uv=False)[0], rtol=1e-3)
+    loaded = load_params_auto(path, "params", v["params"])
+    assert loaded is not None
+    for (pa, la), (pb, lb) in zip(jax.tree_util.tree_leaves_with_path(v["params"]),
+                                  jax.tree_util.tree_leaves_with_path(loaded)):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
