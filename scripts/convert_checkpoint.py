@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("mode", choices=["import", "export-rrdb", "export-swinir",
-                                 "export-msrresnet", "export-srvgg"])
+                                 "export-msrresnet", "export-srvgg", "export-unet-sn"])
     ap.add_argument("src")
     ap.add_argument("dst")
     ap.add_argument("--key", default="params", help="param key inside the .pth/.pkl")
@@ -49,7 +49,8 @@ def main():
     exporter = {"export-rrdb": wp.export_rrdbnet_to_torch,
                 "export-swinir": wp.export_swinir_to_torch,
                 "export-msrresnet": wp.export_msrresnet_to_torch,
-                "export-srvgg": wp.export_srvgg_to_torch}[args.mode]
+                "export-srvgg": wp.export_srvgg_to_torch,
+                "export-unet-sn": wp.export_unet_disc_sn_to_torch}[args.mode]
     exporter(tree, args.dst, param_key=args.key)
     print(f"wrote {args.dst}")
 
