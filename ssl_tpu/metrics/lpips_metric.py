@@ -60,27 +60,58 @@ class LPIPSAlex(nn.Module):
 _CACHED = {}
 
 
+_ALEX_CONV_SHAPES = {(64, 3, 11, 11): "conv1", (192, 64, 5, 5): "conv2",
+                     (384, 192, 3, 3): "conv3", (256, 384, 3, 3): "conv4",
+                     (256, 256, 3, 3): "conv5"}
+
+
+def load_lpips_weights(params: dict, sd: dict) -> dict:
+    """Overlay an AlexNet/lpips torch state dict onto the LPIPSAlex tree.
+
+    Handles both layouts by SHAPE for the backbone convs (torchvision
+    `features.{idx}.weight` and lpips-pkg `net.slice{n}.{idx}.weight` both
+    carry the unique AlexNet conv shapes) and by NAME for the learned heads
+    (`lin{i}.model.1.weight`, shape (1,C,1,1))."""
+    import re
+    from ssl_tpu.utils.weight_port import _conv_w, _to_np
+    params = dict(params)
+    net = dict(params.get("net", {}))
+    for k, v in sd.items():
+        shape = tuple(int(s) for s in v.shape)
+        if k.endswith(".weight") and shape in _ALEX_CONV_SHAPES:
+            name = _ALEX_CONV_SHAPES[shape]
+            node = {"kernel": _conv_w(v)}
+            bk = k[: -len("weight")] + "bias"
+            if bk in sd:
+                node["bias"] = _to_np(sd[bk])
+            net[name] = node
+        m = re.search(r"lin(\d)\.model\.1\.weight$", k)
+        if m:
+            params[f"lin{m.group(1)}"] = _to_np(v).reshape(-1)
+    params["net"] = net
+    return params
+
+
 def _get_lpips(weights_path=None):
     key = weights_path or os.environ.get("LPIPS_ALEX_PTH") or "_none_"
-    if key in _CACHED:
-        return _CACHED[key]
+    backbone = os.environ.get("ALEXNET_PTH")
+    cache_key = (key, backbone)
+    if cache_key in _CACHED:
+        return _CACHED[cache_key]
     model = LPIPSAlex()
     variables = jax.jit(model.init)(jax.random.PRNGKey(0),
                                     jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3)))
-    path = None if key == "_none_" else key
-    if path and os.path.exists(path):
-        from ssl_tpu.utils.weight_port import load_torch_state_dict, _conv_w, _to_np
-        sd = load_torch_state_dict(path, "params")
+    loaded = False
+    if key != "_none_" and os.path.exists(key):
+        from ssl_tpu.utils.weight_port import load_torch_state_dict
         params = dict(variables["params"])
-        net = dict(params.get("net", {}))
-        torch_convs = {f"conv{i+1}": f"net.slice{i+1}" for i in range(5)}
-        # lpips pkg layout: net.sliceN.*.weight + linN.model.1.weight
-        for k in list(sd):
-            pass  # full converter wired when official weights are provided
-        _CACHED[key] = (model, variables, False)
-        return _CACHED[key]
-    _CACHED[key] = (model, variables, path is not None)
-    return _CACHED[key]
+        if backbone and os.path.exists(backbone):  # separate torchvision alexnet
+            params = load_lpips_weights(params, load_torch_state_dict(backbone, "params"))
+        params = load_lpips_weights(params, load_torch_state_dict(key, "params"))
+        variables = {"params": jax.tree_util.tree_map(jnp.asarray, params)}
+        loaded = True
+    _CACHED[cache_key] = (model, variables, loaded)
+    return _CACHED[cache_key]
 
 
 @METRIC_REGISTRY.register()

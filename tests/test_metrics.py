@@ -156,3 +156,40 @@ def test_clip_rn50_conversion_and_clipiqa(tmp_path, monkeypatch):
     toks[:, 2] = 511  # eot = max id
     score = calculate_clipiqa(img, weights_path=path, prompt_tokens=toks)
     assert 0.0 < score < 1.0
+
+
+def test_lpips_weight_loading_and_score(tmp_path):
+    """Synthetic torchvision-alexnet + lpips-lin state dicts -> working LPIPS:
+    identical images score ~0, different images score > 0."""
+    import torch
+    from ssl_tpu.metrics.lpips_metric import calculate_lpips, _CACHED
+    rng = np.random.RandomState(0)
+    sd = {}
+    # torchvision alexnet layout (features.N)
+    shapes = [(0, 64, 3, 11), (3, 192, 64, 5), (6, 384, 192, 3),
+              (8, 256, 384, 3), (10, 256, 256, 3)]
+    for idx, co, ci, k in shapes:
+        sd[f"features.{idx}.weight"] = torch.from_numpy(
+            rng.randn(co, ci, k, k).astype(np.float32) * 0.05)
+        sd[f"features.{idx}.bias"] = torch.zeros(co)
+    # lpips lin heads
+    for i, c in enumerate((64, 192, 384, 256, 256)):
+        sd[f"lin{i}.model.1.weight"] = torch.from_numpy(
+            np.abs(rng.randn(1, c, 1, 1)).astype(np.float32) * 0.1)
+    path = str(tmp_path / "lpips_alex.pth")
+    torch.save(sd, path)
+
+    _CACHED.clear()
+    a = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+    b = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+    same = calculate_lpips(a, a, weights_path=path)
+    diff = calculate_lpips(a, b, weights_path=path)
+    assert abs(same) < 1e-6
+    assert diff > same and np.isfinite(diff)
+    # loaded backbone actually in use: conv1 kernel matches the sd
+    model, variables, loaded = __import__(
+        "ssl_tpu.metrics.lpips_metric", fromlist=["_get_lpips"])._get_lpips(path)
+    assert loaded
+    np.testing.assert_allclose(
+        np.asarray(variables["params"]["net"]["conv1"]["kernel"]),
+        sd["features.0.weight"].numpy().transpose(2, 3, 1, 0))
