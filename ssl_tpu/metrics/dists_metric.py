@@ -73,15 +73,51 @@ class DISTS(nn.Module):
 _CACHE = {}
 
 
+def load_dists_weights(params: dict, sd: dict) -> dict:
+    """Overlay a dists-pytorch checkpoint onto the DISTS tree.
+
+    The official weights file carries only alpha/beta (1, 1475, 1, 1); a
+    full-model save additionally carries the VGG16 convs (in forward order —
+    matched positionally since shapes repeat within stages)."""
+    from ssl_tpu.utils.weight_port import _conv_w, _to_np
+    params = dict(params)
+    for name in ("alpha", "beta"):
+        if name in sd:
+            params[name] = _to_np(sd[name]).reshape(-1)
+    conv_keys = [k for k, v in sd.items()
+                 if k.endswith(".weight") and getattr(v, "dim", lambda: 0)() == 4
+                 and tuple(v.shape[2:]) == (3, 3)]
+    if conv_keys:
+        order = [(si, ci) for si, (_, n) in enumerate(_VGG16_STAGES) for ci in range(n)]
+        assert len(conv_keys) == len(order), \
+            f"expected {len(order)} VGG16 convs, found {len(conv_keys)}"
+        vgg = dict(params.get("vgg16", {}))
+        for (si, ci), k in zip(order, conv_keys):
+            node = {"kernel": _conv_w(sd[k])}
+            bk = k[: -len("weight")] + "bias"
+            if bk in sd:
+                node["bias"] = _to_np(sd[bk])
+            vgg[f"s{si}_c{ci}"] = node
+        params["vgg16"] = vgg
+    return params
+
+
 def _get_dists(path):
-    if path in _CACHE:
-        return _CACHE[path]
+    backbone = os.environ.get("VGG16_PTH")
+    cache_key = (path, backbone)
+    if cache_key in _CACHE:
+        return _CACHE[cache_key]
     model = DISTS()
     variables = jax.jit(model.init)(jax.random.PRNGKey(0),
                                     jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3)))
-    # weight conversion from the dists-pytorch checkpoint wired when supplied
-    _CACHE[path] = (model, variables)
-    return _CACHE[path]
+    from ssl_tpu.utils.weight_port import load_torch_state_dict
+    params = dict(variables["params"])
+    if backbone and os.path.exists(backbone):  # separate torchvision vgg16
+        params = load_dists_weights(params, load_torch_state_dict(backbone, "params"))
+    params = load_dists_weights(params, load_torch_state_dict(path, "params"))
+    variables = {"params": jax.tree_util.tree_map(jnp.asarray, params)}
+    _CACHE[cache_key] = (model, variables)
+    return _CACHE[cache_key]
 
 
 @METRIC_REGISTRY.register(name="calculate_dists")

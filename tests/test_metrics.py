@@ -193,3 +193,34 @@ def test_lpips_weight_loading_and_score(tmp_path):
     np.testing.assert_allclose(
         np.asarray(variables["params"]["net"]["conv1"]["kernel"]),
         sd["features.0.weight"].numpy().transpose(2, 3, 1, 0))
+
+
+def test_dists_weight_loading(tmp_path):
+    """Synthetic torchvision-vgg16 + alpha/beta checkpoint -> working DISTS."""
+    import torch
+    from ssl_tpu.metrics.dists_metric import calculate_dists, _CACHE, _VGG16_STAGES
+    rng = np.random.RandomState(0)
+    sd = {}
+    cin = 3
+    idx = 0
+    for feats, n_convs in _VGG16_STAGES:
+        for _ in range(n_convs):
+            sd[f"features.{idx}.weight"] = torch.from_numpy(
+                rng.randn(feats, cin, 3, 3).astype(np.float32) * 0.05)
+            sd[f"features.{idx}.bias"] = torch.zeros(feats)
+            cin = feats
+            idx += 2
+        idx += 1  # pool
+    total_c = 3 + sum(c for c, _ in _VGG16_STAGES)
+    sd["alpha"] = torch.from_numpy(np.abs(rng.randn(1, total_c, 1, 1)).astype(np.float32))
+    sd["beta"] = torch.from_numpy(np.abs(rng.randn(1, total_c, 1, 1)).astype(np.float32))
+    path = str(tmp_path / "dists.pt")
+    torch.save(sd, path)
+
+    _CACHE.clear()
+    a = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+    b = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+    same = calculate_dists(a, a, weights_path=path)
+    diff = calculate_dists(a, b, weights_path=path)
+    assert abs(same) < 1e-4
+    assert diff > same and np.isfinite(diff)
