@@ -120,15 +120,18 @@ class DataLoader:
             stop.set()
 
 
-def device_prefetch(iterator, n: int = 2):
+def device_prefetch(iterator, n: int = 2, sharding=None):
     """Overlap host->device transfer with compute: keep `n` batches in flight
     (device_put is async; this is the TPU analogue of the reference's
-    CUDAPrefetcher, prefetch_dataloader.py:82-122)."""
+    CUDAPrefetcher, prefetch_dataloader.py:82-122).
+
+    With ``sharding`` (a NamedSharding over the batch axis) the H2D transfer
+    lands directly in the mesh layout — no later reshard copy."""
     import collections
     import jax
 
     def to_device(batch):
-        return {k: (jax.device_put(v) if isinstance(v, np.ndarray) else v)
+        return {k: (jax.device_put(v, sharding) if isinstance(v, np.ndarray) else v)
                 for k, v in batch.items()}
 
     queue = collections.deque()

@@ -83,8 +83,10 @@ class CFWTrainModel:
         elif path:
             from ssl_tpu.utils.weight_port import load_params_auto
             loaded = load_params_auto(path, "params", variables["params"])
-            if loaded is not None:
-                trainable, frozen = _split_params(loaded)
+            if loaded is None:
+                raise ValueError(f"pretrain_vae={path}: conversion failed — "
+                                 "CFW stage-2 needs real VAE weights.")
+            trainable, frozen = _split_params(loaded)
         state = TrainState(
             step=jnp.zeros((), jnp.int32), rng=rng,
             params_g=trainable, opt_state_g=self.tx_g.init(trainable),

@@ -19,19 +19,39 @@ from ssl_tpu.utils.registry import METRIC_REGISTRY
 _VGG16_STAGES = ((64, 2), (128, 2), (256, 3), (512, 3), (512, 3))
 
 
+def l2_pool(x: jnp.ndarray) -> jnp.ndarray:
+    """Hann-window L2 pooling (DISTS_pytorch ``L2pooling``: filter_size=5 →
+    effective 3×3 hanning(5)[1:-1] kernel, stride 2, pad 1, depthwise):
+    ``sqrt(conv(x², w) + 1e-12)``.  The official DISTS package replaces every
+    inter-stage VGG max-pool with this — plain max_pool would diverge from
+    reference scores even with correctly loaded weights."""
+    a = jnp.asarray([0.5, 1.0, 0.5])
+    w = a[:, None] * a[None, :]
+    w = w / w.sum()
+    c = x.shape[-1]
+    kernel = jnp.tile(w[:, :, None, None], (1, 1, 1, c))  # HWIO depthwise
+    out = jax.lax.conv_general_dilated(
+        x * x, kernel, window_strides=(2, 2), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
+    return jnp.sqrt(out + 1e-12)
+
+
 class VGG16Stages(nn.Module):
-    """VGG16 features split into 5 stages; returns [input, s1..s5]."""
+    """VGG16 features split into 5 stages; returns [input, s1..s5].
+
+    Inter-stage downsampling uses DISTS-style L2 pooling (see ``l2_pool``),
+    matching dists-pytorch's modified VGG, not torchvision's max-pool VGG."""
 
     @nn.compact
     def __call__(self, x):
         outs = [x]
         for si, (feats, n_convs) in enumerate(_VGG16_STAGES):
+            if si > 0:
+                x = l2_pool(x)
             for ci in range(n_convs):
                 x = nn.relu(nn.Conv(feats, (3, 3), padding="SAME",
                                     name=f"s{si}_c{ci}")(x))
             outs.append(x)
-            if si < len(_VGG16_STAGES) - 1:
-                x = nn.max_pool(x, (2, 2), strides=(2, 2))
         return outs
 
 
@@ -73,17 +93,21 @@ class DISTS(nn.Module):
 _CACHE = {}
 
 
-def load_dists_weights(params: dict, sd: dict) -> dict:
+def load_dists_weights(params: dict, sd: dict, filled: set | None = None) -> dict:
     """Overlay a dists-pytorch checkpoint onto the DISTS tree.
 
     The official weights file carries only alpha/beta (1, 1475, 1, 1); a
     full-model save additionally carries the VGG16 convs (in forward order —
-    matched positionally since shapes repeat within stages)."""
+    matched positionally since shapes repeat within stages).  Populated node
+    names are recorded into ``filled`` for completeness verification."""
     from ssl_tpu.utils.weight_port import _conv_w, _to_np
+    if filled is None:
+        filled = set()
     params = dict(params)
     for name in ("alpha", "beta"):
         if name in sd:
             params[name] = _to_np(sd[name]).reshape(-1)
+            filled.add(name)
     conv_keys = [k for k, v in sd.items()
                  if k.endswith(".weight") and getattr(v, "dim", lambda: 0)() == 4
                  and tuple(v.shape[2:]) == (3, 3)]
@@ -98,8 +122,14 @@ def load_dists_weights(params: dict, sd: dict) -> dict:
             if bk in sd:
                 node["bias"] = _to_np(sd[bk])
             vgg[f"s{si}_c{ci}"] = node
+            filled.add(f"vgg16.s{si}_c{ci}")
         params["vgg16"] = vgg
     return params
+
+
+DISTS_REQUIRED_NODES = frozenset(
+    ["alpha", "beta"] + [f"vgg16.s{si}_c{ci}"
+                         for si, (_, n) in enumerate(_VGG16_STAGES) for ci in range(n)])
 
 
 def _get_dists(path):
@@ -112,9 +142,20 @@ def _get_dists(path):
                                     jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3)))
     from ssl_tpu.utils.weight_port import load_torch_state_dict
     params = dict(variables["params"])
+    filled: set = set()
     if backbone and os.path.exists(backbone):  # separate torchvision vgg16
-        params = load_dists_weights(params, load_torch_state_dict(backbone, "params"))
-    params = load_dists_weights(params, load_torch_state_dict(path, "params"))
+        params = load_dists_weights(params, load_torch_state_dict(backbone, "params"),
+                                    filled)
+    params = load_dists_weights(params, load_torch_state_dict(path, "params"), filled)
+    missing = DISTS_REQUIRED_NODES - filled
+    if missing:
+        # official weights.pt carries only alpha/beta — without VGG16_PTH the
+        # backbone would silently score with random convs.
+        raise ValueError(
+            f"DISTS weights incomplete: {len(missing)} node(s) unfilled "
+            f"(e.g. {sorted(missing)[:3]}). The official DISTS weights.pt has "
+            "only alpha/beta — also set VGG16_PTH to a torchvision vgg16 "
+            "state dict for the backbone convs.")
     variables = {"params": jax.tree_util.tree_map(jnp.asarray, params)}
     _CACHE[cache_key] = (model, variables)
     return _CACHE[cache_key]

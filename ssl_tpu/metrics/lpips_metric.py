@@ -65,15 +65,19 @@ _ALEX_CONV_SHAPES = {(64, 3, 11, 11): "conv1", (192, 64, 5, 5): "conv2",
                      (256, 256, 3, 3): "conv5"}
 
 
-def load_lpips_weights(params: dict, sd: dict) -> dict:
+def load_lpips_weights(params: dict, sd: dict, filled: set | None = None) -> dict:
     """Overlay an AlexNet/lpips torch state dict onto the LPIPSAlex tree.
 
     Handles both layouts by SHAPE for the backbone convs (torchvision
     `features.{idx}.weight` and lpips-pkg `net.slice{n}.{idx}.weight` both
     carry the unique AlexNet conv shapes) and by NAME for the learned heads
-    (`lin{i}.model.1.weight`, shape (1,C,1,1))."""
+    (`lin{i}.model.1.weight`, shape (1,C,1,1)).  Records every populated node
+    name into ``filled`` so callers can verify nothing stayed at random init
+    (the official lpips alex.pth carries ONLY the lin heads)."""
     import re
     from ssl_tpu.utils.weight_port import _conv_w, _to_np
+    if filled is None:
+        filled = set()
     params = dict(params)
     net = dict(params.get("net", {}))
     for k, v in sd.items():
@@ -85,11 +89,17 @@ def load_lpips_weights(params: dict, sd: dict) -> dict:
             if bk in sd:
                 node["bias"] = _to_np(sd[bk])
             net[name] = node
+            filled.add(f"net.{name}")
         m = re.search(r"lin(\d)\.model\.1\.weight$", k)
         if m:
             params[f"lin{m.group(1)}"] = _to_np(v).reshape(-1)
+            filled.add(f"lin{m.group(1)}")
     params["net"] = net
     return params
+
+
+LPIPS_REQUIRED_NODES = frozenset(
+    [f"net.conv{i}" for i in range(1, 6)] + [f"lin{i}" for i in range(5)])
 
 
 def _get_lpips(weights_path=None):
@@ -105,9 +115,20 @@ def _get_lpips(weights_path=None):
     if key != "_none_" and os.path.exists(key):
         from ssl_tpu.utils.weight_port import load_torch_state_dict
         params = dict(variables["params"])
+        filled: set = set()
         if backbone and os.path.exists(backbone):  # separate torchvision alexnet
-            params = load_lpips_weights(params, load_torch_state_dict(backbone, "params"))
-        params = load_lpips_weights(params, load_torch_state_dict(key, "params"))
+            params = load_lpips_weights(params, load_torch_state_dict(backbone, "params"),
+                                        filled)
+        params = load_lpips_weights(params, load_torch_state_dict(key, "params"), filled)
+        missing = LPIPS_REQUIRED_NODES - filled
+        if missing:
+            # The official alex.pth has only lin heads; without ALEXNET_PTH the
+            # backbone would silently score with random convs — refuse.
+            raise ValueError(
+                f"LPIPS weights incomplete: {sorted(missing)} not found in the "
+                "checkpoint(s). The official lpips alex.pth carries only the "
+                "lin heads — also set ALEXNET_PTH to a torchvision alexnet "
+                "state dict for the backbone convs.")
         variables = {"params": jax.tree_util.tree_map(jnp.asarray, params)}
         loaded = True
     _CACHED[cache_key] = (model, variables, loaded)

@@ -73,6 +73,13 @@ def niqe_features(img: np.ndarray, block_size: int = 96) -> np.ndarray:
     kernel = _gaussian_window()
     h, w = img.shape
     num_bh, num_bw = h // block_size, w // block_size
+    if num_bh == 0 or num_bw == 0:
+        # same structural minimum as the reference/MATLAB NIQE (one 96-px
+        # block at both scales); a tiny val crop would otherwise die inside
+        # cv2.resize with an empty-size assertion
+        raise ValueError(
+            f"NIQE needs images of at least {block_size}x{block_size} px "
+            f"after crop_border (got {h}x{w}).")
     img = img[: num_bh * block_size, : num_bw * block_size]
     feats_scales = []
     for scale in (1, 2):
@@ -99,7 +106,8 @@ def _load_pris_params(pris_params_path: str | None = None):
             "the NIQE_PRIS_PARAMS env var or fit your own with "
             "ssl_tpu.metrics.niqe.fit_niqe_params(folder, out_path).")
     data = np.load(path)
-    return data["mu_pris_param"], data["cov_pris_param"]
+    # official npz stores mu as (1, 36); self-fitted ones as (36,)
+    return data["mu_pris_param"].reshape(-1), data["cov_pris_param"]
 
 
 @METRIC_REGISTRY.register()

@@ -25,7 +25,8 @@ from flax import struct
 
 from ssl_tpu.archs import build_network
 from ssl_tpu.models.lr_scheduler import build_schedule
-from ssl_tpu.parallel.mesh import create_mesh, replicate_sharding, shard_batch
+from ssl_tpu.parallel.mesh import (create_mesh, data_axis_size, replicate_sharding,
+                                   resolve_mesh, shard_batch)
 from ssl_tpu.utils.registry import MODEL_REGISTRY
 
 
@@ -78,7 +79,7 @@ class BaseModel:
         self.opt = opt
         self.is_train = opt.get("is_train", True)
         self.scale = opt.get("scale", 4)
-        self.mesh = create_mesh()
+        self.mesh = resolve_mesh(opt)
         self.schedulers_info = {}
         self._train_step = None
         self._test_step = None
@@ -138,6 +139,36 @@ class BaseModel:
     # ------------------------------------------------------------------ utils
     def shard(self, batch: dict) -> dict:
         return shard_batch(batch, self.mesh)
+
+    @property
+    def n_data_shards(self) -> int:
+        """Local data-parallel width: how many ways the CLI splits a batch."""
+        return data_axis_size(self.mesh)
+
+    def _match_param_devices(self, params, x):
+        """When params live mesh-placed (multi-device), replicate a host/val
+        input onto the same device set so jit sees one coherent layout
+        (batch=1 validation inputs can't shard over 'data')."""
+        leaves = jax.tree_util.tree_leaves(params)
+        if leaves and isinstance(leaves[0], jax.Array) and \
+                len(leaves[0].sharding.device_set) > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
+            mesh = leaves[0].sharding.mesh
+            return jax.device_put(jnp.asarray(x), NamedSharding(mesh, PartitionSpec()))
+        return x
+
+    def place_state(self, state):
+        """Pin the TrainState's device layout for the training loop: params
+        replicated over the mesh (reference DDP semantics, base_model.py:95),
+        or fsdp-rule-sharded when the mesh has an 'fsdp' axis.  Batches then
+        arrive data-sharded and XLA inserts the gradient all-reduces."""
+        if self.mesh.size <= 1:
+            return state
+        if "fsdp" in self.mesh.axis_names:
+            from ssl_tpu.parallel.fsdp import shard_state
+            min_size = int((self.opt.get("parallel") or {}).get("fsdp_min_size", 2 ** 14))
+            return shard_state(state, self.mesh, min_size=min_size)
+        return jax.device_put(state, replicate_sharding(self.mesh))
 
     def current_lr(self, train_opt: dict, step: int) -> float:
         sched = build_schedule(train_opt, train_opt["optim_g"].get("lr", 1e-4))

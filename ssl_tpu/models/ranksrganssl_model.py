@@ -45,11 +45,14 @@ class RankSRGANSSLModel(ESRGANSSLModel):
                                                        load_torch_state_dict,
                                                        ranker_batch_stats)
                 loaded = load_params_auto(path, "params", params_r)
-                if loaded is not None:
-                    params_r = loaded
-                    if path.endswith((".pth", ".pt")) and stats_r:
-                        stats_r = ranker_batch_stats(
-                            load_torch_state_dict(path, "params"), stats_r)
+                if loaded is None:
+                    raise ValueError(
+                        f"pretrain_network_r={path}: conversion failed — the "
+                        "frozen Ranker must not run at random init.")
+                params_r = loaded
+                if path.endswith((".pth", ".pt")) and stats_r:
+                    stats_r = ranker_batch_stats(
+                        load_torch_state_dict(path, "params"), stats_r)
             state = state.replace(extra={"params_r": params_r,
                                          "stats_r": stats_r})
         return state

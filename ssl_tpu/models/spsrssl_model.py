@@ -150,4 +150,5 @@ class SPSRSSLModel(ESRGANSSLModel):
     def _apply_g(self, params, lq):
         if self._g_apply is None:
             self._g_apply = jax.jit(lambda p, x: self.net_g.apply({"params": p}, x)[1])
+        lq = self._match_param_devices(params, lq)
         return self._g_apply(params, lq)

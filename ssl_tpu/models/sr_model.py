@@ -57,14 +57,25 @@ class SRModel(BaseModel):
                           params_g=params_g, opt_state_g=opt_state_g, ema_params_g=ema)
 
     def load_pretrain(self, params_g):
-        """Load pretrain_network_g if given (pickle tree or torch .pth via converter)."""
+        """Load pretrain_network_g if given (pickle tree or torch .pth via converter).
+
+        A configured pretrain path that exists but cannot be converted is an
+        ERROR — silently training from random init would corrupt a finetune
+        (reference load_network is strict=True by default, base_model.py:289)."""
         path = (self.opt.get("path") or {}).get("pretrain_network_g")
-        if not path or not os.path.exists(path):
+        if not path:
             return params_g
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"pretrain_network_g not found: {path}")
         from ssl_tpu.utils.weight_port import load_params_auto
         param_key = (self.opt.get("path") or {}).get("param_key_g", "params")
         loaded = load_params_auto(path, param_key=param_key, reference_tree=params_g)
-        return loaded if loaded is not None else params_g
+        if loaded is None:
+            raise ValueError(
+                f"pretrain_network_g={path}: no weight converter produced a "
+                "tree matching network_g — refusing to train from random init. "
+                "(set path.pretrain_network_g: ~ to train from scratch)")
+        return loaded
 
     # ------------------------------------------------------------------ losses
     def g_losses(self, params_g, state: TrainState, batch: dict, rng) -> tuple[jnp.ndarray, dict, Any]:
@@ -112,6 +123,7 @@ class SRModel(BaseModel):
     def _apply_g(self, params, lq):
         if self._g_apply is None:
             self._g_apply = jax.jit(lambda p, x: self.net_g.apply({"params": p}, x))
+        lq = self._match_param_devices(params, lq)
         return self._g_apply(params, lq)
 
     def infer_params(self, state: TrainState):
@@ -172,13 +184,18 @@ class SRModel(BaseModel):
         results = {name: [] for name in metric_opts}
         for batch in dataloader:
             sr = self.test(state, batch["lq"])
-            sr_img = array2img(sr[0])
-            gt_img = array2img(batch["gt"][0]) if "gt" in batch else None
+            # Metric boundary convention: RGB uint8.  to_y_channel uses RGB
+            # (rgb2ycbcr) coefficients and calculate_lpips/dists expect RGB,
+            # so metrics must NOT receive the BGR layout cv2.imwrite wants
+            # (reference feeds BGR but compensates with bgr2ycbcr + an
+            # internal BGR->RGB flip in its lpips/dists wrappers).
+            sr_img = array2img(sr[0], rgb2bgr=False)
+            gt_img = array2img(batch["gt"][0], rgb2bgr=False) if "gt" in batch else None
             if save_img:
                 img_name = os.path.splitext(os.path.basename(batch["lq_path"][0]))[0]
                 save_path = os.path.join(self.opt["path"]["visualization"], dataset_name,
                                          f"{img_name}_{current_iter}.png")
-                imwrite(sr_img, save_path)
+                imwrite(sr_img[..., ::-1] if sr_img.ndim == 3 else sr_img, save_path)
             for name, m_opt in metric_opts.items():
                 if gt_img is not None:
                     results[name].append(calculate_metric({"img": sr_img, "img2": gt_img}, m_opt))

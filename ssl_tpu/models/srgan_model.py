@@ -64,7 +64,9 @@ class SRGANModel(SRModel):
         key = self.opt["path"].get("param_key_d", "params")
         loaded = load_params_auto(path, param_key=key, reference_tree=params_d)
         if loaded is None:
-            return params_d, stats_d
+            raise ValueError(
+                f"pretrain_network_d={path}: no converter produced a tree "
+                "matching network_d — refusing silent random-init fallback.")
         if path.endswith((".pth", ".pt")) and stats_d:
             sd = load_torch_state_dict(path, key)
             if any(k.endswith("weight_orig") for k in sd):

@@ -21,6 +21,36 @@ def create_mesh(devices=None, axis_name: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def resolve_mesh(opt: dict | None) -> Mesh:
+    """Build the training mesh from YAML options.
+
+    ``num_devices: auto`` (default) uses every visible device on the 'data'
+    axis; an int restricts to the first N.  ``parallel: {fsdp: F}`` folds the
+    devices into a (data, fsdp) 2-D mesh — stacked-trunk params shard over
+    'fsdp' (weights-gathered data parallelism), batch stays on 'data'.
+    This is the production replacement for the reference's unconditional DDP
+    wrap (base_model.py:87-101): the mesh exists for every model and the CLI
+    shards batches over it."""
+    opt = opt or {}
+    n = opt.get("num_devices", "auto")
+    devices = list(jax.devices())
+    if n not in (None, "auto"):
+        n = int(n)
+        assert 1 <= n <= len(devices), f"num_devices={n}, visible={len(devices)}"
+        devices = devices[:n]
+    fsdp = int((opt.get("parallel") or {}).get("fsdp", 1) or 1)
+    if fsdp > 1:
+        assert len(devices) % fsdp == 0, \
+            f"parallel.fsdp={fsdp} must divide device count {len(devices)}"
+        arr = np.asarray(devices).reshape(len(devices) // fsdp, fsdp)
+        return Mesh(arr, ("data", "fsdp"))
+    return Mesh(np.asarray(devices), ("data",))
+
+
+def data_axis_size(mesh: Mesh) -> int:
+    return int(mesh.shape.get("data", 1))
+
+
 def get_dist_info() -> tuple[int, int]:
     """(rank, world_size) — process-level, for data sharding / rank-0 gating."""
     return jax.process_index(), jax.process_count()

@@ -24,7 +24,12 @@ from ssl_tpu.utils.logger import AvgTimer, MessageLogger, get_env_info, get_root
 from ssl_tpu.utils.options import copy_opt_file, dict2str, parse_options
 
 
-def create_train_val_dataloader(opt, logger):
+def create_train_val_dataloader(opt, logger, n_data_shards: int = 1):
+    """Per-host loaders.  The host-local train batch is
+    ``batch_size_per_gpu × n_data_shards`` (reference semantics: per-GPU batch
+    × local devices; base_model.py:87-101 wraps every net in DDP, so the
+    global batch there is batch_size_per_gpu × world — same formula here with
+    chips in place of GPUs)."""
     train_loader, val_loaders = None, []
     rank, world = jax.process_index(), jax.process_count()
     for phase, dataset_opt in opt["datasets"].items():
@@ -32,17 +37,28 @@ def create_train_val_dataloader(opt, logger):
             dataset_enlarge_ratio = dataset_opt.get("dataset_enlarge_ratio", 1)
             train_set = build_dataset(dataset_opt)
             sampler = EnlargedSampler(len(train_set), world, rank, dataset_enlarge_ratio)
-            train_loader = build_dataloader(train_set, dataset_opt, sampler=sampler,
+            local_opt = dict(dataset_opt)
+            local_opt["batch_size_per_gpu"] = \
+                dataset_opt["batch_size_per_gpu"] * n_data_shards
+            train_loader = build_dataloader(train_set, local_opt, sampler=sampler,
                                             seed=opt["manual_seed"])
+            if len(train_loader) == 0:
+                raise ValueError(
+                    f"dataset ({len(train_set)} imgs × enlarge "
+                    f"{dataset_enlarge_ratio}) smaller than the host-local "
+                    f"batch {local_opt['batch_size_per_gpu']} "
+                    f"(batch_size_per_gpu × {n_data_shards} data shards) — "
+                    "set dataset_enlarge_ratio or num_devices.")
             num_iter_per_epoch = math.ceil(
                 len(train_set) * dataset_enlarge_ratio /
-                (dataset_opt["batch_size_per_gpu"] * world))
+                (dataset_opt["batch_size_per_gpu"] * world * n_data_shards))
             total_iters = int(opt["train"]["total_iter"])
             total_epochs = math.ceil(total_iters / num_iter_per_epoch)
             logger.info("Training statistics:"
                         f"\n\tNumber of train images: {len(train_set)}"
                         f"\n\tBatch size per device: {dataset_opt['batch_size_per_gpu']}"
-                        f"\n\tWorld size: {world}"
+                        f"\n\tLocal data shards (mesh): {n_data_shards}"
+                        f"\n\tWorld size (processes): {world}"
                         f"\n\tRequire iter per epoch: {num_iter_per_epoch}"
                         f"\n\tTotal epochs: {total_epochs}; iters: {total_iters}.")
         elif phase.split("_")[0] == "val":
@@ -78,11 +94,19 @@ def train_pipeline(root_path: str, args=None):
     if (opt.get("logger") or {}).get("use_tb_logger") and jax.process_index() == 0:
         tb_logger = init_tb_logger(os.path.join(opt["path"]["experiments_root"], "tb_logger"))
 
-    train_loader, val_loaders, total_epochs, total_iters = create_train_val_dataloader(opt, logger)
-
+    # model first: its mesh (num_devices / parallel.fsdp from YAML) decides the
+    # host-local batch size.  This is the production multi-chip path — the
+    # round-1 gap where only the dryrun ever created a mesh is closed here.
     model = build_model(opt)
+    n_data = model.n_data_shards
+    logger.info(f"Device mesh: {dict(model.mesh.shape)} over "
+                f"{model.mesh.size} device(s)")
+
+    train_loader, val_loaders, total_epochs, total_iters = \
+        create_train_val_dataloader(opt, logger, n_data_shards=n_data)
+
     gt_size = opt["datasets"]["train"].get("gt_size", 128)
-    batch_size = opt["datasets"]["train"]["batch_size_per_gpu"]
+    batch_size = opt["datasets"]["train"]["batch_size_per_gpu"] * n_data
     lq_size = gt_size // opt.get("scale", 4)
     state = model.init_state(lq_shape=(batch_size, lq_size, lq_size, 3))
 
@@ -103,24 +127,29 @@ def train_pipeline(root_path: str, args=None):
     print_freq = (opt.get("logger") or {}).get("print_freq", 100)
 
     from ssl_tpu.data.loader import device_prefetch
+    from ssl_tpu.parallel.mesh import batch_sharding
     prec = (opt.get("train") or {}).get("matmul_precision")
     if prec:
         jax.config.update("jax_default_matmul_precision", prec)
+    # pin the state layout (replicated / fsdp-sharded) and stream batches
+    # straight into the data-sharded layout; XLA all-reduces grads over ICI
+    state = model.place_state(state)
+    batch_sh = batch_sharding(model.mesh) if model.mesh.size > 1 else None
     epoch = start_epoch
     while current_iter < total_iters:
         train_loader.set_epoch(epoch)
-        for batch in device_prefetch(train_loader):
+        for batch in device_prefetch(train_loader, sharding=batch_sh):
             data_timer.record()
             if current_iter >= total_iters:
                 break
             current_iter += 1
             # host-side degradation recipes (RealESRGAN/BSRGAN) prepare here
             if hasattr(model, "prepare_batch") and "lq" not in batch:
-                import jax.numpy as jnp
                 host = {k: (np.asarray(v) if not isinstance(v, (list, str)) else v)
                         for k, v in batch.items()}
-                batch = {k: jnp.asarray(v) for k, v in model.prepare_batch(host).items()
+                batch = {k: v for k, v in model.prepare_batch(host).items()
                          if not isinstance(v, (list, str))}
+                batch = model.shard(batch)
             device_batch = {k: v for k, v in batch.items()
                             if not isinstance(v, (list, str))}
             state, logs = model.train_step(state, device_batch)

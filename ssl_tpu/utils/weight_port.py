@@ -23,7 +23,15 @@ def _conv_w(t):
 
 def load_torch_state_dict(path: str, param_key: str = "params") -> dict:
     import torch
-    sd = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        # safe path first: no arbitrary pickle execution
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        import logging
+        logging.getLogger("ssl_tpu").warning(
+            "load_torch_state_dict(%s): weights_only load failed; falling back "
+            "to full unpickling — only do this for checkpoints you trust.", path)
+        sd = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(sd, dict) and param_key in sd:
         sd = sd[param_key]
     elif isinstance(sd, dict) and "params_ema" in sd and param_key == "params":
@@ -889,11 +897,15 @@ def load_params_auto(path: str, param_key: str = "params", reference_tree=None):
             if reference_tree is None or _tree_shapes_match(tree, reference_tree):
                 return tree
             fallback = fallback if fallback is not None else name
+        import logging
         if fallback is not None:
-            import logging
             logging.getLogger("ssl_tpu").warning(
                 "load_params_auto(%s): converter '%s' matched but shapes mismatch; ignoring",
                 path, fallback)
+        else:
+            logging.getLogger("ssl_tpu").warning(
+                "load_params_auto(%s): no converter matched this checkpoint's "
+                "key layout (keys like %s)", path, sorted(sd)[:5])
         return None
     return None
 

@@ -27,7 +27,7 @@ def _make_synthetic_dataset(root, n=4, gt=64, scale=4):
     return gt_dir, lq_dir, mask_dir
 
 
-def _write_opt(tmp_path, gt_dir, lq_dir, mask_dir):
+def _write_opt(tmp_path, gt_dir, lq_dir, mask_dir, **overrides):
     opt = {
         "name": "tiny_e2e", "model_type": "ESRGANSSLModel", "scale": 4,
         "manual_seed": 0,
@@ -61,20 +61,33 @@ def _write_opt(tmp_path, gt_dir, lq_dir, mask_dir):
                                      "test_y_channel": False}}},
         "logger": {"print_freq": 2, "save_checkpoint_freq": 4, "use_tb_logger": False},
     }
-    opt_path = os.path.join(tmp_path, "opt.yml")
+    for key, val in overrides.items():
+        if isinstance(val, dict) and isinstance(opt.get(key), dict):
+            opt[key].update(val)
+        else:
+            opt[key] = val
+    opt_path = os.path.join(tmp_path, f"opt_{opt['name']}.yml")
     with open(opt_path, "w") as f:
         yaml.safe_dump(opt, f)
     return opt_path
 
 
-def test_train_pipeline_end_to_end(tmp_path):
+def test_train_pipeline_end_to_end_8device(tmp_path):
+    """The REAL CLI on the 8-device CPU mesh (conftest): the production
+    multi-chip path — batch sharded over 'data', params replicated, XLA
+    all-reduces grads (reference DDP equivalent, base_model.py:87-101)."""
+    import jax
     tmp = str(tmp_path)
-    gt_dir, lq_dir, mask_dir = _make_synthetic_dataset(tmp)
+    gt_dir, lq_dir, mask_dir = _make_synthetic_dataset(tmp, n=16)
     opt_path = _write_opt(tmp, gt_dir, lq_dir, mask_dir)
 
     from ssl_tpu.train import train_pipeline
     state = train_pipeline(tmp, args=["-opt", opt_path])
     assert int(state.step) == 4
+    # params must live replicated across the full 8-device mesh, not on one chip
+    leaf = jax.tree_util.tree_leaves(state.params_g)[0]
+    assert len(leaf.sharding.device_set) == len(jax.devices()) == 8
+    assert leaf.sharding.is_fully_replicated
     # checkpoints written
     models_dir = os.path.join(tmp, "experiments", "tiny_e2e", "models")
     states_dir = os.path.join(tmp, "experiments", "tiny_e2e", "training_states")
@@ -84,6 +97,64 @@ def test_train_pipeline_end_to_end(tmp_path):
     # resume: run again with auto_resume; should load iter 4 and finish fast
     state2 = train_pipeline(tmp, args=["-opt", opt_path, "--auto_resume"])
     assert int(state2.step) >= 4
+
+
+def test_train_pipeline_batch_is_data_sharded(tmp_path):
+    """Every train_step batch leaf arrives sharded over the 'data' axis."""
+    import jax
+    from ssl_tpu.models.esrganssl_model import ESRGANSSLModel
+    tmp = str(tmp_path)
+    gt_dir, lq_dir, mask_dir = _make_synthetic_dataset(tmp, n=16)
+    opt_path = _write_opt(tmp, gt_dir, lq_dir, mask_dir,
+                          name="shardcheck", train={"total_iter": 1},
+                          val={"val_freq": 999, "metrics": {}})
+    seen = []
+    orig = ESRGANSSLModel.train_step
+
+    def spy(self, state, batch):
+        seen.append({k: v.sharding for k, v in batch.items()})
+        return orig(self, state, batch)
+
+    ESRGANSSLModel.train_step = spy
+    try:
+        from ssl_tpu.train import train_pipeline
+        train_pipeline(tmp, args=["-opt", opt_path])
+    finally:
+        ESRGANSSLModel.train_step = orig
+    assert seen
+    for sh in seen[0].values():
+        assert len(sh.device_set) == 8, f"batch not on the mesh: {sh}"
+        assert not sh.is_fully_replicated, f"batch replicated, not sharded: {sh}"
+
+
+def test_train_pipeline_1dev_vs_8dev_loss_equality(tmp_path):
+    """Same global batch (1×8 devices vs 8×1 device), same seeds → the two
+    runs must produce the same updated parameters (DDP ≡ single-process
+    equivalence; only float reduction order may differ)."""
+    import numpy as np
+    import jax
+    tmp = str(tmp_path)
+    gt_dir, lq_dir, mask_dir = _make_synthetic_dataset(tmp, n=8)
+    from ssl_tpu.train import train_pipeline
+
+    states = {}
+    for name, num_devices, bpg in (("dev1", 1, 8), ("dev8", 8, 1)):
+        opt_path = _write_opt(
+            tmp, gt_dir, lq_dir, mask_dir, name=name, num_devices=num_devices,
+            datasets={"train": {
+                "name": "synth", "type": "PairedImageMaskDataset",
+                "dataroot_gt": gt_dir, "dataroot_lq": lq_dir,
+                "dataroot_gt_mask": mask_dir, "gt_size": 32,
+                "use_hflip": False, "use_rot": False,
+                "batch_size_per_gpu": bpg, "num_worker_per_gpu": 1,
+                "dataset_enlarge_ratio": 1}},
+            train={"total_iter": 2}, val={"val_freq": 999, "metrics": {}})
+        states[name] = train_pipeline(tmp, args=["-opt", opt_path])
+
+    flat1 = jax.tree_util.tree_leaves(states["dev1"].params_g)
+    flat8 = jax.tree_util.tree_leaves(states["dev8"].params_g)
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6)
 
 
 def test_orbax_state_roundtrip(tmp_path):
