@@ -21,20 +21,33 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("mode", choices=["import", "export-rrdb", "export-swinir",
+    ap.add_argument("mode", choices=["import", "import-sd-unet", "import-sd-structcond",
+                                 "export-rrdb", "export-swinir",
                                  "export-msrresnet", "export-srvgg", "export-unet-sn"])
     ap.add_argument("src")
     ap.add_argument("dst")
     ap.add_argument("--key", default="params", help="param key inside the .pth/.pkl")
     args = ap.parse_args()
 
-    if args.mode == "import":
-        from ssl_tpu.utils.weight_port import load_params_auto
+    if args.mode.startswith("import"):
         import numpy as np
         import jax
-        tree = load_params_auto(args.src, param_key=args.key)
-        if tree is None:
-            raise SystemExit(f"no converter matched the layout of {args.src}")
+        if args.mode == "import":
+            from ssl_tpu.utils.weight_port import load_params_auto
+            tree = load_params_auto(args.src, param_key=args.key)
+            if tree is None:
+                raise SystemExit(f"no converter matched the layout of {args.src}")
+        else:
+            # StableSR/SD checkpoints ('state_dict' with model.diffusion_model.*
+            # / structcond_stage_model.*) -> diffusion UNet / struct encoder
+            from ssl_tpu.utils.weight_port import (convert_sd_structcond,
+                                                   convert_sd_unet,
+                                                   load_torch_state_dict)
+            sd = load_torch_state_dict(args.src, "state_dict")
+            tree = (convert_sd_unet if args.mode == "import-sd-unet"
+                    else convert_sd_structcond)(sd)
+            if not tree:
+                raise SystemExit(f"no UNet keys found in {args.src}")
         tree = jax.tree_util.tree_map(np.asarray, tree)
         with open(args.dst, "wb") as f:
             pickle.dump({args.key: tree}, f)

@@ -66,11 +66,12 @@ def main():
 
         rng, r_enc, r_samp = jax.random.split(rng, 3)
         z_lq = model.encode(vae_params, jnp.asarray(lq_up[None] * 2 - 1), r_enc)
-        ctx = jnp.broadcast_to(state.params["null_context"],
-                               (1,) + state.params["null_context"].shape)
+        infer_p = model.infer_params(state)  # EMA at sampling time (LitEma)
+        ctx = jnp.broadcast_to(infer_p["null_context"],
+                               (1,) + infer_p["null_context"].shape)
 
         def apply_fn(x, t, c, z):
-            return model.apply_model(state.params, x, t, c, z)
+            return model.apply_model(infer_p, x, t, c, z)
 
         z = spaced_ddpm_sample(apply_fn, model.sched, z_lq.shape, r_samp, ctx, z_lq,
                                steps=args.ddpm_steps)

@@ -24,11 +24,17 @@ def scaled_kaiming_init(scale: float = 1.0, mode: str = "fan_in"):
 
 
 def pixel_shuffle(x: jnp.ndarray, scale: int) -> jnp.ndarray:
-    """Depth-to-space, NHWC. (b,h,w,c*s^2) -> (b,h*s,w*s,c)."""
+    """Depth-to-space, NHWC. (b,h,w,c*s^2) -> (b,h*s,w*s,c).
+
+    Channel layout matches torch.nn.PixelShuffle — index = c*s^2 + dy*s + dx —
+    so converted checkpoints whose convs feed a pixel-shuffle (MSRResNet
+    upconv, SRVGG upsampler, SwinIR pixelshuffle tail) need no channel
+    permutation.  (Caught by the reference-oracle parity suite: the earlier
+    (dy,dx,c) layout produced column-interleaved outputs.)"""
     b, h, w, c = x.shape
     oc = c // (scale * scale)
-    x = x.reshape(b, h, w, scale, scale, oc)
-    x = x.transpose(0, 1, 3, 2, 4, 5)
+    x = x.reshape(b, h, w, oc, scale, scale)
+    x = x.transpose(0, 1, 4, 2, 5, 3)
     return x.reshape(b, h * scale, w * scale, oc)
 
 
@@ -49,6 +55,15 @@ def resize_nearest(x: jnp.ndarray, scale: int) -> jnp.ndarray:
     b, h, w, c = x.shape
     x = jnp.repeat(x, scale, axis=1)
     return jnp.repeat(x, scale, axis=2)
+
+
+def resize_bilinear(x: jnp.ndarray, scale: int) -> jnp.ndarray:
+    """Bilinear x`scale` upsample, NHWC — matches torch
+    F.interpolate(mode='bilinear', align_corners=False) (half-pixel centers,
+    same convention as jax.image.resize)."""
+    import jax
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, h * scale, w * scale, c), method="bilinear")
 
 
 class Conv3x3(nn.Module):

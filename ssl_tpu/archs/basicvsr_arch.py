@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ssl_tpu.archs.arch_util import ResidualBlockNoBN, pixel_shuffle, resize_nearest
+from ssl_tpu.archs.arch_util import ResidualBlockNoBN, pixel_shuffle, resize_bilinear
 from ssl_tpu.utils.registry import ARCH_REGISTRY
 
 
@@ -172,7 +172,7 @@ class BasicVSRPlusPlus(nn.Module):
             y = pixel_shuffle(lrelu(up1(y)), 2)
             y = pixel_shuffle(lrelu(up2(y)), 2)
             y = last(lrelu(hr(y)))
-            outs.append(y + resize_nearest(lqs[:, i], 4))
+            outs.append(y + resize_bilinear(lqs[:, i], 4))
         return jnp.stack(outs, axis=1)
 
 
@@ -226,5 +226,5 @@ class BasicVSR(nn.Module):
             y = pixel_shuffle(nn.leaky_relu(up2(y), 0.1), 2)
             y = nn.leaky_relu(hr(y), 0.1)
             y = last(y)
-            outs.append(y + resize_nearest(lqs[:, i], 4))
+            outs.append(y + resize_bilinear(lqs[:, i], 4))
         return jnp.stack(outs, axis=1)

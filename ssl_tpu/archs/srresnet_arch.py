@@ -4,7 +4,8 @@ from __future__ import annotations
 
 from flax import linen as nn
 
-from ssl_tpu.archs.arch_util import Conv3x3, ResidualBlockNoBN, pixel_shuffle, resize_nearest
+from ssl_tpu.archs.arch_util import (Conv3x3, ResidualBlockNoBN, pixel_shuffle,
+                                     resize_bilinear)
 from ssl_tpu.utils.registry import ARCH_REGISTRY
 
 
@@ -35,5 +36,6 @@ class MSRResNet(nn.Module):
             body = lrelu(pixel_shuffle(body, 2))
         out = lrelu(nn.Conv(self.num_feat, (3, 3), padding="SAME", name="conv_hr")(body))
         out = nn.Conv(self.num_out_ch, (3, 3), padding="SAME", name="conv_last")(out)
-        base = resize_nearest(x, self.upscale)
+        # reference srresnet_arch.py:76: bilinear (align_corners=False) base
+        base = resize_bilinear(x, self.upscale)
         return out + base

@@ -179,10 +179,12 @@ class SwinIR(nn.Module):
     def __call__(self, x):
         h0, w0 = x.shape[1], x.shape[2]
         win = self.window_size
-        ph = (win - h0 % win) % win
-        pw = (win - w0 % win) % win
-        if ph or pw:
-            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
+        # reference check_image_size (swinir_arch.py:939-945) ALWAYS pads by
+        # cat([x, flip(x)]) — symmetric mirror of a full extra window even
+        # when already aligned; output is cropped back below
+        ph = (h0 // win + 1) * win - h0
+        pw = (w0 // win + 1) * win - w0
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="symmetric")
         mean = jnp.asarray([0.4488, 0.4371, 0.4040]) if self.in_chans == 3 else 0.0
         x = (x - mean) * self.img_range
 

@@ -83,9 +83,11 @@ def add_jpeg_noise(img: np.ndarray, rng=random) -> np.ndarray:
 
 
 def degradation_bsrgan(img: np.ndarray, sf: int = 4, lq_patchsize: int = 72,
-                       mask: np.ndarray | None = None):
+                       mask: np.ndarray | None = None, no_crop: bool = False):
     """Degrade an HWC [0,1] GT into (lq, hq[, mask]); mask rides along with hq
-    (the SSL mask path needs them aligned)."""
+    (the SSL mask path needs them aligned).  ``no_crop`` keeps the full image
+    (offline test-set synthesis, generate_realesrgan_bsrgan_lr.py) — the lq is
+    resized to exactly (h//sf, w//sf) instead of patch-cropped."""
     jpeg_prob, scale2_prob = 0.9, 0.25
     sf_ori = sf
     h1, w1 = img.shape[:2]
@@ -144,6 +146,15 @@ def degradation_bsrgan(img: np.ndarray, sf: int = 4, lq_patchsize: int = 72,
         # i == 6: camera ISP model — reference gates on isp_model=None (unused)
 
     img = add_jpeg_noise(img)
+
+    if no_crop:
+        target = (w // sf_ori, h // sf_ori)
+        if img.shape[:2] != (target[1], target[0]):
+            img = cv2.resize(img, target, interpolation=cv2.INTER_CUBIC)
+            img = np.clip(img, 0, 1).astype(np.float32)
+        if mask is not None:
+            return img.astype(np.float32), hq.astype(np.float32), mask
+        return img.astype(np.float32), hq.astype(np.float32)
 
     # final crop (identity in the mask-aware path; random otherwise)
     lh, lw = img.shape[:2]

@@ -59,6 +59,7 @@ class DiffusionTrainState(struct.PyTreeNode):
     params: Any                      # {'unet', 'structcond', 'null_context'}
     frozen: Any                      # {'vae'} — first stage is frozen
     opt_state: Any
+    ema_params: Any = None           # LitEma equivalent (ddpm.py use_ema)
 
 
 class StableSRSSL:
@@ -71,12 +72,14 @@ class StableSRSSL:
                  ssl_setting: SSLSetting | None = None,
                  lr: float = 5e-5, accumulate: int = 1,
                  vae_ckpt: str | None = None,
-                 clip_text_ckpt: str | None = None):
+                 clip_text_ckpt: str | None = None,
+                 unet_ckpt: str | None = None,
+                 use_ema: bool = True, ema_decay: float = 0.9999):
         self.cfg = cfg
         self.unet = unet or UNetModelDualcondV2(context_dim=cfg.context_dim)
-        self.structcond = structcond or EncoderUNetModelWT(
-            model_channels=self.unet.model_channels,
-            channel_mult=self.unet.channel_mult)
+        # StableSR's struct encoder has its OWN config (256ch, mult 1,1,2,2 —
+        # configs/SSL/base.yaml:92-107), independent of the UNet's
+        self.structcond = structcond or EncoderUNetModelWT()
         self.vae = vae or AutoencoderKL()
         self.ssl_setting = ssl_setting or SSLSetting(
             ssg=SSGConfig(), mask_stride=3, capacity=2048,
@@ -88,6 +91,10 @@ class StableSRSSL:
         self.tx = optax.MultiSteps(tx, accumulate) if accumulate > 1 else tx
         self.vae_ckpt = vae_ckpt
         self.clip_text_ckpt = clip_text_ckpt
+        self.unet_ckpt = unet_ckpt
+        # LitEma equivalent (reference ddpm.py use_ema=True, decay 0.9999)
+        self.use_ema = use_ema
+        self.ema_decay = ema_decay
         self._train_step = None
 
     def _clip_null_context(self):
@@ -133,8 +140,27 @@ class StableSRSSL:
         sc_vars = jax.jit(self.structcond.init)(r2, z, t)
         feats = jax.eval_shape(lambda v, z_, t_: self.structcond.apply(v, z_, t_),
                                sc_vars, z, t)
-        feats0 = [jnp.zeros(f.shape, f.dtype) for f in feats]
+        # dict keyed by str(width) (reference EncoderUNetModelWT returns the
+        # same dict; SPADE looks features up by resolution)
+        feats0 = jax.tree_util.tree_map(lambda f: jnp.zeros(f.shape, f.dtype), feats)
         unet_vars = jax.jit(self.unet.init)(r3, z, t, ctx, feats0)
+        if self.unet_ckpt:
+            # StableSR/SD UNet (+ struct encoder if present) import — lossless
+            # key-map verified by the reference-module parity test
+            from ssl_tpu.utils.weight_port import (_as_jnp, convert_sd_structcond,
+                                                   convert_sd_unet,
+                                                   load_torch_state_dict,
+                                                   merge_into_tree)
+            sd = load_torch_state_dict(self.unet_ckpt, "state_dict")
+            unet_tree = convert_sd_unet(sd)
+            if not unet_tree:
+                raise ValueError(f"unet_ckpt={self.unet_ckpt}: no UNet keys found")
+            unet_vars = {"params": merge_into_tree(unet_vars["params"],
+                                                   _as_jnp(unet_tree))}
+            sc_tree = convert_sd_structcond(sd)
+            if sc_tree and any(k.startswith("structcond_stage_model.") for k in sd):
+                sc_vars = {"params": merge_into_tree(sc_vars["params"],
+                                                     _as_jnp(sc_tree))}
         if self.clip_text_ckpt:
             null_ctx = self._clip_null_context()
             assert null_ctx.shape[-1] == self.cfg.context_dim, \
@@ -147,9 +173,15 @@ class StableSRSSL:
             "structcond": sc_vars["params"],
             "null_context": null_ctx,
         }
+        ema = (jax.tree_util.tree_map(jnp.copy, params) if self.use_ema else None)
         return DiffusionTrainState(step=jnp.asarray(0, jnp.int32), rng=rng,
                                    params=params, frozen={"vae": vae_vars["params"]},
-                                   opt_state=self.tx.init(params))
+                                   opt_state=self.tx.init(params), ema_params=ema)
+
+    def infer_params(self, state: DiffusionTrainState):
+        """Sampling-time params: EMA weights when tracked (the reference
+        samples under LitEma's ema_scope)."""
+        return state.ema_params if state.ema_params is not None else state.params
 
     # ---------------------------------------------------------------- helpers
     def encode(self, vae_params, img, rng):
@@ -222,8 +254,16 @@ class StableSRSSL:
             (total, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
             updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
+            ema = state.ema_params
+            if ema is not None:
+                # LitEma decay schedule (ldm/modules/ema.py): decay ramps as
+                # (1+n)/(10+n) capped at max_decay (reference default 0.9999)
+                n = state.step.astype(jnp.float32)  # num_updates so far
+                decay = jnp.minimum(self.ema_decay, (1.0 + n) / (10.0 + n))
+                ema = jax.tree_util.tree_map(
+                    lambda e, p: e * decay + p * (1.0 - decay), ema, params)
             return state.replace(step=state.step + 1, rng=rng, params=params,
-                                 opt_state=opt_state), logs
+                                 opt_state=opt_state, ema_params=ema), logs
         return step_fn
 
     def train_step(self, state, batch):

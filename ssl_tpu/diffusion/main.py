@@ -48,9 +48,12 @@ def build_from_config(cfg: dict):
     model = StableSRSSL(
         dcfg,
         unet=UNetModelDualcondV2(context_dim=dcfg.context_dim, **unet_cfg),
-        structcond=EncoderUNetModelWT(
-            model_channels=unet_cfg.get("model_channels", 256),
-            channel_mult=tuple(unet_cfg.get("channel_mult", (1, 2, 4)))),
+        # struct encoder: own config block (reference structcond_stage_config,
+        # configs/SSL/base.yaml:92-107); falls back to tracking the UNet dims
+        # for small test configs
+        structcond=EncoderUNetModelWT(**(m.get("structcond") or {
+            "model_channels": unet_cfg.get("model_channels", 256),
+            "channel_mult": tuple(unet_cfg.get("channel_mult", (1, 1, 2, 2)))})),
         vae=AutoencoderKL(**vae_cfg),
         ssl_setting=SSLSetting(ssg=ssg, mask_stride=sslopt.get("mask_stride", 3),
                                capacity=sslopt.get("capacity", 2048),
@@ -59,7 +62,8 @@ def build_from_config(cfg: dict):
         lr=cfg.get("train", {}).get("lr", 5e-5),
         accumulate=cfg.get("train", {}).get("accumulate_grad_batches", 1),
         vae_ckpt=m.get("vae_ckpt"),
-        clip_text_ckpt=m.get("clip_text_ckpt"))
+        clip_text_ckpt=m.get("clip_text_ckpt"),
+        unet_ckpt=m.get("ckpt_path") or m.get("unet_ckpt"))
     return model
 
 
@@ -105,6 +109,11 @@ def train(args):
             # bicubic-up is how StableSR feeds 512-sized LQ)
             proc = degrader({k: v for k, v in batch.items()
                              if isinstance(v, np.ndarray)} | {"gt_size": gt_size})
+            # no_degradation_prob (reference ddpmssl.py:237-238): occasionally
+            # feed the clean GT as LQ (also the NaN fallback)
+            ndp = cfg.get("degradation", {}).get("no_degradation_prob", 0.0)
+            if (ndp and np.random.rand() < ndp) or np.isnan(proc["lq"]).any():
+                proc = {**proc, "lq": proc["gt"]}
             device_batch = {k: jnp.asarray(v) for k, v in proc.items()}
             state, logs = model.train_step(state, device_batch)
             step += 1

@@ -58,9 +58,10 @@ def main():
             cfw_params = pickle.load(f)["params"]
         cfw = (cfw_net, jax.tree_util.tree_map(jnp.asarray, cfw_params))
     rng = jax.random.PRNGKey(42)
+    infer_p = model.infer_params(state)  # EMA at sampling time (LitEma)
 
     def apply_fn(x, t, ctx, z_lq):
-        return model.apply_model(state.params, x, t, ctx, z_lq)
+        return model.apply_model(infer_p, x, t, ctx, z_lq)
 
     for name in sorted(os.listdir(args.init_img)):
         path = os.path.join(args.init_img, name)
@@ -73,8 +74,8 @@ def main():
 
         rng, r_enc, r_samp = jax.random.split(rng, 3)
         z_lq = model.encode(vae_params, lq_t, r_enc)
-        ctx = jnp.broadcast_to(state.params["null_context"],
-                               (1,) + state.params["null_context"].shape)
+        ctx = jnp.broadcast_to(infer_p["null_context"],
+                               (1,) + infer_p["null_context"].shape)
 
         def sample_tile(z_tile):
             return spaced_ddpm_sample(apply_fn, model.sched, z_tile.shape,

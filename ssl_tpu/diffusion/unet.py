@@ -1,11 +1,23 @@
-"""Diffusion UNet with dual conditioning (text context + time-aware structure).
+"""Diffusion UNet with dual conditioning — STRUCTURALLY EQUIVALENT to StableSR.
 
-Reference parity: ldm/modules/diffusionmodules/openaimodel.py — UNetModel
-(:627), UNetModelDualcondV2 (:958, struct-cond spatial modulation via
-semb_channels), EncoderUNetModelWT (:1341, time-aware struct-cond encoder
-returning per-resolution features).  NHWC flax re-design: attention is einsum
-(MXU), timestep embedding standard sinusoidal -> MLP, struct features injected
-with SFT (scale/shift) at matching decoder resolutions."""
+Reference parity: ldm/modules/diffusionmodules/openaimodel.py —
+UNetModelDualcondV2 (:958, SPADE struct-cond inside every ResBlock),
+EncoderUNetModelWT (:1341, time-aware struct encoder returning a dict of
+per-resolution features keyed by str(width)), ResBlockDual (:343),
+SPADE (ldm/modules/spade.py:68), SpatialTransformerV2
+(ldm/modules/attention.py:350, use_linear) and AttentionBlock (:463,
+QKVAttentionLegacy head-major qkv packing).
+
+NHWC flax re-design with one deliberate constraint: every submodule is named
+after its torch path (``input_blocks_3_0`` / ``in_layers_2`` / ``spade_mlp_gamma``
+…), so ``convert_sd_unet`` in utils/weight_port.py is a mechanical key
+translation and real StableSR checkpoints import losslessly.
+
+Implemented configuration = what StableSR ships (configs/SSL/base.yaml:42-59):
+use_scale_shift_norm=False, use_linear_in_transformer=True, conv_resample=True,
+dropout=0, legacy=False.  Attention is einsum (MXU); GroupNorm/LayerNorm eps
+pinned to torch's 1e-5; GELU is exact (non-approximate), matching torch.
+"""
 
 from __future__ import annotations
 
@@ -27,67 +39,92 @@ def timestep_embedding(t: jnp.ndarray, dim: int, max_period: int = 10000) -> jnp
     return emb
 
 
-def _gn(x, name=None):
-    c = x.shape[-1]
-    groups = 32 if c % 32 == 0 else (math.gcd(c, 32) or 1)
-    return nn.GroupNorm(num_groups=groups, epsilon=1e-5, name=name)(x)
+def _gn(name: str):
+    """GroupNorm32 (openaimodel normalization()): 32 groups, eps 1e-5."""
+    return nn.GroupNorm(num_groups=32, epsilon=1e-5, name=name)
 
 
-class ResBlock(nn.Module):
+def _zero_conv(ch: int, name: str, k: int = 3):
+    return nn.Conv(ch, (k, k), padding=[(k // 2, k // 2)] * 2, name=name,
+                   kernel_init=nn.initializers.zeros)
+
+
+class ResBlockRef(nn.Module):
+    """openaimodel ResBlock (use_scale_shift_norm=False, dropout=0):
+    h = zero_conv(silu(GN(conv(silu(GN(x))) + emb_proj))) ; x' = skip(x)+h."""
     out_ch: int
 
     @nn.compact
     def __call__(self, x, emb):
-        h = nn.Conv(self.out_ch, (3, 3), padding="SAME")(nn.silu(_gn(x)))
-        emb_out = nn.Dense(2 * self.out_ch)(nn.silu(emb))
-        scale, shift = jnp.split(emb_out[:, None, None, :], 2, axis=-1)
-        h = _gn(h) * (1 + scale) + shift
-        h = nn.Conv(self.out_ch, (3, 3), padding="SAME",
-                    kernel_init=nn.initializers.zeros)(nn.silu(h))
+        h = _gn("in_layers_0")(x)
+        h = nn.Conv(self.out_ch, (3, 3), padding=[(1, 1), (1, 1)],
+                    name="in_layers_2")(nn.silu(h))
+        emb_out = nn.Dense(self.out_ch, name="emb_layers_1")(nn.silu(emb))
+        h = h + emb_out[:, None, None, :]
+        h = _gn("out_layers_0")(h)
+        h = _zero_conv(self.out_ch, "out_layers_3")(nn.silu(h))
         if x.shape[-1] != self.out_ch:
-            x = nn.Conv(self.out_ch, (1, 1))(x)
+            x = nn.Conv(self.out_ch, (1, 1), name="skip_connection")(x)
         return x + h
 
 
-class CrossAttention(nn.Module):
-    heads: int = 8
-    dim_head: int = 64
+class ResBlockDual(nn.Module):
+    """ResBlockDual (openaimodel.py:343): ResBlock + SPADE struct-cond
+    modulation before the residual add.  ``s_dict`` maps str(width) -> struct
+    feature at that resolution (spade.py:95 keys segmap by x.size(-1))."""
+    out_ch: int
 
     @nn.compact
-    def __call__(self, x, context=None):
-        # x: (b, n, c); context: (b, m, cc) or None (self-attention)
-        b, n, c = x.shape
-        context = x if context is None else context
-        inner = self.heads * self.dim_head
-        q = nn.Dense(inner, use_bias=False, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, name="to_k")(context)
-        v = nn.Dense(inner, use_bias=False, name="to_v")(context)
-        q = q.reshape(b, n, self.heads, self.dim_head)
-        k = k.reshape(b, -1, self.heads, self.dim_head)
-        v = v.reshape(b, -1, self.heads, self.dim_head)
-        attn = jax.nn.softmax(
-            jnp.einsum("bnhd,bmhd->bhnm", q, k) * (self.dim_head ** -0.5), axis=-1)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, inner)
-        return nn.Dense(c, name="to_out")(out)
+    def __call__(self, x, emb, s_dict):
+        h = _gn("in_layers_0")(x)
+        h = nn.Conv(self.out_ch, (3, 3), padding=[(1, 1), (1, 1)],
+                    name="in_layers_2")(nn.silu(h))
+        emb_out = nn.Dense(self.out_ch, name="emb_layers_1")(nn.silu(emb))
+        h = h + emb_out[:, None, None, :]
+        h = _gn("out_layers_0")(h)
+        h = _zero_conv(self.out_ch, "out_layers_3")(nn.silu(h))
+        # SPADE (nhidden=128 hardcoded in the reference, spade.py:83)
+        s = s_dict[str(h.shape[2])]
+        normalized = _gn("spade_param_free_norm")(h)
+        actv = nn.relu(nn.Conv(128, (3, 3), padding=[(1, 1), (1, 1)],
+                               name="spade_mlp_shared_0")(s))
+        gamma = nn.Conv(self.out_ch, (3, 3), padding=[(1, 1), (1, 1)],
+                        name="spade_mlp_gamma")(actv)
+        beta = nn.Conv(self.out_ch, (3, 3), padding=[(1, 1), (1, 1)],
+                       name="spade_mlp_beta")(actv)
+        h = normalized * (1 + gamma) + beta
+        if x.shape[-1] != self.out_ch:
+            x = nn.Conv(self.out_ch, (1, 1), name="skip_connection")(x)
+        return x + h
 
 
-class TransformerBlock(nn.Module):
-    heads: int
-    dim_head: int
+class Downsample(nn.Module):
+    """conv_resample downsample: conv3x3 stride 2 pad 1, named 'op'."""
+    out_ch: int
 
     @nn.compact
-    def __call__(self, x, context):
-        x = x + CrossAttention(self.heads, self.dim_head, name="attn1")(nn.LayerNorm()(x))
-        x = x + CrossAttention(self.heads, self.dim_head, name="attn2")(nn.LayerNorm()(x), context)
-        # GEGLU feed-forward
-        y = nn.LayerNorm()(x)
-        a = nn.Dense(x.shape[-1] * 8)(y)
-        a, gate = jnp.split(a, 2, axis=-1)
-        y = a * nn.gelu(gate)
-        return x + nn.Dense(x.shape[-1])(y)
+    def __call__(self, x):
+        return nn.Conv(self.out_ch, (3, 3), strides=(2, 2),
+                       padding=[(1, 1), (1, 1)], name="op")(x)
 
 
-class SpatialTransformer(nn.Module):
+class Upsample(nn.Module):
+    """nearest x2 + conv3x3 pad 1, named 'conv'."""
+    out_ch: int
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(self.out_ch, (3, 3), padding=[(1, 1), (1, 1)],
+                       name="conv")(x)
+
+
+class SpatialTransformerV2(nn.Module):
+    """attention.py:350 with use_linear=True (SD 2.1 / StableSR layout).
+
+    GN -> flatten -> Linear proj_in -> depth x BasicTransformerBlockV2
+    (self-attn, cross-attn with context, GEGLU ff) -> Linear proj_out -> +x."""
     heads: int
     dim_head: int
     depth: int = 1
@@ -95,114 +132,179 @@ class SpatialTransformer(nn.Module):
     @nn.compact
     def __call__(self, x, context):
         b, h, w, c = x.shape
-        y = _gn(x)
-        y = nn.Conv(c, (1, 1), name="proj_in")(y).reshape(b, h * w, c)
-        for i in range(self.depth):
-            y = TransformerBlock(self.heads, self.dim_head, name=f"block_{i}")(y, context)
-        y = nn.Conv(c, (1, 1), name="proj_out",
-                    kernel_init=nn.initializers.zeros)(y.reshape(b, h, w, c))
-        return x + y
+        inner = self.heads * self.dim_head
+        y = _gn("norm")(x).reshape(b, h * w, c)
+        y = nn.Dense(inner, name="proj_in")(y)
+        for d in range(self.depth):
+            p = f"transformer_blocks_{d}"
+            y = y + self._attn(nn.LayerNorm(epsilon=1e-5, name=f"{p}_norm1")(y),
+                               None, f"{p}_attn1")
+            y = y + self._attn(nn.LayerNorm(epsilon=1e-5, name=f"{p}_norm2")(y),
+                               context, f"{p}_attn2")
+            z = nn.LayerNorm(epsilon=1e-5, name=f"{p}_norm3")(y)
+            a = nn.Dense(y.shape[-1] * 4 * 2, name=f"{p}_ff_net_0_proj")(z)
+            a, gate = jnp.split(a, 2, axis=-1)
+            y = y + nn.Dense(y.shape[-1], name=f"{p}_ff_net_2")(
+                a * nn.gelu(gate, approximate=False))
+        y = nn.Dense(c, name="proj_out", kernel_init=nn.initializers.zeros)(y)
+        return x + y.reshape(b, h, w, c)
+
+    def _attn(self, x, context, prefix):
+        b, n, _ = x.shape
+        ctx = x if context is None else context
+        inner = self.heads * self.dim_head
+        q = nn.Dense(inner, use_bias=False, name=f"{prefix}_to_q")(x)
+        k = nn.Dense(inner, use_bias=False, name=f"{prefix}_to_k")(ctx)
+        v = nn.Dense(inner, use_bias=False, name=f"{prefix}_to_v")(ctx)
+        q = q.reshape(b, n, self.heads, self.dim_head)
+        k = k.reshape(b, -1, self.heads, self.dim_head)
+        v = v.reshape(b, -1, self.heads, self.dim_head)
+        attn = jax.nn.softmax(
+            jnp.einsum("bnhd,bmhd->bhnm", q, k) * (self.dim_head ** -0.5), axis=-1)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, inner)
+        return nn.Dense(x.shape[-1], name=f"{prefix}_to_out_0")(out)
 
 
-class SFTModulation(nn.Module):
-    """Structure-feature scale/shift injection (StableSR dual-cond):
-    h <- h * (1+scale(s)) + shift(s), learned from the struct feature."""
+class AttentionBlockQKV(nn.Module):
+    """openaimodel AttentionBlock (:463) with QKVAttentionLegacy packing:
+    qkv channels are head-major blocks [q_h | k_h | v_h]."""
+    num_heads: int
 
     @nn.compact
-    def __call__(self, h, s):
-        if s.shape[1] != h.shape[1]:
-            s = jax.image.resize(s, (s.shape[0], h.shape[1], h.shape[2], s.shape[-1]),
-                                 method="bilinear")
-        y = nn.silu(nn.Conv(h.shape[-1], (3, 3), padding="SAME")(s))
-        scale = nn.Conv(h.shape[-1], (3, 3), padding="SAME",
-                        kernel_init=nn.initializers.zeros)(y)
-        shift = nn.Conv(h.shape[-1], (3, 3), padding="SAME",
-                        kernel_init=nn.initializers.zeros)(y)
-        return h * (1 + scale) + shift
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        d = c // self.num_heads
+        y = _gn("norm")(x).reshape(b, h * w, c)
+        qkv = nn.Dense(3 * c, name="qkv")(y)                 # torch conv1d k=1
+        qkv = qkv.reshape(b, h * w, self.num_heads, 3, d)
+        q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
+        scale = 1.0 / math.sqrt(math.sqrt(d))
+        attn = jax.nn.softmax(
+            jnp.einsum("bnhd,bmhd->bhnm", q * scale, k * scale), axis=-1)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, h * w, c)
+        out = nn.Dense(c, name="proj_out", kernel_init=nn.initializers.zeros)(out)
+        # residual adds the raw (pre-norm) input, openaimodel.py:509
+        return (x.reshape(b, h * w, c) + out).reshape(b, h, w, c)
 
 
 class UNetModelDualcondV2(nn.Module):
-    """Denoiser epsilon(x_t, t, context, struct_feats)."""
+    """Denoiser eps(x_t, t, context, struct_cond_dict) — StableSR dual-cond."""
     in_channels: int = 4
     out_channels: int = 4
-    model_channels: int = 256
+    model_channels: int = 320
     num_res_blocks: int = 2
     attention_resolutions: Sequence[int] = (4, 2, 1)
-    channel_mult: Sequence[int] = (1, 2, 4)
-    num_heads: int = 8
+    channel_mult: Sequence[int] = (1, 2, 4, 4)
+    num_heads: int = -1
+    num_head_channels: int = 64
+    transformer_depth: int = 1
     context_dim: int = 1024
     semb_channels: int = 256
 
+    def _heads(self, ch: int) -> tuple[int, int]:
+        if self.num_head_channels > 0:
+            return ch // self.num_head_channels, self.num_head_channels
+        return self.num_heads, ch // self.num_heads
+
     @nn.compact
     def __call__(self, x, t, context, struct_feats=None):
-        emb = nn.Dense(self.model_channels * 4)(
+        emb = nn.Dense(self.model_channels * 4, name="time_embed_0")(
             timestep_embedding(t, self.model_channels))
-        emb = nn.Dense(self.model_channels * 4)(nn.silu(emb))
+        emb = nn.Dense(self.model_channels * 4, name="time_embed_2")(nn.silu(emb))
+        s = struct_feats
 
         ds = 1
-        h = nn.Conv(self.model_channels, (3, 3), padding="SAME", name="conv_in")(x)
+        idx = 0
+        h = nn.Conv(self.model_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                    name="input_blocks_0_0")(x)
         hs = [h]
-        # down
+        idx = 1
+        ch = self.model_channels
         for level, mult in enumerate(self.channel_mult):
-            ch = self.model_channels * mult
-            for i in range(self.num_res_blocks):
-                h = ResBlock(ch, name=f"down_{level}_res_{i}")(h, emb)
+            for _ in range(self.num_res_blocks):
+                ch = mult * self.model_channels
+                h = ResBlockDual(ch, name=f"input_blocks_{idx}_0")(h, emb, s)
                 if ds in self.attention_resolutions:
-                    h = SpatialTransformer(self.num_heads, ch // self.num_heads,
-                                           name=f"down_{level}_attn_{i}")(h, context)
+                    heads, dim_head = self._heads(ch)
+                    h = SpatialTransformerV2(heads, dim_head, self.transformer_depth,
+                                             name=f"input_blocks_{idx}_1")(h, context)
                 hs.append(h)
+                idx += 1
             if level != len(self.channel_mult) - 1:
-                h = nn.Conv(ch, (3, 3), strides=2, padding="SAME",
-                            name=f"down_{level}_downsample")(h)
+                h = Downsample(ch, name=f"input_blocks_{idx}_0")(h)
                 hs.append(h)
+                idx += 1
                 ds *= 2
-        # middle
-        ch = self.model_channels * self.channel_mult[-1]
-        h = ResBlock(ch, name="mid_res_1")(h, emb)
-        h = SpatialTransformer(self.num_heads, ch // self.num_heads, name="mid_attn")(h, context)
-        h = ResBlock(ch, name="mid_res_2")(h, emb)
-        # up (with struct-cond SFT injection per resolution)
-        for level in reversed(range(len(self.channel_mult))):
-            ch = self.model_channels * self.channel_mult[level]
+        heads, dim_head = self._heads(ch)
+        h = ResBlockDual(ch, name="middle_block_0")(h, emb, s)
+        h = SpatialTransformerV2(heads, dim_head, self.transformer_depth,
+                                 name="middle_block_1")(h, context)
+        h = ResBlockDual(ch, name="middle_block_2")(h, emb, s)
+
+        idx = 0
+        for level, mult in list(enumerate(self.channel_mult))[::-1]:
             for i in range(self.num_res_blocks + 1):
                 h = jnp.concatenate([h, hs.pop()], axis=-1)
-                h = ResBlock(ch, name=f"up_{level}_res_{i}")(h, emb)
-                if struct_feats is not None and level < len(struct_feats):
-                    h = SFTModulation(name=f"up_{level}_sft_{i}")(h, struct_feats[level])
+                ch = self.model_channels * mult
+                h = ResBlockDual(ch, name=f"output_blocks_{idx}_0")(h, emb, s)
+                j = 1
                 if ds in self.attention_resolutions:
-                    h = SpatialTransformer(self.num_heads, ch // self.num_heads,
-                                           name=f"up_{level}_attn_{i}")(h, context)
-            if level != 0:
-                b, hh, ww, c = h.shape
-                h = jax.image.resize(h, (b, hh * 2, ww * 2, c), method="nearest")
-                h = nn.Conv(c, (3, 3), padding="SAME", name=f"up_{level}_upsample")(h)
-                ds //= 2
-        h = nn.Conv(self.out_channels, (3, 3), padding="SAME",
-                    kernel_init=nn.initializers.zeros, name="conv_out")(nn.silu(_gn(h, "norm_out")))
-        return h
+                    heads, dim_head = self._heads(ch)
+                    h = SpatialTransformerV2(heads, dim_head, self.transformer_depth,
+                                             name=f"output_blocks_{idx}_{j}")(h, context)
+                    j += 1
+                if level and i == self.num_res_blocks:
+                    h = Upsample(ch, name=f"output_blocks_{idx}_{j}")(h)
+                    ds //= 2
+                idx += 1
+        h = _gn("out_0")(h)
+        return _zero_conv(self.out_channels, "out_2")(nn.silu(h))
 
 
 class EncoderUNetModelWT(nn.Module):
-    """Time-aware struct-cond encoder: z_lq + t -> per-resolution features
-    (reference openaimodel.py:1341)."""
+    """Time-aware struct-cond encoder (openaimodel.py:1341): half-UNet whose
+    pre-downsample features + middle output pass through per-resolution
+    ``fea_tran`` ResBlocks; returns {str(width): feature(out_channels)}."""
     in_channels: int = 4
     model_channels: int = 256
+    out_channels: int = 256
     num_res_blocks: int = 2
-    channel_mult: Sequence[int] = (1, 2, 4)
+    attention_resolutions: Sequence[int] = (4, 2, 1)
+    channel_mult: Sequence[int] = (1, 1, 2, 2)
+    num_heads: int = 4
 
     @nn.compact
     def __call__(self, x, t):
-        emb = nn.Dense(self.model_channels * 4)(
+        emb = nn.Dense(self.model_channels * 4, name="time_embed_0")(
             timestep_embedding(t, self.model_channels))
-        emb = nn.Dense(self.model_channels * 4)(nn.silu(emb))
-        h = nn.Conv(self.model_channels, (3, 3), padding="SAME", name="conv_in")(x)
-        feats = []
+        emb = nn.Dense(self.model_channels * 4, name="time_embed_2")(nn.silu(emb))
+
+        h = nn.Conv(self.model_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                    name="input_blocks_0_0")(x)
+        results = []
+        idx = 1
+        ds = 1
+        ch = self.model_channels
         for level, mult in enumerate(self.channel_mult):
-            ch = self.model_channels * mult
-            for i in range(self.num_res_blocks):
-                h = ResBlock(ch, name=f"enc_{level}_res_{i}")(h, emb)
-            feats.append(h)
+            for _ in range(self.num_res_blocks):
+                ch = mult * self.model_channels
+                h = ResBlockRef(ch, name=f"input_blocks_{idx}_0")(h, emb)
+                if ds in self.attention_resolutions:
+                    h = AttentionBlockQKV(self.num_heads,
+                                          name=f"input_blocks_{idx}_1")(h)
+                idx += 1
             if level != len(self.channel_mult) - 1:
-                h = nn.Conv(ch, (3, 3), strides=2, padding="SAME",
-                            name=f"enc_{level}_down")(h)
-        return feats  # index = channel_mult level (finest first)
+                results.append(h)  # feature entering the downsample
+                h = Downsample(ch, name=f"input_blocks_{idx}_0")(h)
+                idx += 1
+                ds *= 2
+        h = ResBlockRef(ch, name="middle_block_0")(h, emb)
+        h = AttentionBlockQKV(self.num_heads, name="middle_block_1")(h)
+        h = ResBlockRef(ch, name="middle_block_2")(h, emb)
+        results.append(h)
+
+        out = {}
+        for i, r in enumerate(results):
+            out[str(r.shape[2])] = ResBlockRef(self.out_channels,
+                                               name=f"fea_tran_{i}")(r, emb)
+        return out

@@ -92,9 +92,18 @@ def ssl_loss(sr: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray, setting: SSLSe
     if setting.impl == "dense" and not setting.kl_softmax:
         # fused masked-dense path: exact for any edge count, no gather.
         # Natively batched (NOT vmapped) — see ops/ssg.py batching note.
-        from ssl_tpu.ops.ssg import ssl_loss_dense_batched
+        from ssl_tpu.ops.ssg import ssl_loss_dense_batched, ssl_loss_dense_stored
 
-        l1_sum, kl_sum, count = ssl_loss_dense_batched(
+        # stored-q fast path: one q-stack in HBM replaces the pass2 + backward
+        # recomputes (~3x -> ~1x offset sweeps) when it fits; exact fp32, so
+        # value-identical to the scanned path (ops/ssg.py §stored-q)
+        import os
+        b, h, w = mask.shape
+        store_bytes = n2 * 2 * b * h * w * 4
+        budget = int(os.environ.get("SSG_STORE_BYTES", str(2 * 1024 ** 3)))
+        dense_fn = ssl_loss_dense_stored if store_bytes <= budget \
+            else ssl_loss_dense_batched
+        l1_sum, kl_sum, count = dense_fn(
             sr.transpose(0, 3, 1, 2), gt.transpose(0, 3, 1, 2), mask, setting.ssg)
         denom = count * n2 + 1e-12
         return (l1_sum / denom * setting.l1_weight,

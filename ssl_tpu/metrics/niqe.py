@@ -92,8 +92,10 @@ def niqe_features(img: np.ndarray, block_size: int = 96) -> np.ndarray:
                 feats.append(_block_features(block))
         feats_scales.append(np.asarray(feats))
         if scale == 1:
-            img = cv2.resize(img / 255.0, (img.shape[1] // 2, img.shape[0] // 2),
-                             interpolation=cv2.INTER_LINEAR) * 255.0
+            # matlab-faithful antialiased bicubic, like the reference
+            # (niqe.py:123 uses matlab_functions.imresize, not cv2)
+            from ssl_tpu.utils.matlab_resize import imresize
+            img = imresize(img / 255.0, 0.5) * 255.0
     return np.concatenate(feats_scales, axis=1)  # (blocks, 36)
 
 

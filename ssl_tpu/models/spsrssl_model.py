@@ -102,6 +102,12 @@ class SPSRSSLModel(ESRGANSSLModel):
         if self.net_d is None or self.net_d_grad is None:
             return super().make_train_step()
 
+        train_opt = self.opt.get("train") or {}
+        branch_pretrain = bool(train_opt.get("Branch_pretrain", 0))
+        branch_init_iters = int(train_opt.get("Branch_init_iters", 5000))
+        net_d_iters = int(train_opt.get("net_d_iters", 1))
+        net_d_init_iters = int(train_opt.get("net_d_init_iters", 0))
+
         def step_fn(state: TrainState, batch: dict):
             rng, sub = jax.random.split(state.rng)
             it = state.step + 1
@@ -111,8 +117,28 @@ class SPSRSSLModel(ESRGANSSLModel):
                 return total, (logs, sr)
 
             (l_g_total, (logs, sr)), grads_g = jax.value_and_grad(g_loss_fn, has_aux=True)(state.params_g)
-            updates_g, opt_state_g = self.tx_g.update(grads_g, state.opt_state_g, state.params_g)
-            params_g = jax.tree_util.tree_map(lambda p, u: p + u, state.params_g, updates_g)
+            updates_g, opt_state_g_new = self.tx_g.update(grads_g, state.opt_state_g, state.params_g)
+            params_g_new = jax.tree_util.tree_map(lambda p, u: p + u, state.params_g, updates_g)
+            # net_d_iters / net_d_init_iters gating (spsrssl_model.py:387): on
+            # skipped iterations the reference never steps optimizer_g —
+            # select old (params, opt_state) wholesale, one compiled program.
+            g_on = jnp.logical_and(it % net_d_iters == 0, it > net_d_init_iters)
+            sel = lambda new, old: jax.tree_util.tree_map(
+                lambda n, o: jnp.where(g_on, n, o), new, old)
+            params_g = sel(params_g_new, state.params_g)
+            opt_state_g = sel(opt_state_g_new, state.opt_state_g)
+            # Branch pretrain (reference spsrssl_model.py:284-291): during the
+            # first Branch_init_iters only the fusion branch ('f_*') trains —
+            # frozen params (and their Adam moments) keep their old values.
+            if branch_pretrain:
+                def keep_branch_only(path, new, old):
+                    in_branch = any(str(getattr(p, "key", "")).startswith("f_")
+                                    for p in path)
+                    if in_branch:
+                        return new
+                    return jnp.where(it <= branch_init_iters, old, new)
+                params_g = jax.tree_util.tree_map_with_path(
+                    keep_branch_only, params_g, state.params_g)
 
             sr_sg = jax.lax.stop_gradient(sr)
             gt = batch["gt"]

@@ -14,7 +14,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-# ITU-T T.81 Annex K base quantization tables
+# ITU-T T.81 Annex K base quantization tables.  The Y table is stored
+# TRANSPOSED, matching the reference DiffJPEG's `y_table.T` convention
+# (diffjpeg.py:18-24) relative to its block/DCT orientation — using the
+# untransposed table quantizes the wrong frequencies (caught by the
+# reference-oracle parity suite).
 Y_TABLE = np.array([
     [16, 11, 10, 16, 24, 40, 51, 61],
     [12, 12, 14, 19, 26, 58, 60, 55],
@@ -23,7 +27,7 @@ Y_TABLE = np.array([
     [18, 22, 37, 56, 68, 109, 103, 77],
     [24, 35, 55, 64, 81, 104, 113, 92],
     [49, 64, 78, 87, 103, 121, 120, 101],
-    [72, 92, 95, 98, 112, 100, 103, 99]], np.float32)
+    [72, 92, 95, 98, 112, 100, 103, 99]], np.float32).T
 
 C_TABLE = np.array([
     [17, 18, 24, 47, 99, 99, 99, 99],
@@ -107,7 +111,8 @@ def diff_jpeg(img: jnp.ndarray, quality, rounding=_diff_round) -> jnp.ndarray:
     # pad to /16 (chroma subsample + 8x8 blocks), crop at the end
     ph = (16 - h % 16) % 16
     pw = (16 - w % 16) % 16
-    x = jnp.pad(img, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge") * 255.0
+    # constant-0 pad like the reference (diffjpeg.py:486); cropped away below
+    x = jnp.pad(img, ((0, 0), (0, ph), (0, pw), (0, 0))) * 255.0
     hp, wp = h + ph, w + pw
 
     ycc = x @ _RGB2YCBCR + _YCBCR_SHIFT
@@ -119,7 +124,9 @@ def diff_jpeg(img: jnp.ndarray, quality, rounding=_diff_round) -> jnp.ndarray:
     def compress(chan, table):
         blocks = _blockify(chan - 128.0)
         coefs = _dct8x8(blocks)
-        q = jnp.clip(jnp.floor(table * factor + 0.5), 1.0, 255.0)
+        # raw table*factor scaling — the reference does NOT apply libjpeg's
+        # floor+clip table rounding (diffjpeg.py:169 'y_table * factor')
+        q = table * factor
         return rounding(coefs / q), q
 
     yq, qy = compress(y, jnp.asarray(Y_TABLE))

@@ -440,6 +440,135 @@ def _ssl_loss_dense_core(sr: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray,
     return l1_sum, kl_sum, count, inv_sr, inv_gt, a_map, b_map
 
 
+# ---------------------------------------------------------------------------
+# Stored-q fast path: materialize all search-offset q maps once in HBM
+# ---------------------------------------------------------------------------
+# The scanned core evaluates every q map THREE times (pass1 row-sums, pass2
+# loss accumulation, backward) — each evaluation is a dynamic slice, a
+# c-channel squared-difference plane, two banded matmuls and an exp.  When
+# n2·2b·h·w·4 bytes fit comfortably in HBM (1.3 GB at the shipped bench
+# config), computing the q stack ONCE and streaming it back is far cheaper:
+# HBM traffic of a few GB (~ms at v5e's ~800 GB/s) replaces two full
+# recompute sweeps.  Exact fp32 storage — no precision tradeoff vs the
+# scanned path; selection happens in losses/ssl_loss.py by memory estimate.
+
+def _q_stack(ctx, b, h, w, cfg: SSGConfig):
+    """All q maps, stacked: (n2, 2b, h, w) fp32."""
+    n2 = cfg.search * cfg.search
+    norm = ctx[0].shape[1] * float(cfg.window) ** 2       # c * window^2
+
+    def body(_, s):
+        q = jnp.exp(-(_dense_smap_b(ctx, s, cfg, h, w) / norm) / cfg.sigma)
+        return None, q
+
+    _, qs = lax.scan(body, None, jnp.arange(n2), unroll=_SCAN_UNROLL)
+    return qs
+
+
+def _ssl_loss_dense_core_stored(sr, gt, mask, cfg: SSGConfig):
+    b, c, h, w = sr.shape
+    ctx = _dense_context_b(jnp.concatenate([sr, jax.lax.stop_gradient(gt)], axis=0), cfg)
+    mask = mask.astype(sr.dtype)
+    count = jnp.sum(mask)
+    qs = _q_stack(ctx, b, h, w, cfg)                      # (n2, 2b, h, w)
+    q_sr, q_gt = qs[:, :b], qs[:, b:]
+    if cfg.generalization:
+        inv_sr = 1.0 / (jnp.sum(q_sr, axis=0) + 1e-10)
+        inv_gt = 1.0 / (jnp.sum(q_gt, axis=0) + 1e-10)
+    else:
+        inv_sr = inv_gt = jnp.ones((b, h, w))
+    x = q_sr * inv_sr[None]
+    y = q_gt * inv_gt[None]
+    l1_sum = jnp.sum(mask[None] * jnp.abs(x - y))
+    xs_ = jnp.clip(x, min=1e-10)
+    ys_ = jnp.clip(y, min=1e-10)
+    kl_sum = jnp.sum(mask[None] * (ys_ * (jnp.log(ys_) - jnp.log(xs_))))
+    a_map = jnp.sum(jnp.sign(x - y) * x, axis=0)
+    b_map = jnp.sum(y * (x > 1e-10), axis=0)
+    return l1_sum, kl_sum, count, inv_sr, inv_gt, a_map, b_map, qs
+
+
+def _ssl_dense_bwd_stored(sr, gt, mask, inv_sr, inv_gt, g_l1, g_kl, qs,
+                          cfg: SSGConfig, a_map, b_map):
+    """ssl_loss_dense_bwd with the q recompute replaced by the stored stack;
+    identical maths otherwise (see that function's derivation)."""
+    b, c, h, w = sr.shape
+    search = cfg.search
+    p, k = search // 2, cfg.window // 2
+    n2 = search * search
+    norm = c * float(cfg.window) ** 2
+    scale = -1.0 / (norm * cfg.sigma)
+    P = reflect_pad_2d(sr, p)
+    Pbig = jnp.pad(P, ((0, 0), (0, 0), (p, p), (p, p)))
+    hp, wp = P.shape[2], P.shape[3]
+    mask = mask.astype(sr.dtype)
+
+    T = ((1.0 / inv_sr) * mask * (g_l1 * a_map - g_kl * b_map)
+         if cfg.generalization else jnp.zeros((b, h, w)))
+
+    def passB(carry, inputs):
+        dP, sumA, sumG = carry
+        s, q2 = inputs
+        q_sr, q_gt = q2[:b], q2[b:]
+        dy, dx, a_y, b_y, a_x, b_x = _shift_bounds(s, cfg)
+        x = q_sr * inv_sr
+        y = q_gt * inv_gt
+        g_d = mask * (g_l1 * jnp.sign(x - y) +
+                      g_kl * jnp.where(x > 1e-10, -y / jnp.clip(x, min=1e-10), 0.0))
+        G_d = (inv_sr * g_d - inv_sr * inv_sr * T) * q_sr * scale
+        ByT = _band_T(h, hp, p, a_y, b_y)
+        BxT = _band_T(w, wp, p, a_x, b_x)
+        rowsA = jnp.einsum("uy,byx->bux", ByT, G_d, preferred_element_type=jnp.float32)
+        A_d = jnp.einsum("bux,vx->buv", rowsA, BxT, preferred_element_type=jnp.float32)
+        Pshift = lax.dynamic_slice(Pbig, (0, 0, p + dy, p + dx), (b, c, hp, wp))
+        M = A_d[:, None] * (P - Pshift)
+        canvas = jnp.zeros((b, c, hp + 2 * p, wp + 2 * p))
+        canvas = lax.dynamic_update_slice(canvas, M, (0, 0, p + dy, p + dx))
+        Mshift = canvas[:, :, p:p + hp, p:p + wp]
+        dP = dP + 2.0 * (M - Mshift)
+        return (dP, sumA + A_d, sumG + G_d), None
+
+    init = (jnp.zeros((b, c, hp, wp)), jnp.zeros((b, hp, wp)), jnp.zeros((b, h, w)))
+    (dP, sumA, sumG), _ = lax.scan(passB, init, (jnp.arange(n2), qs),
+                                   unroll=_SCAN_UNROLL)
+
+    By9T = _band_T(h, hp, p, -k, k)
+    Bx9T = _band_T(w, wp, p, -k, k)
+    rows9 = jnp.einsum("uy,byx->bux", By9T, sumG, preferred_element_type=jnp.float32)
+    A9 = jnp.einsum("bux,vx->buv", rows9, Bx9T, preferred_element_type=jnp.float32)
+    dP = dP + 2.0 * (A9 - sumA)[:, None] * P
+
+    _, pad_vjp = jax.vjp(lambda im: reflect_pad_2d(im, p), sr)
+    (d_sr,) = pad_vjp(dP)
+    return d_sr
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def ssl_loss_dense_stored(sr: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray,
+                          cfg: SSGConfig = SSGConfig()):
+    """Stored-q variant of ssl_loss_dense_batched — same contract, q maps
+    computed once and reused by the loss reduction AND the analytic VJP."""
+    l1_sum, kl_sum, count, *_ = _ssl_loss_dense_core_stored(sr, gt, mask, cfg)
+    return l1_sum, kl_sum, count
+
+
+def _ssl_stored_fwd(sr, gt, mask, cfg):
+    l1_sum, kl_sum, count, inv_sr, inv_gt, a_map, b_map, qs = \
+        _ssl_loss_dense_core_stored(sr, gt, mask, cfg)
+    return (l1_sum, kl_sum, count), (sr, gt, mask, inv_sr, inv_gt, a_map, b_map, qs)
+
+
+def _ssl_stored_bwd(cfg, res, g):
+    sr, gt, mask, inv_sr, inv_gt, a_map, b_map, qs = res
+    g_l1, g_kl, _ = g
+    d_sr = _ssl_dense_bwd_stored(sr, gt, mask, inv_sr, inv_gt, g_l1, g_kl, qs,
+                                 cfg, a_map, b_map)
+    return d_sr, jnp.zeros_like(gt), jnp.zeros_like(mask)
+
+
+ssl_loss_dense_stored.defvjp(_ssl_stored_fwd, _ssl_stored_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def ssl_loss_dense_batched(sr: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray,
                            cfg: SSGConfig = SSGConfig()):

@@ -444,6 +444,70 @@ def merge_into_tree(ref_tree, converted: dict):
     return out
 
 
+def _sd_openai_unet_tree(sd: dict, prefix: str = "") -> dict:
+    """Generic openaimodel torch-key -> flax-tree translator.
+
+    Our diffusion UNets (diffusion/unet.py) name every flax submodule after
+    its torch path, so translation is mechanical: the top module groups the
+    first 2-3 path segments (``input_blocks.3.0`` / ``middle_block.1`` /
+    ``time_embed.0`` / ``out.0`` / ``fea_tran.2``), everything below joins
+    with underscores, and leaves map by tensor rank (4D conv -> HWIO kernel,
+    3D conv1d -> dense kernel, 2D linear -> transposed kernel, 1D norm weight
+    -> scale).  Reference layout: openaimodel.py:958-1340 (UNetModelDualcondV2)
+    and :1341-1541 (EncoderUNetModelWT)."""
+    params: dict = {}
+    for key, v in sd.items():
+        if prefix:
+            if not key.startswith(prefix):
+                continue
+            key = key[len(prefix):]
+        parts = key.split(".")
+        pname = parts[-1]
+        if pname not in ("weight", "bias"):
+            continue  # buffers (attn masks etc.) are recomputed
+        if parts[0] in ("input_blocks", "output_blocks"):
+            top, rest = "_".join(parts[:3]), parts[3:-1]
+        elif parts[0] in ("middle_block", "time_embed", "out", "fea_tran"):
+            top, rest = "_".join(parts[:2]), parts[2:-1]
+        else:
+            continue
+        inner = "_".join(rest)
+        arr = _to_np(v)
+        if pname == "weight":
+            if arr.ndim == 4:
+                leaf_name, leaf = "kernel", _conv_w(v)
+            elif arr.ndim == 3:          # conv1d (qkv/proj_out) -> dense
+                leaf_name, leaf = "kernel", arr[..., 0].T
+            elif arr.ndim == 2:          # linear -> dense
+                leaf_name, leaf = "kernel", arr.T
+            else:                        # GroupNorm/LayerNorm weight
+                leaf_name, leaf = "scale", arr
+        else:
+            leaf_name, leaf = "bias", arr
+        node = params.setdefault(top, {})
+        tgt = node.setdefault(inner, {}) if inner else node
+        tgt[leaf_name] = leaf
+    return params
+
+
+def convert_sd_unet(sd: dict) -> dict:
+    """StableSR/SD UNetModelDualcondV2 checkpoint -> our UNet flax tree.
+
+    Accepts either a full ckpt 'state_dict' (keys under
+    ``model.diffusion_model.``) or a bare UNet state dict."""
+    prefix = "model.diffusion_model." if any(
+        k.startswith("model.diffusion_model.") for k in sd) else ""
+    return _sd_openai_unet_tree(sd, prefix)
+
+
+def convert_sd_structcond(sd: dict) -> dict:
+    """StableSR EncoderUNetModelWT (struct-cond encoder) -> flax tree.
+    Full checkpoints carry it under ``structcond_stage_model.``."""
+    prefix = "structcond_stage_model." if any(
+        k.startswith("structcond_stage_model.") for k in sd) else ""
+    return _sd_openai_unet_tree(sd, prefix)
+
+
 def convert_old_rrdbnet(sd: dict) -> dict:
     """KAIR / old-ESRGAN 'model.*' flattened-sequential RRDBNet layout
     (reference train_BSGRAN models, bsrgan_arch-style: model.0 fea conv,

@@ -188,3 +188,46 @@ def test_nlayer_discriminator():
                        mutable=["batch_stats"])
     assert out.shape[0] == 1 and out.shape[-1] == 1
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_spsr_branch_pretrain_and_net_d_gating():
+    """SPSR fidelity gates (reference spsrssl_model.py:284-291, :387):
+    during Branch_init_iters only 'f_*' params move; with net_d_init_iters
+    G does not update at all on early iters while D does."""
+    import jax
+    opt = _base_ssl_opt("SPSRSSLModel", dict(type="SPSRNet", nf=8, nb=23, gc=4, upscale=4))
+    opt["train"].update({"Branch_pretrain": 1, "Branch_init_iters": 2,
+                         "gradient_pixel_opt": {"type": "L1Loss", "loss_weight": 1.0}})
+    from ssl_tpu.models import build_model
+    model = build_model(opt)
+    state = model.init_state(lq_shape=(1, 8, 8, 3))
+    batch = _batch()
+    new_state, logs = model.train_step(state, batch)
+
+    def leaves_by_branch(tree):
+        import jax.tree_util as jtu
+        flat = jtu.tree_flatten_with_path(tree)[0]
+        fb = [v for k, v in flat if str(k[0].key).startswith("f_")]
+        other = [v for k, v in flat if not str(k[0].key).startswith("f_")]
+        return fb, other
+
+    f_old, o_old = leaves_by_branch(state.params_g)
+    f_new, o_new = leaves_by_branch(new_state.params_g)
+    assert any(not np.allclose(a, b) for a, b in zip(f_old, f_new)), \
+        "fusion branch should train during pretrain"
+    assert all(np.allclose(a, b) for a, b in zip(o_old, o_new)), \
+        "non-branch params must stay frozen during Branch_init_iters"
+
+    # net_d_init_iters: G fully frozen on iter 1, D still trains
+    opt2 = _base_ssl_opt("SPSRSSLModel", dict(type="SPSRNet", nf=8, nb=23, gc=4, upscale=4))
+    opt2["train"].update({"net_d_init_iters": 3,
+                          "gradient_pixel_opt": {"type": "L1Loss", "loss_weight": 1.0}})
+    model2 = build_model(opt2)
+    s0 = model2.init_state(lq_shape=(1, 8, 8, 3))
+    s1, _ = model2.train_step(s0, batch)
+    g0 = jax.tree_util.tree_leaves(s0.params_g)
+    g1 = jax.tree_util.tree_leaves(s1.params_g)
+    assert all(np.allclose(a, b) for a, b in zip(g0, g1)), "G gated off"
+    d0 = jax.tree_util.tree_leaves(s0.params_d)
+    d1 = jax.tree_util.tree_leaves(s1.params_d)
+    assert any(not np.allclose(a, b) for a, b in zip(d0, d1)), "D must train"

@@ -294,3 +294,37 @@ def test_stablesr_vae_ckpt_loading(tmp_path):
     state = model.init_state(gt_shape=(1, 32, 32, 3))
     got = np.asarray(state.frozen["vae"]["encoder"]["conv_in"]["kernel"])
     np.testing.assert_allclose(got, np.asarray(ref["encoder"]["conv_in"]["kernel"]))
+
+
+def test_diffusion_ema_tracks_params():
+    """LitEma equivalent (reference ddpm.py use_ema): ema_params exist, move
+    toward params with the ramped decay, and drive infer_params."""
+    import jax
+    from ssl_tpu.diffusion import (DiffusionSSLConfig, StableSRSSL,
+                                   UNetModelDualcondV2, EncoderUNetModelWT)
+    from ssl_tpu.diffusion.vae import AutoencoderKL
+    model = StableSRSSL(
+        DiffusionSSLConfig(timesteps=10, context_dim=32, context_len=4),
+        unet=UNetModelDualcondV2(model_channels=32, num_res_blocks=1,
+                                 channel_mult=(1, 2), attention_resolutions=(2,),
+                                 num_heads=4, num_head_channels=-1, context_dim=32,
+                                 semb_channels=32),
+        structcond=EncoderUNetModelWT(model_channels=32, channel_mult=(1, 2),
+                                      out_channels=32, num_res_blocks=1),
+        vae=AutoencoderKL(ch=16, ch_mult=(1, 2, 2, 2), num_res_blocks=1, embed_dim=4),
+        use_ema=True)
+    state = model.init_state(gt_shape=(1, 32, 32, 3))
+    assert state.ema_params is not None
+    rng = np.random.RandomState(0)
+    batch = {"gt": jnp.asarray(rng.rand(1, 32, 32, 3), jnp.float32),
+             "lq": jnp.asarray(rng.rand(1, 32, 32, 3), jnp.float32),
+             "gt_mask": jnp.asarray(rng.rand(1, 32, 32, 1) < 0.2, jnp.float32)}
+    new_state, logs = model.train_step(state, batch)
+    p0 = jax.tree_util.tree_leaves(state.params)[0]
+    e1 = jax.tree_util.tree_leaves(new_state.ema_params)[0]
+    p1 = jax.tree_util.tree_leaves(new_state.params)[0]
+    # step 0: decay = min(0.9999, 1/10) = 0.1 -> ema ≈ 0.1*old + 0.9*new
+    np.testing.assert_allclose(np.asarray(e1),
+                               0.1 * np.asarray(p0) + 0.9 * np.asarray(p1),
+                               rtol=1e-5, atol=1e-7)
+    assert model.infer_params(new_state) is new_state.ema_params

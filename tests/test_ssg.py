@@ -121,3 +121,24 @@ def test_mask_to_positions_row_major_and_truncation():
     assert int(count) == 3
     assert np.asarray(valid).sum() == 2
     np.testing.assert_array_equal(np.asarray(pos)[:2], [[0, 3], [1, 2]])
+
+
+def test_stored_q_path_matches_scanned():
+    """ssl_loss_dense_stored (HBM q-stack fast path) must be value- AND
+    gradient-identical to the scanned ssl_loss_dense_batched."""
+    from ssl_tpu.ops.ssg import ssl_loss_dense_batched, ssl_loss_dense_stored
+    rng = np.random.RandomState(0)
+    b, c, h, w = 2, 3, 18, 22
+    sr = jnp.asarray(rng.rand(b, c, h, w), jnp.float32)
+    gt = jnp.asarray(rng.rand(b, c, h, w), jnp.float32)
+    mask = jnp.asarray(rng.rand(b, h, w) < 0.15, jnp.float32)
+    for cfg in (SSGConfig(search=9, window=5),
+                SSGConfig(search=7, window=3, generalization=False)):
+        a = ssl_loss_dense_batched(sr, gt, mask, cfg)
+        s = ssl_loss_dense_stored(sr, gt, mask, cfg)
+        for x, y in zip(a, s):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-5)
+        g1 = jax.grad(lambda z: sum(ssl_loss_dense_batched(z, gt, mask, cfg)[:2]))(sr)
+        g2 = jax.grad(lambda z: sum(ssl_loss_dense_stored(z, gt, mask, cfg)[:2]))(sr)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=2e-4, atol=1e-6)
