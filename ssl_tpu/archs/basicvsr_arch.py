@@ -1,29 +1,82 @@
 """Video SR: SPyNet optical flow + BasicVSR bidirectional recurrent SR.
 
-Reference parity: diffusion-tree vendored basicsr archs (spynet_arch.py,
-basicvsr_arch.py) — BasicSR inheritance, not on the SSL path.  NHWC flax;
-flow warping is bilinear grid sampling expressed with gather-free floor/ceil
-interpolation (same approach as ops/deform_conv.py)."""
+Full-fidelity NHWC flax rewrites of the diffusion-tree vendored basicsr archs
+(spynet_arch.py, basicvsr_arch.py, basicvsrpp_arch.py) — BasicSR inheritance,
+not on the SSL path.  Weight converters live in utils/weight_port.py and the
+oracle-parity tests in tests/test_reference_parity_zoo.py execute the
+reference torch modules as oracles.
+
+torch interpolation semantics are reproduced exactly: `interp_bilinear`
+implements F.interpolate(mode='bilinear') for BOTH align_corners conventions
+as separable band-matrix products, and `flow_warp` is grid_sample
+(align_corners=True) with zeros/border padding."""
 
 from __future__ import annotations
 
-from typing import Sequence
+import math
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ssl_tpu.archs.arch_util import ResidualBlockNoBN, pixel_shuffle, resize_bilinear
+from ssl_tpu.archs.arch_util import ResidualBlockNoBN, pixel_shuffle
 from ssl_tpu.utils.registry import ARCH_REGISTRY
 
+# ImageNet statistics baked into SpyNet (spynet_arch.py:42-43, fixed buffers)
+_SPYNET_MEAN = (0.485, 0.456, 0.406)
+_SPYNET_STD = (0.229, 0.224, 0.225)
 
-def flow_warp(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
-    """Warp x (b,h,w,c) by flow (b,h,w,2) [dy,dx order dx,dy as (x,y)]."""
+
+def _lin_matrix(n_out: int, n_in: int, align_corners: bool) -> jnp.ndarray:
+    """(n_out, n_in) row-stochastic linear-interpolation matrix replicating
+    torch F.interpolate bilinear source-index rules."""
+    if n_out == n_in:
+        return jnp.eye(n_in)
+    if align_corners:
+        src = (jnp.linspace(0.0, n_in - 1.0, n_out) if n_out > 1
+               else jnp.zeros((1,)))
+    else:
+        # half-pixel centers, clamped at 0 like torch area_pixel_compute
+        src = (jnp.arange(n_out) + 0.5) * (n_in / n_out) - 0.5
+        src = jnp.clip(src, 0.0, None)
+    i0 = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, n_in - 1)
+    i1 = jnp.minimum(i0 + 1, n_in - 1)
+    frac = src - i0
+    rows = jnp.arange(n_out)
+    mat = jnp.zeros((n_out, n_in))
+    mat = mat.at[rows, i0].add(1.0 - frac)
+    mat = mat.at[rows, i1].add(frac)
+    return mat
+
+
+def interp_bilinear(x: jnp.ndarray, size: tuple[int, int],
+                    align_corners: bool = False) -> jnp.ndarray:
+    """F.interpolate(x, size, mode='bilinear', align_corners=...) for NHWC."""
+    b, h, w, c = x.shape
+    oh, ow = size
+    if (oh, ow) == (h, w):
+        return x
+    ay = _lin_matrix(oh, h, align_corners)
+    ax = _lin_matrix(ow, w, align_corners)
+    return jnp.einsum("yh,bhwc,xw->byxc", ay, x, ax)
+
+
+def flow_warp(x: jnp.ndarray, flow: jnp.ndarray,
+              padding_mode: str = "zeros") -> jnp.ndarray:
+    """Warp x (b,h,w,c) by flow (b,h,w,2), flow[...,0]=dx, flow[...,1]=dy.
+
+    Matches reference arch_util.flow_warp (grid_sample bilinear,
+    align_corners=True): sampling position = pixel + flow in PIXEL space.
+    padding_mode 'zeros' masks out-of-range corners; 'border' clamps the
+    sampling coordinate first (spynet_arch.py:75 uses border)."""
     b, h, w, c = x.shape
     yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
     xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
     ys = yy[None] + flow[..., 1]
     xs = xx[None] + flow[..., 0]
+    if padding_mode == "border":
+        ys = jnp.clip(ys, 0.0, h - 1.0)
+        xs = jnp.clip(xs, 0.0, w - 1.0)
 
     def sample_one(img, ys_i, xs_i):
         y0 = jnp.floor(ys_i)
@@ -35,59 +88,228 @@ def flow_warp(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
             for dx, wgt_x in ((0, 1 - wx), (1, wx)):
                 yi = jnp.clip((y0 + dy).astype(jnp.int32), 0, h - 1)
                 xi = jnp.clip((x0 + dx).astype(jnp.int32), 0, w - 1)
-                valid = ((y0 + dy >= 0) & (y0 + dy < h) &
-                         (x0 + dx >= 0) & (x0 + dx < w)).astype(img.dtype)
-                out = out + img[yi, xi] * (wgt_y * wgt_x * valid)[..., None]
+                wgt = wgt_y * wgt_x
+                if padding_mode == "zeros":
+                    valid = ((y0 + dy >= 0) & (y0 + dy < h) &
+                             (x0 + dx >= 0) & (x0 + dx < w)).astype(img.dtype)
+                    wgt = wgt * valid
+                out = out + img[yi, xi] * wgt[..., None]
         return out
 
     return jax.vmap(sample_one)(x, ys, xs)
 
 
-class _SPyNetLevel(nn.Module):
+class _SPyNetBasicModule(nn.Module):
+    """5-conv flow refinement unit (spynet_arch.py:10-25): 8->32->64->32->16->2,
+    all 7x7, relu between."""
+
     @nn.compact
-    def __call__(self, ref, supp, flow_up):
-        inp = jnp.concatenate([ref, flow_warp(supp, flow_up), flow_up], axis=-1)
-        y = inp
-        for feats, k in ((32, 7), (64, 7), (32, 7), (16, 7), (2, 7)):
-            y = nn.Conv(feats, (k, k), padding="SAME")(y)
+    def __call__(self, x):
+        for i, feats in enumerate((32, 64, 32, 16, 2)):
+            x = nn.Conv(feats, (7, 7), padding="SAME", name=f"conv_{i}")(x)
             if feats != 2:
-                y = nn.relu(y)
-        return flow_up + y
+                x = nn.relu(x)
+        return x
 
 
 @ARCH_REGISTRY.register()
 class SPyNet(nn.Module):
-    """Coarse-to-fine pyramid optical flow (reference spynet_arch.py)."""
-    num_levels: int = 4
+    """Coarse-to-fine pyramid optical flow (reference spynet_arch.py:29-96).
+
+    Fixed 6 basic modules; inputs are resized to a multiple of 32, pushed
+    through a 6-level avg-pool pyramid, and the final flow is rescaled back.
+    Input spatial size after the 32-multiple round-up must be >= 64 (same
+    constraint as the reference: a 32px pyramid bottoms out at 1x1 and the
+    initial flow tensor becomes empty)."""
 
     @nn.compact
     def __call__(self, ref, supp):
-        # build pyramids (avg-pool downsampling)
-        refs, supps = [ref], [supp]
-        for _ in range(self.num_levels - 1):
-            refs.append(nn.avg_pool(refs[-1], (2, 2), strides=(2, 2)))
-            supps.append(nn.avg_pool(supps[-1], (2, 2), strides=(2, 2)))
-        b, h, w, _ = refs[-1].shape
-        flow = jnp.zeros((b, h, w, 2))
-        for lvl in reversed(range(self.num_levels)):
-            if flow.shape[1] != refs[lvl].shape[1]:
-                flow = 2.0 * jax.image.resize(
-                    flow, (b, refs[lvl].shape[1], refs[lvl].shape[2], 2), "bilinear")
-            flow = _SPyNetLevel(name=f"level_{lvl}")(refs[lvl], supps[lvl], flow)
+        b, h, w, _ = ref.shape
+        w_fl = int(math.floor(math.ceil(w / 32.0) * 32.0))
+        h_fl = int(math.floor(math.ceil(h / 32.0) * 32.0))
+        ref = interp_bilinear(ref, (h_fl, w_fl), align_corners=False)
+        supp = interp_bilinear(supp, (h_fl, w_fl), align_corners=False)
+
+        mean = jnp.asarray(_SPYNET_MEAN)
+        std = jnp.asarray(_SPYNET_STD)
+        refs = [(ref - mean) / std]
+        supps = [(supp - mean) / std]
+        for _ in range(5):
+            refs.insert(0, nn.avg_pool(refs[0], (2, 2), strides=(2, 2)))
+            supps.insert(0, nn.avg_pool(supps[0], (2, 2), strides=(2, 2)))
+
+        h0, w0 = refs[0].shape[1], refs[0].shape[2]
+        flow = jnp.zeros((b, h0 // 2, w0 // 2, 2))
+        for level in range(6):
+            rh, rw = refs[level].shape[1], refs[level].shape[2]
+            up = interp_bilinear(flow, (flow.shape[1] * 2, flow.shape[2] * 2),
+                                 align_corners=True) * 2.0
+            # replicate-pad one row/col when the doubled size falls short
+            if up.shape[1] != rh:
+                up = jnp.concatenate([up, up[:, -1:]], axis=1)
+            if up.shape[2] != rw:
+                up = jnp.concatenate([up, up[:, :, -1:]], axis=2)
+            inp = jnp.concatenate(
+                [refs[level], flow_warp(supps[level], up, padding_mode="border"), up],
+                axis=-1)
+            flow = _SPyNetBasicModule(name=f"basic_module_{level}")(inp) + up
+
+        flow = interp_bilinear(flow, (h, w), align_corners=False)
+        flow = flow * jnp.asarray([w / float(w_fl), h / float(h_fl)])
         return flow
 
 
-class _PropagationBranch(nn.Module):
-    num_feat: int
-    num_block: int
+class ConvResidualBlocks(nn.Module):
+    """Conv + lrelu + residual-block trunk (basicvsr_arch.py:101-117)."""
+    num_out_ch: int = 64
+    num_block: int = 15
 
     @nn.compact
-    def __call__(self, feat_prop, frame):
-        y = jnp.concatenate([frame, feat_prop], axis=-1)
-        y = nn.leaky_relu(nn.Conv(self.num_feat, (3, 3), padding="SAME")(y), 0.1)
+    def __call__(self, x):
+        x = nn.leaky_relu(nn.Conv(self.num_out_ch, (3, 3), padding="SAME",
+                                  name="conv")(x), 0.1)
         for i in range(self.num_block):
-            y = ResidualBlockNoBN(self.num_feat, name=f"block_{i}")(y)
-        return y
+            x = ResidualBlockNoBN(self.num_out_ch, name=f"block_{i}")(x)
+        return x
+
+
+@ARCH_REGISTRY.register()
+class BasicVSR(nn.Module):
+    """Bidirectional recurrent video SR, x4 (reference basicvsr_arch.py:12-98).
+
+    lqs: (b, t, h, w, 3) -> (b, t, 4h, 4w, 3)."""
+    num_feat: int = 64
+    num_block: int = 15
+
+    @nn.compact
+    def __call__(self, lqs):
+        b, t, h, w, c = lqs.shape
+        spynet = SPyNet(name="spynet")
+        backward_trunk = ConvResidualBlocks(self.num_feat, self.num_block,
+                                            name="backward_trunk")
+        forward_trunk = ConvResidualBlocks(self.num_feat, self.num_block,
+                                           name="forward_trunk")
+
+        # flows between neighbors (get_flow: x_1 = frames[:-1], x_2 = frames[1:];
+        # backward = spynet(x_1, x_2), forward = spynet(x_2, x_1))
+        x1 = lqs[:, :-1].reshape(-1, h, w, c)
+        x2 = lqs[:, 1:].reshape(-1, h, w, c)
+        flow_bwd = spynet(x1, x2).reshape(b, t - 1, h, w, 2)
+        flow_fwd = spynet(x2, x1).reshape(b, t - 1, h, w, 2)
+
+        # backward branch
+        feats_bwd = []
+        feat = jnp.zeros((b, h, w, self.num_feat))
+        for i in range(t - 1, -1, -1):
+            if i < t - 1:
+                feat = flow_warp(feat, flow_bwd[:, i])
+            feat = backward_trunk(jnp.concatenate([lqs[:, i], feat], axis=-1))
+            feats_bwd.insert(0, feat)
+
+        fusion = nn.Conv(self.num_feat, (1, 1), name="fusion")
+        upconv1 = nn.Conv(self.num_feat * 4, (3, 3), padding="SAME", name="upconv1")
+        upconv2 = nn.Conv(64 * 4, (3, 3), padding="SAME", name="upconv2")
+        conv_hr = nn.Conv(64, (3, 3), padding="SAME", name="conv_hr")
+        conv_last = nn.Conv(3, (3, 3), padding="SAME", name="conv_last")
+
+        outs = []
+        feat = jnp.zeros((b, h, w, self.num_feat))
+        for i in range(t):
+            if i > 0:
+                feat = flow_warp(feat, flow_fwd[:, i - 1])
+            feat = forward_trunk(jnp.concatenate([lqs[:, i], feat], axis=-1))
+            y = jnp.concatenate([feats_bwd[i], feat], axis=-1)
+            y = nn.leaky_relu(fusion(y), 0.1)
+            y = nn.leaky_relu(pixel_shuffle(upconv1(y), 2), 0.1)
+            y = nn.leaky_relu(pixel_shuffle(upconv2(y), 2), 0.1)
+            y = nn.leaky_relu(conv_hr(y), 0.1)
+            y = conv_last(y)
+            base = interp_bilinear(lqs[:, i], (4 * h, 4 * w), align_corners=False)
+            outs.append(y + base)
+        return jnp.stack(outs, axis=1)
+
+
+@ARCH_REGISTRY.register()
+class IconVSR(nn.Module):
+    """IconVSR (reference basicvsr_arch.py:121-268): BasicVSR + EDVR-based
+    keyframe refill with information-coupled propagation.
+    lqs: (b, t, h, w, 3) -> (b, t, 4h, 4w, 3)."""
+    num_feat: int = 64
+    num_block: int = 15
+    keyframe_stride: int = 5
+    temporal_padding: int = 2
+
+    @nn.compact
+    def __call__(self, lqs):
+        from ssl_tpu.archs.edvr_arch import EDVRFeatureExtractor
+        b, t, h_in, w_in, c = lqs.shape
+        nf = self.num_feat
+        # reflect-pad spatially to a multiple of 4 (PCD requirement)
+        pad_h = (4 - h_in % 4) % 4
+        pad_w = (4 - w_in % 4) % 4
+        x = jnp.pad(lqs, ((0, 0), (0, 0), (0, pad_h), (0, pad_w), (0, 0)),
+                    mode="reflect")
+        h, w = x.shape[2], x.shape[3]
+
+        keyframe_idx = list(range(0, t, self.keyframe_stride))
+        if keyframe_idx[-1] != t - 1:
+            keyframe_idx.append(t - 1)
+
+        spynet = SPyNet(name="spynet")
+        x1 = x[:, :-1].reshape(-1, h, w, c)
+        x2 = x[:, 1:].reshape(-1, h, w, c)
+        flow_bwd = spynet(x1, x2).reshape(b, t - 1, h, w, 2)
+        flow_fwd = spynet(x2, x1).reshape(b, t - 1, h, w, 2)
+
+        # keyframe features via the EDVR front-end on temporally padded input
+        tp = self.temporal_padding
+        num_frames = 2 * tp + 1
+        if tp == 2:
+            xpad = jnp.concatenate([x[:, jnp.asarray([4, 3])], x,
+                                    x[:, jnp.asarray([t - 4, t - 5])]], axis=1)
+        elif tp == 3:
+            xpad = jnp.concatenate([x[:, jnp.asarray([6, 5, 4])], x,
+                                    x[:, jnp.asarray([t - 5, t - 6, t - 7])]], axis=1)
+        else:
+            raise ValueError("temporal_padding must be 2 or 3")
+        edvr = EDVRFeatureExtractor(num_frames, nf, name="edvr")
+        feats_keyframe = {i: edvr(xpad[:, i:i + num_frames]) for i in keyframe_idx}
+
+        backward_fusion = nn.Conv(nf, (3, 3), padding="SAME", name="backward_fusion")
+        forward_fusion = nn.Conv(nf, (3, 3), padding="SAME", name="forward_fusion")
+        backward_trunk = ConvResidualBlocks(nf, self.num_block, name="backward_trunk")
+        forward_trunk = ConvResidualBlocks(nf, self.num_block, name="forward_trunk")
+
+        out_l = []
+        feat = jnp.zeros((b, h, w, nf))
+        for i in range(t - 1, -1, -1):
+            if i < t - 1:
+                feat = flow_warp(feat, flow_bwd[:, i])
+            if i in keyframe_idx:
+                feat = backward_fusion(jnp.concatenate([feat, feats_keyframe[i]], axis=-1))
+            feat = backward_trunk(jnp.concatenate([x[:, i], feat], axis=-1))
+            out_l.insert(0, feat)
+
+        upconv1 = nn.Conv(nf * 4, (3, 3), padding="SAME", name="upconv1")
+        upconv2 = nn.Conv(64 * 4, (3, 3), padding="SAME", name="upconv2")
+        conv_hr = nn.Conv(64, (3, 3), padding="SAME", name="conv_hr")
+        conv_last = nn.Conv(3, (3, 3), padding="SAME", name="conv_last")
+
+        outs = []
+        feat = jnp.zeros((b, h, w, nf))
+        for i in range(t):
+            if i > 0:
+                feat = flow_warp(feat, flow_fwd[:, i - 1])
+            if i in keyframe_idx:
+                feat = forward_fusion(jnp.concatenate([feat, feats_keyframe[i]], axis=-1))
+            feat = forward_trunk(jnp.concatenate([x[:, i], out_l[i], feat], axis=-1))
+            y = nn.leaky_relu(pixel_shuffle(upconv1(feat), 2), 0.1)
+            y = nn.leaky_relu(pixel_shuffle(upconv2(y), 2), 0.1)
+            y = nn.leaky_relu(conv_hr(y), 0.1)
+            y = conv_last(y)
+            base = interp_bilinear(x[:, i], (4 * h, 4 * w), align_corners=False)
+            outs.append(y + base)
+        return jnp.stack(outs, axis=1)[:, :, :4 * h_in, :4 * w_in]
 
 
 class _FlowGuidedDeformAlign(nn.Module):
@@ -123,25 +345,23 @@ class BasicVSRPlusPlus(nn.Module):
     lqs (b,t,h,w,3) -> (b,t,4h,4w,3)."""
     num_feat: int = 64
     num_block: int = 7
-    spynet_levels: int = 4
     deform_groups: int = 8
 
     @nn.compact
     def __call__(self, lqs):
         b, t, h, w, c = lqs.shape
         lrelu = lambda v: nn.leaky_relu(v, 0.1)
-        spynet = SPyNet(self.spynet_levels, name="spynet")
-        ref = lqs[:, 1:].reshape(-1, h, w, c)
-        supp = lqs[:, :-1].reshape(-1, h, w, c)
-        flow_fwd = spynet(ref, supp).reshape(b, t - 1, h, w, 2)
-        flow_bwd = spynet(supp, ref).reshape(b, t - 1, h, w, 2)
+        spynet = SPyNet(name="spynet")
+        x1 = lqs[:, :-1].reshape(-1, h, w, c)
+        x2 = lqs[:, 1:].reshape(-1, h, w, c)
+        flow_bwd = spynet(x1, x2).reshape(b, t - 1, h, w, 2)
+        flow_fwd = spynet(x2, x1).reshape(b, t - 1, h, w, 2)
 
-        extract = _PropagationBranch(self.num_feat, 2, name="extract")
-        feats = [extract(jnp.zeros((b, h, w, self.num_feat)), lqs[:, i])
-                 for i in range(t)]
+        extract = ConvResidualBlocks(self.num_feat, 2, name="extract")
+        feats = [extract(lqs[:, i]) for i in range(t)]
 
         align_b = _FlowGuidedDeformAlign(self.num_feat, self.deform_groups, name="align_b")
-        branch_b = _PropagationBranch(self.num_feat, self.num_block, name="branch_b")
+        branch_b = ConvResidualBlocks(self.num_feat, self.num_block, name="branch_b")
         prop_b = []
         feat = jnp.zeros((b, h, w, self.num_feat))
         for i in range(t - 1, -1, -1):
@@ -149,11 +369,11 @@ class BasicVSRPlusPlus(nn.Module):
                 flow = flow_bwd[:, i]
                 cond = jnp.concatenate([flow_warp(feat, flow), feats[i]], axis=-1)
                 feat = align_b(feat, cond, flow)
-            feat = branch_b(feat, lqs[:, i])
+            feat = branch_b(jnp.concatenate([lqs[:, i], feat], axis=-1))
             prop_b.insert(0, feat)
 
         align_f = _FlowGuidedDeformAlign(self.num_feat, self.deform_groups, name="align_f")
-        branch_f = _PropagationBranch(self.num_feat, self.num_block, name="branch_f")
+        branch_f = ConvResidualBlocks(self.num_feat, self.num_block, name="branch_f")
         fuse = nn.Conv(self.num_feat, (1, 1), name="fuse")
         up1 = nn.Conv(self.num_feat * 4, (3, 3), padding="SAME", name="up1")
         up2 = nn.Conv(self.num_feat * 4, (3, 3), padding="SAME", name="up2")
@@ -167,64 +387,11 @@ class BasicVSRPlusPlus(nn.Module):
                 flow = flow_fwd[:, i - 1]
                 cond = jnp.concatenate([flow_warp(feat, flow), feats[i]], axis=-1)
                 feat = align_f(feat, cond, flow)
-            feat = branch_f(feat, lqs[:, i])
+            feat = branch_f(jnp.concatenate([lqs[:, i], feat], axis=-1))
             y = lrelu(fuse(jnp.concatenate([prop_b[i], feat], axis=-1)))
             y = pixel_shuffle(lrelu(up1(y)), 2)
             y = pixel_shuffle(lrelu(up2(y)), 2)
             y = last(lrelu(hr(y)))
-            outs.append(y + resize_bilinear(lqs[:, i], 4))
-        return jnp.stack(outs, axis=1)
-
-
-@ARCH_REGISTRY.register()
-class BasicVSR(nn.Module):
-    """Bidirectional recurrent video SR (reference basicvsr_arch.py).
-
-    lqs: (b, t, h, w, 3) -> (b, t, 4h, 4w, 3)."""
-    num_feat: int = 64
-    num_block: int = 15
-    spynet_levels: int = 4
-
-    @nn.compact
-    def __call__(self, lqs):
-        b, t, h, w, c = lqs.shape
-        spynet = SPyNet(self.spynet_levels, name="spynet")
-        backward_branch = _PropagationBranch(self.num_feat, self.num_block, name="backward")
-        forward_branch = _PropagationBranch(self.num_feat, self.num_block, name="forward")
-
-        # flows between neighbors
-        ref = lqs[:, 1:].reshape(-1, h, w, c)
-        supp = lqs[:, :-1].reshape(-1, h, w, c)
-        flow_fwd = spynet(ref, supp).reshape(b, t - 1, h, w, 2)
-        flow_bwd = spynet(supp, ref).reshape(b, t - 1, h, w, 2)
-
-        # backward pass
-        feats_bwd = []
-        feat = jnp.zeros((b, h, w, self.num_feat))
-        for i in range(t - 1, -1, -1):
-            if i < t - 1:
-                feat = flow_warp(feat, flow_bwd[:, i])
-            feat = backward_branch(feat, lqs[:, i])
-            feats_bwd.insert(0, feat)
-        # shared reconstruction head (params reused across time steps)
-        fuse = nn.Conv(self.num_feat, (1, 1), name="fuse")
-        up1 = nn.Conv(self.num_feat * 4, (3, 3), padding="SAME", name="up1")
-        up2 = nn.Conv(self.num_feat * 4, (3, 3), padding="SAME", name="up2")
-        hr = nn.Conv(self.num_feat, (3, 3), padding="SAME", name="hr")
-        last = nn.Conv(3, (3, 3), padding="SAME", name="last")
-
-        # forward pass + upsample
-        outs = []
-        feat = jnp.zeros((b, h, w, self.num_feat))
-        for i in range(t):
-            if i > 0:
-                feat = flow_warp(feat, flow_fwd[:, i - 1])
-            feat = forward_branch(feat, lqs[:, i])
-            y = jnp.concatenate([feats_bwd[i], feat], axis=-1)
-            y = nn.leaky_relu(fuse(y), 0.1)
-            y = pixel_shuffle(nn.leaky_relu(up1(y), 0.1), 2)
-            y = pixel_shuffle(nn.leaky_relu(up2(y), 0.1), 2)
-            y = nn.leaky_relu(hr(y), 0.1)
-            y = last(y)
-            outs.append(y + resize_bilinear(lqs[:, i], 4))
+            base = interp_bilinear(lqs[:, i], (4 * h, 4 * w), align_corners=False)
+            outs.append(y + base)
         return jnp.stack(outs, axis=1)

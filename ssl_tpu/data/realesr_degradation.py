@@ -106,7 +106,8 @@ def jpeg_np(img: np.ndarray, quality: float) -> np.ndarray:
     def roundtrip(chan, table):
         b, hh, ww = block(chan - 128.0)
         coefs = np.einsum("ij,nmjk,lk->nmil", _DCT_NP, b, _DCT_NP)
-        q = np.clip(np.floor(table * factor + 0.5), 1.0, 255.0)
+        # raw table*factor like the reference DiffJPEG (no libjpeg floor+clip)
+        q = table * factor
         deq = np.round(coefs / q) * q
         rec = np.einsum("ji,nmjk,kl->nmil", _DCT_NP, deq, _DCT_NP)
         return unblock(rec, hh, ww) + 128.0

@@ -21,11 +21,13 @@
 
 extern "C" {
 
+// transposed vs Annex K, matching the reference DiffJPEG's y_table.T
+// convention relative to its block/DCT orientation (ops/diffjpeg.py)
 static const float kYTable[64] = {
-    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
-    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
-    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
-    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99};
+    16, 12, 14, 14, 18, 24, 49, 72, 11, 12, 13, 17, 22, 35, 64, 92,
+    10, 14, 16, 22, 37, 55, 78, 95, 16, 19, 24, 29, 56, 64, 87, 98,
+    24, 26, 40, 51, 68, 81, 103, 112, 40, 58, 57, 87, 109, 104, 121, 100,
+    51, 60, 69, 80, 103, 113, 120, 103, 61, 55, 56, 62, 77, 92, 101, 99};
 static const float kCTable[64] = {
     17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
     24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
@@ -67,8 +69,9 @@ static void dct8x8(const float* in, float* out, bool inverse) {
 static void jpeg_channel(float* chan, int h, int w, const float* table, float factor) {
   init_dct();
   float q[64];
-  for (int i = 0; i < 64; ++i)
-    q[i] = std::min(255.0f, std::max(1.0f, std::floor(table[i] * factor + 0.5f)));
+  // raw table*factor scaling, matching the reference DiffJPEG (y_quantize
+  // does NOT apply libjpeg's floor+clip table rounding)
+  for (int i = 0; i < 64; ++i) q[i] = table[i] * factor;
   std::vector<float> block(64), coef(64);
   for (int by = 0; by < h / 8; ++by)
     for (int bx = 0; bx < w / 8; ++bx) {

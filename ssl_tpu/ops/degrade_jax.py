@@ -64,13 +64,19 @@ def _resize_to(img, size, method):
             img, (b, size, size, c), (1, 2),
             jnp.asarray([scale[0], scale[1]]), jnp.asarray([0.0, 0.0]),
             method="linear", antialias=True)
-    return jax.image.resize(img, (b, size, size, c), method=method)
+    # cv2 INTER_LINEAR/INTER_CUBIC do NOT low-pass before downscaling; the
+    # host pipeline uses cv2, so antialias=False keeps the LQ sharpness
+    # distribution matched (the drift test quantifies this)
+    return jax.image.resize(img, (b, size, size, c), method=method,
+                            antialias=False)
 
 
-def _rand_resize_switch(key, img, probs, rrange, base_size, out_common, n_buckets):
+def _rand_resize_switch(key, img, probs, rrange, base_size, out_common, n_buckets,
+                        inner=None, inner_key=None):
     """Pick a bucketed random size via lax.switch; each branch resizes to its
-    static size, adds nothing else, and resizes to the common canvas
-    (noise/JPEG happen at the common canvas — see _stage)."""
+    static size, optionally applies ``inner(key, img)`` AT THAT SIZE (so
+    noise/JPEG texture statistics match the host pipeline, which never
+    resamples them), then resizes to the common canvas."""
     # bucket sizes spanning [range0, range1] * base (static python ints)
     scales = np.linspace(rrange[0], rrange[1], n_buckets)
     sizes = [max(16, int(round(s * base_size / 8)) * 8) for s in scales]
@@ -82,20 +88,24 @@ def _rand_resize_switch(key, img, probs, rrange, base_size, out_common, n_bucket
     down_idx = jax.random.randint(k3, (), 0, one_idx + 1)
     idx = jnp.where(updown == 0, up_idx, jnp.where(updown == 1, down_idx, one_idx))
     method_i = jax.random.choice(jax.random.fold_in(key, 7), 3)
+    if inner_key is None:
+        inner_key = jax.random.fold_in(key, 11)
 
     def branch(size):
         def run(operands):
-            im, m_i = operands
+            im, m_i, ik = operands
             def to_size(m):
                 return lambda: _resize_to(im, size, m)
             mid = lax.switch(m_i, [to_size("area"), to_size("linear"), to_size("cubic")])
+            if inner is not None:
+                mid = inner(ik, mid)
             # back to the common canvas (same interpolation family)
             def back(m):
                 return lambda: _resize_to(mid, out_common, m)
             return lax.switch(m_i, [back("area"), back("linear"), back("cubic")])
         return run
 
-    return lax.switch(idx, [branch(s) for s in sizes], (img, method_i))
+    return lax.switch(idx, [branch(s) for s in sizes], (img, method_i, inner_key))
 
 
 def _add_noise(key, img, cfg: DegradeJaxConfig, stage2: bool):
@@ -144,20 +154,32 @@ def degrade_two_stage_jax(key, gt, kernel1, kernel2, sinc_kernel,
     mid = H // 2
     keys = jax.random.split(key, 12)
 
-    # ---- stage 1
+    # ---- stage 1 (noise INSIDE the resize branch, at the true random size —
+    # the host pipeline never resamples noise texture, and doing so measurably
+    # shifted the LQ std; see the drift test.  JPEG stays at the canvas: one
+    # compiled DCT pipeline instead of n_buckets copies, at a small documented
+    # sharpness drift)
     out = filter2d(gt, kernel1)
+
+    def stage1_ops(k, im):
+        return _add_noise(k, im, cfg, stage2=False)
+
     out = _rand_resize_switch(keys[0], out, cfg.resize_prob, cfg.resize_range,
-                              H, mid, cfg.n_buckets)
-    out = _add_noise(keys[1], out, cfg, stage2=False)
+                              H, mid, cfg.n_buckets, inner=stage1_ops,
+                              inner_key=keys[1])
     out = _jpeg(keys[2], out, cfg.jpeg_range)
 
     # ---- stage 2
     do_blur2 = jax.random.uniform(keys[3]) < cfg.second_blur_prob
     blurred = filter2d(out, kernel2)
     out = jnp.where(do_blur2, blurred, out)
+
+    def stage2_ops(k, im):
+        return _add_noise(k, im, cfg, stage2=True)
+
     out = _rand_resize_switch(keys[4], out, cfg.resize_prob2, cfg.resize_range2,
-                              target, target, cfg.n_buckets)
-    out = _add_noise(keys[5], out, cfg, stage2=True)
+                              target, target, cfg.n_buckets, inner=stage2_ops,
+                              inner_key=keys[5])
 
     # final: random order of [sinc, JPEG] (already at target size)
     first_sinc = jax.random.uniform(keys[6]) < 0.5

@@ -490,8 +490,20 @@ def _ssl_loss_dense_core_stored(sr, gt, mask, cfg: SSGConfig):
 
 def _ssl_dense_bwd_stored(sr, gt, mask, inv_sr, inv_gt, g_l1, g_kl, qs,
                           cfg: SSGConfig, a_map, b_map):
-    """ssl_loss_dense_bwd with the q recompute replaced by the stored stack;
-    identical maths otherwise (see that function's derivation)."""
+    """Analytic backward consuming the stored q stack, in FACTORED form.
+
+    Same maths as ssl_loss_dense_bwd, rearranged so no per-offset (b,c,·)
+    tensor is materialized or canvas-shifted.  With shiftA_d(r) = A_d(r-d)
+    (zero-filled) and P±d the Pbig slices:
+
+      shift_d(A_d·(P - P_d)) = shiftA_d · (P_{-d} - P)        (exact, incl.
+      borders: shiftA_d vanishes exactly where the identities would fail)
+
+      dP = 2·[ P·(ΣshiftA_d + A9) - Σ_d (A_d·P_d + shiftA_d·P_{-d}) ]
+
+    (the ΣA_d term cancels against the C-term's -sumA).  Per offset this
+    shifts only the channel-less A_d map and streams two Pbig slices into one
+    accumulator — ~2-3x less HBM traffic than the canvas formulation."""
     b, c, h, w = sr.shape
     search = cfg.search
     p, k = search // 2, cfg.window // 2
@@ -507,7 +519,7 @@ def _ssl_dense_bwd_stored(sr, gt, mask, inv_sr, inv_gt, g_l1, g_kl, qs,
          if cfg.generalization else jnp.zeros((b, h, w)))
 
     def passB(carry, inputs):
-        dP, sumA, sumG = carry
+        acc1, sumShiftA, sumG = carry
         s, q2 = inputs
         q_sr, q_gt = q2[:b], q2[b:]
         dy, dx, a_y, b_y, a_x, b_x = _shift_bounds(s, cfg)
@@ -520,23 +532,24 @@ def _ssl_dense_bwd_stored(sr, gt, mask, inv_sr, inv_gt, g_l1, g_kl, qs,
         BxT = _band_T(w, wp, p, a_x, b_x)
         rowsA = jnp.einsum("uy,byx->bux", ByT, G_d, preferred_element_type=jnp.float32)
         A_d = jnp.einsum("bux,vx->buv", rowsA, BxT, preferred_element_type=jnp.float32)
-        Pshift = lax.dynamic_slice(Pbig, (0, 0, p + dy, p + dx), (b, c, hp, wp))
-        M = A_d[:, None] * (P - Pshift)
-        canvas = jnp.zeros((b, c, hp + 2 * p, wp + 2 * p))
-        canvas = lax.dynamic_update_slice(canvas, M, (0, 0, p + dy, p + dx))
-        Mshift = canvas[:, :, p:p + hp, p:p + wp]
-        dP = dP + 2.0 * (M - Mshift)
-        return (dP, sumA + A_d, sumG + G_d), None
+        # shiftA_d: zero-fill shift of the CHANNEL-LESS A map
+        acanvas = jnp.zeros((b, hp + 2 * p, wp + 2 * p))
+        acanvas = lax.dynamic_update_slice(acanvas, A_d, (0, p + dy, p + dx))
+        shiftA = acanvas[:, p:p + hp, p:p + wp]
+        P_pd = lax.dynamic_slice(Pbig, (0, 0, p + dy, p + dx), (b, c, hp, wp))
+        P_md = lax.dynamic_slice(Pbig, (0, 0, p - dy, p - dx), (b, c, hp, wp))
+        acc1 = acc1 + A_d[:, None] * P_pd + shiftA[:, None] * P_md
+        return (acc1, sumShiftA + shiftA, sumG + G_d), None
 
     init = (jnp.zeros((b, c, hp, wp)), jnp.zeros((b, hp, wp)), jnp.zeros((b, h, w)))
-    (dP, sumA, sumG), _ = lax.scan(passB, init, (jnp.arange(n2), qs),
-                                   unroll=_SCAN_UNROLL)
+    (acc1, sumShiftA, sumG), _ = lax.scan(passB, init, (jnp.arange(n2), qs),
+                                          unroll=_SCAN_UNROLL)
 
     By9T = _band_T(h, hp, p, -k, k)
     Bx9T = _band_T(w, wp, p, -k, k)
     rows9 = jnp.einsum("uy,byx->bux", By9T, sumG, preferred_element_type=jnp.float32)
     A9 = jnp.einsum("bux,vx->buv", rows9, Bx9T, preferred_element_type=jnp.float32)
-    dP = dP + 2.0 * (A9 - sumA)[:, None] * P
+    dP = 2.0 * ((sumShiftA + A9)[:, None] * P - acc1)
 
     _, pad_vjp = jax.vjp(lambda im: reflect_pad_2d(im, p), sr)
     (d_sr,) = pad_vjp(dP)

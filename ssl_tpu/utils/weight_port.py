@@ -284,6 +284,457 @@ def convert_msrresnet(sd: dict) -> dict:
     return params
 
 
+def _upsample_tree(sd: dict, pfx: str = "upsample") -> dict:
+    """torch arch_util.Upsample Sequential (Conv, PixelShuffle, [Conv,
+    PixelShuffle]) -> our Upsample module's Conv_{j} children."""
+    node: dict = {}
+    j = 0
+    for i in range(0, 8, 2):
+        if f"{pfx}.{i}.weight" in sd:
+            node[f"Conv_{j}"] = _convp(sd, f"{pfx}.{i}")
+            j += 1
+    return node
+
+
+def convert_edsr(sd: dict) -> dict:
+    """Reference EDSR keys (edsr_arch.py:30-48: conv_first / body.{i}.conv1-2 /
+    conv_after_body / upsample.{0,2} / conv_last) -> our flax tree."""
+    params: dict = {}
+    for name in ("conv_first", "conv_after_body", "conv_last"):
+        params[name] = _convp(sd, name)
+    pat = re.compile(r"body\.(\d+)\.conv(\d)\.weight")
+    for k in sd:
+        if (m := pat.match(k)):
+            i, j = int(m.group(1)), int(m.group(2))
+            params.setdefault(f"body_{i}", {})[f"Conv3x3_{j-1}"] = {
+                "Conv_0": _convp(sd, f"body.{i}.conv{j}")}
+    params["upsample"] = _upsample_tree(sd)
+    return params
+
+
+def convert_rcan(sd: dict) -> dict:
+    """Reference RCAN keys (rcan_arch.py:96-122: body.{g}.residual_group.{b}.
+    rcab.{0,2}(convs)/.3.attention.{1,3}(CA) + body.{g}.conv) -> our
+    group_{g}/rcab_{b}/{conv1,conv2,ca} tree."""
+    params: dict = {}
+    for name in ("conv_first", "conv_after_body", "conv_last"):
+        params[name] = _convp(sd, name)
+    pat = re.compile(r"body\.(\d+)\.residual_group\.(\d+)\.rcab\.(\d+)(?:\.attention\.(\d+))?\.weight")
+    for k in sd:
+        if (m := pat.match(k)):
+            g, b, idx, att = (int(m.group(1)), int(m.group(2)), int(m.group(3)),
+                              m.group(4) and int(m.group(4)))
+            rcab = params.setdefault(f"group_{g}", {}).setdefault(f"rcab_{b}", {})
+            base = k[:-len(".weight")]
+            if idx == 0:
+                rcab["conv1"] = _convp(sd, base)
+            elif idx == 2:
+                rcab["conv2"] = _convp(sd, base)
+            elif idx == 3:
+                rcab.setdefault("ca", {})["down" if att == 1 else "up"] = _convp(sd, base)
+    gpat = re.compile(r"body\.(\d+)\.conv\.weight")
+    for k in sd:
+        if (m := gpat.match(k)):
+            params.setdefault(f"group_{int(m.group(1))}", {})["conv"] = \
+                _convp(sd, k[:-len(".weight")])
+    params["upsample"] = _upsample_tree(sd)
+    return params
+
+
+def convert_ecbsr(sd: dict) -> dict:
+    """Reference ECBSR keys (ecbsr_arch.py: backbone.{i}.conv3x3 +
+    .conv1x1_3x3.{k0,b0,k1,b1} + .conv1x1_{sbx,sby,lpl}.{k0,b0,scale,bias} +
+    .act) -> our backbone_{i} tree.  The fixed masks are constants on both
+    sides (torch stores them as requires_grad=False params; skipped)."""
+    params: dict = {}
+    n = 1 + max(int(m.group(1)) for k in sd
+                if (m := re.match(r"backbone\.(\d+)\.", k)))
+    for i in range(n):
+        p = f"backbone.{i}"
+        blk: dict = {"conv3x3": _convp(sd, f"{p}.conv3x3")}
+        blk["conv1x1_3x3"] = {
+            "conv0_w": {"kernel": _conv_w(sd[f"{p}.conv1x1_3x3.k0"])},
+            "b0_pad": _to_np(sd[f"{p}.conv1x1_3x3.b0"]),
+            "conv1": {"kernel": _conv_w(sd[f"{p}.conv1x1_3x3.k1"]),
+                      "bias": _to_np(sd[f"{p}.conv1x1_3x3.b1"])},
+        }
+        for br in ("conv1x1_sbx", "conv1x1_sby", "conv1x1_lpl"):
+            blk[br] = {
+                "conv0_w": {"kernel": _conv_w(sd[f"{p}.{br}.k0"])},
+                "b0_pad": _to_np(sd[f"{p}.{br}.b0"]),
+                "scale": _to_np(sd[f"{p}.{br}.scale"]).reshape(-1),
+                "bias": _to_np(sd[f"{p}.{br}.bias"]),
+            }
+        if f"{p}.act.weight" in sd:
+            blk["act"] = {"alpha": _to_np(sd[f"{p}.act.weight"])}
+        params[f"backbone_{i}"] = blk
+    return params
+
+
+def convert_ridnet(sd: dict) -> dict:
+    """Reference RIDNet keys (ridnet_arch.py:154-172: sub_mean/add_mean 1x1
+    convs, head, body.{i}.{merge,block1,block2,ca}, tail) -> our
+    eam_{i}/{d1_*,d2_*,agg,b1_*,b2_*,ca_*} tree."""
+    params: dict = {
+        "sub_mean": {"conv": _convp(sd, "sub_mean")},
+        "add_mean": {"conv": _convp(sd, "add_mean")},
+        "head": _convp(sd, "head"),
+        "tail": _convp(sd, "tail"),
+    }
+    n = 1 + max(int(m.group(1)) for k in sd
+                if (m := re.match(r"body\.(\d+)\.", k)))
+    for i in range(n):
+        p = f"body.{i}"
+        params[f"eam_{i}"] = {
+            "d1_0": _convp(sd, f"{p}.merge.dilation1.0"),
+            "d1_1": _convp(sd, f"{p}.merge.dilation1.2"),
+            "d2_0": _convp(sd, f"{p}.merge.dilation2.0"),
+            "d2_1": _convp(sd, f"{p}.merge.dilation2.2"),
+            "agg": _convp(sd, f"{p}.merge.aggregation.0"),
+            "b1_0": _convp(sd, f"{p}.block1.conv1"),
+            "b1_1": _convp(sd, f"{p}.block1.conv2"),
+            "b2_0": _convp(sd, f"{p}.block2.body.0"),
+            "b2_1": _convp(sd, f"{p}.block2.body.2"),
+            "b2_2": _convp(sd, f"{p}.block2.body.4"),
+            "ca_down": _convp(sd, f"{p}.ca.attention.1"),
+            "ca_up": _convp(sd, f"{p}.ca.attention.3"),
+        }
+    return params
+
+
+def _conv3d_w(t):
+    return _to_np(t).transpose(2, 3, 4, 1, 0)  # OIkTkHkW -> kTkHkW,I,O
+
+
+def _conv3dp(sd: dict, base: str) -> dict:
+    node = {"kernel": _conv3d_w(sd[f"{base}.weight"])}
+    if f"{base}.bias" in sd:
+        node["bias"] = _to_np(sd[f"{base}.bias"])
+    return node
+
+
+def _spynet_tree(sd: dict, pfx: str = "") -> dict:
+    """Reference SpyNet keys ({pfx}basic_module.{i}.basic_module.{2j}) ->
+    basic_module_{i}/conv_{j}.  mean/std buffers are constants (skipped)."""
+    params: dict = {}
+    pat = re.compile(re.escape(pfx) + r"basic_module\.(\d+)\.basic_module\.(\d+)\.weight")
+    for k in sd:
+        if (m := pat.match(k)):
+            i, j = int(m.group(1)), int(m.group(2))
+            params.setdefault(f"basic_module_{i}", {})[f"conv_{j // 2}"] = \
+                _convp(sd, k[:-len(".weight")])
+    return params
+
+
+def convert_spynet(sd: dict) -> dict:
+    return _spynet_tree(sd)
+
+
+def _conv_res_blocks_tree(sd: dict, pfx: str) -> dict:
+    """Reference ConvResidualBlocks ({pfx}.main.0 conv + .main.2.{i}.conv1/2)
+    -> our conv + block_{i}/Conv3x3_{j}/Conv_0 tree."""
+    node: dict = {"conv": _convp(sd, f"{pfx}.main.0")}
+    pat = re.compile(re.escape(pfx) + r"\.main\.2\.(\d+)\.conv(\d)\.weight")
+    for k in sd:
+        if (m := pat.match(k)):
+            i, j = int(m.group(1)), int(m.group(2))
+            node.setdefault(f"block_{i}", {})[f"Conv3x3_{j - 1}"] = {
+                "Conv_0": _convp(sd, f"{pfx}.main.2.{i}.conv{j}")}
+    return node
+
+
+def convert_basicvsr(sd: dict) -> dict:
+    """Reference BasicVSR keys (basicvsr_arch.py:21-42) -> our flax tree."""
+    params: dict = {"spynet": _spynet_tree(sd, "spynet.")}
+    for trunk in ("backward_trunk", "forward_trunk"):
+        params[trunk] = _conv_res_blocks_tree(sd, trunk)
+    for name in ("fusion", "upconv1", "upconv2", "conv_hr", "conv_last"):
+        params[name] = _convp(sd, name)
+    return params
+
+
+def convert_toflow(sd: dict) -> dict:
+    """Reference TOFlow keys (tof_arch.py): spynet.basic_module.{i}.
+    basic_module.{0,3,6,9,12} convs (+BN at 1,4,7,10) and conv_1..conv_4."""
+    params: dict = {"spynet": {}}
+    for i in range(4):
+        p = f"spynet.basic_module.{i}.basic_module"
+        mod: dict = {}
+        for j, idx in enumerate((0, 3, 6, 9)):
+            mod[f"conv_{j}"] = {"kernel": _conv_w(sd[f"{p}.{idx}.weight"])}
+            bn = f"{p}.{idx + 1}"
+            mod[f"bn_{j}"] = {"scale": _to_np(sd[f"{bn}.weight"]),
+                              "bias": _to_np(sd[f"{bn}.bias"])}
+        mod["conv_4"] = _convp(sd, f"{p}.12")
+        params["spynet"][f"basic_module_{i}"] = mod
+    for k in ("conv_1", "conv_2", "conv_3", "conv_4"):
+        params[k] = _convp(sd, k)
+    return params
+
+
+def toflow_batch_stats(sd: dict, ref_batch_stats: dict) -> dict:
+    """BN running stats for TOFlow's SPyNetTOF."""
+    stats = {"spynet": {}}
+    for i in range(4):
+        p = f"spynet.basic_module.{i}.basic_module"
+        mod = {}
+        for j, idx in enumerate((1, 4, 7, 10)):
+            mod[f"bn_{j}"] = {"mean": _to_np(sd[f"{p}.{idx}.running_mean"]),
+                              "var": _to_np(sd[f"{p}.{idx}.running_var"])}
+        stats["spynet"][f"basic_module_{i}"] = mod
+    del ref_batch_stats
+    return stats
+
+
+def _duf_unit(sd: dict, pfx: str) -> tuple[dict, dict]:
+    """One DUF BN-ReLU-Conv1-BN-ReLU-Conv3 Sequential (indices 0,2,3,5)."""
+    params = {
+        "bn0": {"scale": _to_np(sd[f"{pfx}.0.weight"]), "bias": _to_np(sd[f"{pfx}.0.bias"])},
+        "conv0": _conv3dp(sd, f"{pfx}.2"),
+        "bn1": {"scale": _to_np(sd[f"{pfx}.3.weight"]), "bias": _to_np(sd[f"{pfx}.3.bias"])},
+        "conv1": _conv3dp(sd, f"{pfx}.5"),
+    }
+    stats = {
+        "bn0": {"mean": _to_np(sd[f"{pfx}.0.running_mean"]),
+                "var": _to_np(sd[f"{pfx}.0.running_var"])},
+        "bn1": {"mean": _to_np(sd[f"{pfx}.3.running_mean"]),
+                "var": _to_np(sd[f"{pfx}.3.running_var"])},
+    }
+    return params, stats
+
+
+def convert_duf(sd: dict) -> dict:
+    """Reference DUF keys (duf_arch.py:204-243) -> our flax tree."""
+    params: dict = {"conv3d1": _conv3dp(sd, "conv3d1"),
+                    "conv3d2": _conv3dp(sd, "conv3d2"),
+                    "bn3d2": {"scale": _to_np(sd["bn3d2.weight"]),
+                              "bias": _to_np(sd["bn3d2.bias"])}}
+    for name in ("conv3d_r1", "conv3d_r2", "conv3d_f1", "conv3d_f2"):
+        params[name] = _conv3dp(sd, name)
+    n = 1 + max(int(m.group(1)) for k in sd
+                if (m := re.match(r"dense_block1\.dense_blocks\.(\d+)\.", k)))
+    for i in range(n):
+        params[f"dense1_{i}"], _ = _duf_unit(sd, f"dense_block1.dense_blocks.{i}")
+    for i in range(3):
+        params[f"reduce_{i}"], _ = _duf_unit(sd, f"dense_block2.temporal_reduce{i + 1}")
+    return params
+
+
+def duf_batch_stats(sd: dict, ref_batch_stats: dict) -> dict:
+    stats: dict = {"bn3d2": {"mean": _to_np(sd["bn3d2.running_mean"]),
+                             "var": _to_np(sd["bn3d2.running_var"])}}
+    n = 1 + max(int(m.group(1)) for k in sd
+                if (m := re.match(r"dense_block1\.dense_blocks\.(\d+)\.", k)))
+    for i in range(n):
+        _, stats[f"dense1_{i}"] = _duf_unit(sd, f"dense_block1.dense_blocks.{i}")
+    for i in range(3):
+        _, stats[f"reduce_{i}"] = _duf_unit(sd, f"dense_block2.temporal_reduce{i + 1}")
+    del ref_batch_stats
+    return stats
+
+
+def _dcn_offset_perm(dg: int, k: int = 3) -> np.ndarray:
+    """Channel permutation for DCNv2Pack conv_offset: ours[i] = torch[perm[i]].
+
+    torch/mmcv layout (after the Pack's chunk+cat, as read by the CUDA
+    kernel): per deformable group, (y,x) interleaved per kernel position,
+    mask in the last third.  Ours: [all y (g,p) | all x | mask]."""
+    n = dg * k * k
+    perm = np.empty(3 * n, dtype=np.int64)
+    for g in range(dg):
+        for p in range(k * k):
+            perm[g * k * k + p] = g * 2 * k * k + 2 * p
+            perm[n + g * k * k + p] = g * 2 * k * k + 2 * p + 1
+            perm[2 * n + g * k * k + p] = 2 * n + g * k * k + p
+    return perm
+
+
+def _dcn_tree(sd: dict, pfx: str) -> dict:
+    """DCNv2Pack params -> our DCNv2PackM tree (incl. offset-channel perm)."""
+    ow = _to_np(sd[f"{pfx}.conv_offset.weight"])
+    ob = _to_np(sd[f"{pfx}.conv_offset.bias"])
+    k = ow.shape[-1]
+    dg = ow.shape[0] // (3 * k * k)
+    perm = _dcn_offset_perm(dg, k)
+    return {
+        "weight": _conv_w(sd[f"{pfx}.weight"]),
+        "bias": _to_np(sd[f"{pfx}.bias"]),
+        "conv_offset": {"kernel": _conv_w(ow[perm]), "bias": ob[perm]},
+    }
+
+
+def _resblock_seq_tree(sd: dict, pfx: str, out_name: str) -> dict:
+    """make_layer(ResidualBlockNoBN) Sequential ({pfx}.{i}.conv1/2) ->
+    {out_name}_{i}/Conv3x3_{j}/Conv_0 entries."""
+    node: dict = {}
+    pat = re.compile(re.escape(pfx) + r"\.(\d+)\.conv(\d)\.weight")
+    for key in sd:
+        if (m := pat.match(key)):
+            i, j = int(m.group(1)), int(m.group(2))
+            node.setdefault(f"{out_name}_{i}", {})[f"Conv3x3_{j - 1}"] = {
+                "Conv_0": _convp(sd, f"{pfx}.{i}.conv{j}")}
+    return node
+
+
+def _pcd_tree(sd: dict, pfx: str) -> dict:
+    node: dict = {}
+    for lv in ("l1", "l2", "l3"):
+        for cname in ("offset_conv1", "offset_conv2", "offset_conv3", "feat_conv"):
+            key = f"{pfx}.{cname}.{lv}.weight"
+            if key in sd:
+                node[f"{cname}_{lv}"] = _convp(sd, f"{pfx}.{cname}.{lv}")
+        if f"{pfx}.dcn_pack.{lv}.weight" in sd:
+            node[f"dcn_pack_{lv}"] = _dcn_tree(sd, f"{pfx}.dcn_pack.{lv}")
+    node["cas_offset_conv1"] = _convp(sd, f"{pfx}.cas_offset_conv1")
+    node["cas_offset_conv2"] = _convp(sd, f"{pfx}.cas_offset_conv2")
+    node["cas_dcnpack"] = _dcn_tree(sd, f"{pfx}.cas_dcnpack")
+    return node
+
+
+def _tsa_tree(sd: dict, pfx: str) -> dict:
+    names = ("temporal_attn1", "temporal_attn2", "feat_fusion", "spatial_attn1",
+             "spatial_attn2", "spatial_attn3", "spatial_attn4", "spatial_attn5",
+             "spatial_attn_l1", "spatial_attn_l2", "spatial_attn_l3",
+             "spatial_attn_add1", "spatial_attn_add2")
+    return {n: _convp(sd, f"{pfx}.{n}") for n in names}
+
+
+def _edvr_pyramid_tree(sd: dict, extract_pfx: str, base_pfx: str = "") -> dict:
+    node = _resblock_seq_tree(sd, extract_pfx, "extract")
+    for n in ("conv_l2_1", "conv_l2_2", "conv_l3_1", "conv_l3_2"):
+        node[n] = _convp(sd, f"{base_pfx}{n}")
+    return node
+
+
+def convert_edvr(sd: dict) -> dict:
+    """Reference EDVR keys (edvr_arch.py:271-320) -> our flax tree."""
+    params: dict = {}
+    if "conv_first.weight" in sd:
+        params["conv_first"] = _convp(sd, "conv_first")
+    if "conv_1x1.weight" in sd:
+        params["conv_1x1"] = _convp(sd, "conv_1x1")
+        pd: dict = {"conv_first": _convp(sd, "predeblur.conv_first")}
+        for n in ("stride_conv_hr1", "stride_conv_hr2", "stride_conv_l2",
+                  "stride_conv_l3"):
+            if f"predeblur.{n}.weight" in sd:
+                pd[n] = _convp(sd, f"predeblur.{n}")
+        for n in ("resblock_l3", "resblock_l2_1", "resblock_l2_2"):
+            pd[n] = {f"Conv3x3_{j - 1}": {"Conv_0": _convp(sd, f"predeblur.{n}.conv{j}")}
+                     for j in (1, 2)}
+        pd.update(_resblock_seq_tree(sd, "predeblur.resblock_l1", "resblock_l1"))
+        params["predeblur"] = pd
+    params["pyramid"] = _edvr_pyramid_tree(sd, "feature_extraction")
+    params["pcd_align"] = _pcd_tree(sd, "pcd_align")
+    if "fusion.temporal_attn1.weight" in sd:
+        params["fusion"] = _tsa_tree(sd, "fusion")
+    else:
+        params["fusion"] = _convp(sd, "fusion")
+    params.update(_resblock_seq_tree(sd, "reconstruction", "recon"))
+    for n in ("upconv1", "upconv2", "conv_hr", "conv_last"):
+        params[n] = _convp(sd, n)
+    return params
+
+
+def _edvr_feat_extractor_tree(sd: dict, pfx: str) -> dict:
+    """EDVRFeatureExtractor (basicvsr_arch.py:271-336) -> our tree."""
+    return {
+        "conv_first": _convp(sd, f"{pfx}.conv_first"),
+        "pyramid": _edvr_pyramid_tree(sd, f"{pfx}.feature_extraction", f"{pfx}."),
+        "pcd_align": _pcd_tree(sd, f"{pfx}.pcd_align"),
+        "fusion": _tsa_tree(sd, f"{pfx}.fusion"),
+    }
+
+
+def convert_iconvsr(sd: dict) -> dict:
+    """Reference IconVSR keys (basicvsr_arch.py:133-167) -> our flax tree."""
+    params: dict = {"spynet": _spynet_tree(sd, "spynet."),
+                    "edvr": _edvr_feat_extractor_tree(sd, "edvr")}
+    for trunk in ("backward_trunk", "forward_trunk"):
+        params[trunk] = _conv_res_blocks_tree(sd, trunk)
+    for name in ("backward_fusion", "forward_fusion", "upconv1", "upconv2",
+                 "conv_hr", "conv_last"):
+        params[name] = _convp(sd, name)
+    return params
+
+
+def _eql(sd: dict, base: str) -> dict:
+    """EqualLinear: torch weight (out,in) -> kernel (in,out)."""
+    node = {"kernel": _to_np(sd[f"{base}.weight"]).T}
+    if f"{base}.bias" in sd:
+        node["bias"] = _to_np(sd[f"{base}.bias"])
+    return node
+
+
+def _modconv_tree(sd: dict, base: str) -> dict:
+    """ModulatedConv2d: weight (1,out,in,k,k) -> (k,k,in,out) + modulation."""
+    return {"weight": _conv_w(_to_np(sd[f"{base}.weight"])[0]),
+            "modulation": _eql(sd, f"{base}.modulation")}
+
+
+def _styleconv_tree(sd: dict, base: str) -> dict:
+    return {"modulated_conv": _modconv_tree(sd, f"{base}.modulated_conv"),
+            "noise_weight": _to_np(sd[f"{base}.weight"]).reshape(1),
+            "activate_bias": _to_np(sd[f"{base}.activate.bias"])}
+
+
+def _torgb_tree(sd: dict, base: str) -> dict:
+    return {"modulated_conv": _modconv_tree(sd, f"{base}.modulated_conv"),
+            "bias": _to_np(sd[f"{base}.bias"]).reshape(3)}
+
+
+def convert_stylegan2(sd: dict) -> dict:
+    """Reference StyleGAN2Generator keys (stylegan2_arch.py:394-491) -> ours."""
+    params: dict = {
+        "constant_input": _to_np(sd["constant_input.weight"]).transpose(0, 2, 3, 1),
+        "style_conv1": _styleconv_tree(sd, "style_conv1"),
+        "to_rgb1": _torgb_tree(sd, "to_rgb1"),
+    }
+    n_mlp = 1 + max(int(m.group(1)) for k in sd
+                    if (m := re.match(r"style_mlp\.(\d+)\.weight", k)))
+    for i in range(1, n_mlp):
+        params[f"style_mlp_{i - 1}"] = _eql(sd, f"style_mlp.{i}")
+    for k in sd:
+        if (m := re.match(r"noises\.noise(\d+)$", k)):
+            params[f"noise{m.group(1)}"] = _to_np(sd[k]).transpose(0, 2, 3, 1)
+    for k in sd:
+        if (m := re.match(r"style_convs\.(\d+)\.weight", k)):
+            j = int(m.group(1))
+            params[f"style_convs_{j}"] = _styleconv_tree(sd, f"style_convs.{j}")
+        elif (m := re.match(r"to_rgbs\.(\d+)\.bias", k)):
+            j = int(m.group(1))
+            params[f"to_rgbs_{j}"] = _torgb_tree(sd, f"to_rgbs.{j}")
+    return params
+
+
+def _convlayer_tree(sd: dict, base: str, downsample: bool) -> dict:
+    """StyleGAN2 discriminator ConvLayer Sequential: [smooth,] EqualConv2d
+    [, FusedLeakyReLU]."""
+    ci = 1 if downsample else 0
+    node: dict = {"conv": {"weight": _conv_w(sd[f"{base}.{ci}.weight"])}}
+    if f"{base}.{ci}.bias" in sd:
+        node["conv"]["bias"] = _to_np(sd[f"{base}.{ci}.bias"])
+    if f"{base}.{ci + 1}.bias" in sd:
+        node["activate_bias"] = _to_np(sd[f"{base}.{ci + 1}.bias"])
+    return node
+
+
+def convert_stylegan2_disc(sd: dict) -> dict:
+    """Reference StyleGAN2Discriminator keys (stylegan2_arch.py:733-781)."""
+    params: dict = {"conv_body_0": _convlayer_tree(sd, "conv_body.0", False)}
+    n_body = 1 + max(int(m.group(1)) for k in sd
+                     if (m := re.match(r"conv_body\.(\d+)\.", k)))
+    for i in range(1, n_body):
+        params[f"conv_body_{i}"] = {
+            "conv1": _convlayer_tree(sd, f"conv_body.{i}.conv1", False),
+            "conv2": _convlayer_tree(sd, f"conv_body.{i}.conv2", True),
+            "skip": _convlayer_tree(sd, f"conv_body.{i}.skip", True),
+        }
+    params["final_conv"] = _convlayer_tree(sd, "final_conv", False)
+    params["final_linear_0"] = _eql(sd, "final_linear.0")
+    params["final_linear_1"] = _eql(sd, "final_linear.1")
+    return params
+
+
 def _spsr_conv(sd: dict, base: str) -> dict:
     """conv_block keys: '<base>.0.weight' when an activation kept it a
     Sequential, bare '<base>.weight' when flattened to the Conv itself."""
@@ -863,8 +1314,30 @@ CONVERTERS = {
                     convert_vgg296_disc),
     "srvgg": (lambda sd: "body.0.weight" in sd and not any(".conv" in k for k in sd),
               convert_srvgg),
-    "msrresnet": (lambda sd: "conv_first.weight" in sd and "body.0.conv1.weight" in sd,
-                  convert_msrresnet),
+    "msrresnet": (lambda sd: "conv_first.weight" in sd and "body.0.conv1.weight" in sd
+                  and "conv_after_body.weight" not in sd, convert_msrresnet),
+    "edsr": (lambda sd: "conv_after_body.weight" in sd and "body.0.conv1.weight" in sd
+             and "upsample.0.weight" in sd, convert_edsr),
+    "rcan": (lambda sd: any(".residual_group.0.rcab." in k for k in sd), convert_rcan),
+    "ecbsr": (lambda sd: any(k.endswith("conv1x1_sbx.scale") for k in sd), convert_ecbsr),
+    "ridnet": (lambda sd: "sub_mean.weight" in sd
+               and any(".merge.dilation1." in k for k in sd), convert_ridnet),
+    "spynet": (lambda sd: "basic_module.0.basic_module.0.weight" in sd,
+               convert_spynet),
+    "basicvsr": (lambda sd: "backward_trunk.main.0.weight" in sd
+                 and "fusion.weight" in sd, convert_basicvsr),
+    "toflow": (lambda sd: "spynet.basic_module.0.basic_module.12.weight" in sd
+               and "conv_1.weight" in sd, convert_toflow),
+    "duf": (lambda sd: "conv3d1.weight" in sd and "conv3d_f2.weight" in sd,
+            convert_duf),
+    "edvr": (lambda sd: "pcd_align.cas_dcnpack.conv_offset.weight" in sd,
+             convert_edvr),
+    "iconvsr": (lambda sd: "edvr.pcd_align.cas_dcnpack.conv_offset.weight" in sd
+                and "backward_fusion.weight" in sd, convert_iconvsr),
+    "stylegan2": (lambda sd: "style_conv1.modulated_conv.weight" in sd,
+                  convert_stylegan2),
+    "stylegan2_disc": (lambda sd: "conv_body.0.0.weight" in sd
+                       and "final_linear.0.weight" in sd, convert_stylegan2_disc),
     "ranker": (lambda sd: "conv0_0.weight" in sd and "classifier.0.weight" in sd,
                convert_ranker),
     "spsr": (lambda sd: any(k.startswith("model.1.sub.") for k in sd)

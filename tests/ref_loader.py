@@ -19,6 +19,7 @@ Nothing from the reference is copied — it is imported in place, read-only.
 from __future__ import annotations
 
 import importlib
+import importlib.util
 import logging
 import sys
 import types
@@ -50,10 +51,45 @@ def install_reference_stubs() -> None:
     utils_pkg = _shell_package("basicsr.utils", f"{REF_GAN}/basicsr/utils")
     _shell_package("basicsr.losses", f"{REF_GAN}/basicsr/losses")
     _shell_package("basicsr.losses.similarity", f"{REF_GAN}/basicsr/losses/similarity")
-    _shell_package("basicsr.archs", f"{REF_GAN}/basicsr/archs")
+    archs_pkg = _shell_package("basicsr.archs", f"{REF_GAN}/basicsr/archs")
+    # the diffusion tree vendors the FULL basicsr arch zoo (EDSR/RCAN/ECBSR/
+    # RIDNet/video/stylegan2/...); resolve those too, GAN tree taking priority
+    archs_pkg.__path__.append(f"{REF_DIFF}/basicsr/archs")
     _shell_package("basicsr.metrics", f"{REF_GAN}/basicsr/metrics")
     _shell_package("basicsr.data", f"{REF_GAN}/basicsr/data")
     _shell_package("basicsr.ops", f"{REF_GAN}/basicsr/ops")
+    # upfirdn2d ships a CPU-native fallback (upfirdn2d.py:154) — load for
+    # real; expose the FUNCTION at package level (the shell skips the real
+    # __init__.py's `from .upfirdn2d import upfirdn2d`)
+    up_pkg = _shell_package("basicsr.ops.upfirdn2d",
+                            f"{REF_DIFF}/basicsr/ops/upfirdn2d")
+    up_impl = importlib.import_module("basicsr.ops.upfirdn2d.upfirdn2d")
+    up_pkg.upfirdn2d = up_impl.upfirdn2d
+    # fused_act has NO cpu fallback in the vendored copy (always calls the
+    # CUDA ext): provide the documented native semantics
+    # scale * leaky_relu(x + bias) (rosinality fused_bias_act contract)
+    import torch as _torch
+    import torch.nn.functional as _F
+    fused = types.ModuleType("basicsr.ops.fused_act")
+
+    def _fused_leaky_relu(x, bias=None, negative_slope=0.2, scale=2 ** 0.5):
+        if bias is not None:
+            x = x + bias.reshape((1, -1) + (1,) * (x.ndim - 2))
+        return _F.leaky_relu(x, negative_slope) * scale
+
+    class _FusedLeakyReLU(_torch.nn.Module):
+        def __init__(self, channel, negative_slope=0.2, scale=2 ** 0.5):
+            super().__init__()
+            self.bias = _torch.nn.Parameter(_torch.zeros(channel))
+            self.negative_slope = negative_slope
+            self.scale = scale
+
+        def forward(self, x):
+            return _fused_leaky_relu(x, self.bias, self.negative_slope, self.scale)
+
+    fused.fused_leaky_relu = _fused_leaky_relu
+    fused.FusedLeakyReLU = _FusedLeakyReLU
+    sys.modules["basicsr.ops.fused_act"] = fused
 
     # `from basicsr.utils import get_root_logger / bgr2ycbcr / ...` resolves
     # package-level attrs lazily from the real submodules (PEP 562)
@@ -80,11 +116,90 @@ def install_reference_stubs() -> None:
     simw.compute_similarity = _no_cuda
     sys.modules["basicsr.losses.similarity.similaritywrapper"] = simw
 
-    # basicsr.ops.dcn: imported at arch_util top level, never called by the
-    # archs under test
+    # basicsr.ops.dcn: the vendored op is CUDA-only; provide a faithful CPU
+    # torch implementation of the mmcv modulated-deform-conv KERNEL semantics
+    # (offset channels per deformable group interleaved (y,x) per kernel
+    # position; zero padding outside; mask multiplies the sampled column)
+    # so EDVR/IconVSR parity tests can run the reference modules end-to-end.
     dcn = types.ModuleType("basicsr.ops.dcn")
-    dcn.ModulatedDeformConvPack = type("ModulatedDeformConvPack", (), {})
-    dcn.modulated_deform_conv = _no_cuda
+
+    def _mdc_cpu(x, offset, mask, weight, bias, stride=1, padding=0,
+                 dilation=1, groups=1, deformable_groups=1):
+        if isinstance(stride, tuple):
+            stride = stride[0]
+        if isinstance(padding, tuple):
+            padding = padding[0]
+        if isinstance(dilation, tuple):
+            dilation = dilation[0]
+        b, cin, h, w = x.shape
+        cout, cin_g, kh, kw = weight.shape
+        assert groups == 1, "oracle supports groups=1 (all reference uses)"
+        ho = (h + 2 * padding - dilation * (kh - 1) - 1) // stride + 1
+        wo = (w + 2 * padding - dilation * (kw - 1) - 1) // stride + 1
+        dg = deformable_groups
+        cg = cin // dg
+        ys_base = (_torch.arange(ho, dtype=x.dtype) * stride - padding).view(1, ho, 1)
+        xs_base = (_torch.arange(wo, dtype=x.dtype) * stride - padding).view(1, 1, wo)
+        cols = x.new_zeros(b, cin, kh * kw, ho, wo)
+        for g in range(dg):
+            for p in range(kh * kw):
+                i, j = divmod(p, kw)
+                ys = ys_base + i * dilation + offset[:, g * 2 * kh * kw + 2 * p]
+                xs = xs_base + j * dilation + offset[:, g * 2 * kh * kw + 2 * p + 1]
+                y0 = _torch.floor(ys)
+                x0 = _torch.floor(xs)
+                wy1, wx1 = ys - y0, xs - x0
+                acc = 0.0
+                for dy, wy in ((0, 1 - wy1), (1, wy1)):
+                    for dx, wx in ((0, 1 - wx1), (1, wx1)):
+                        yy = (y0 + dy).long()
+                        xx = (x0 + dx).long()
+                        valid = ((yy >= 0) & (yy < h) & (xx >= 0) & (xx < w))
+                        yyc = yy.clamp(0, h - 1)
+                        xxc = xx.clamp(0, w - 1)
+                        # gather per batch: (b, cg, ho, wo)
+                        idx = (yyc * w + xxc).view(b, 1, -1).expand(b, cg, ho * wo)
+                        vals = x[:, g * cg:(g + 1) * cg].reshape(b, cg, h * w) \
+                            .gather(2, idx).view(b, cg, ho, wo)
+                        acc = acc + vals * (wy * wx * valid.to(x.dtype)).unsqueeze(1)
+                cols[:, g * cg:(g + 1) * cg, p] = acc * mask[:, g * kh * kw + p].unsqueeze(1)
+        out = _torch.einsum("bcphw,ocp->bohw", cols, weight.reshape(cout, cin, kh * kw))
+        if bias is not None:
+            out = out + bias.view(1, -1, 1, 1)
+        return out
+
+    class _MDCPack(_torch.nn.Module):
+        """mmcv ModulatedDeformConvPack-compatible base (state-dict layout:
+        weight, bias, conv_offset.weight, conv_offset.bias)."""
+
+        def __init__(self, in_channels, out_channels, kernel_size, stride=1,
+                     padding=0, dilation=1, groups=1, deformable_groups=1,
+                     bias=True):
+            super().__init__()
+            k = kernel_size if isinstance(kernel_size, int) else kernel_size[0]
+            self.in_channels, self.out_channels = in_channels, out_channels
+            self.kernel_size = (k, k)
+            self.stride, self.padding, self.dilation = stride, padding, dilation
+            self.groups, self.deformable_groups = groups, deformable_groups
+            self.weight = _torch.nn.Parameter(
+                _torch.randn(out_channels, in_channels // groups, k, k) * 0.02)
+            self.bias = _torch.nn.Parameter(_torch.zeros(out_channels)) if bias else None
+            self.conv_offset = _torch.nn.Conv2d(
+                in_channels, deformable_groups * 3 * k * k, kernel_size=k,
+                stride=stride, padding=padding, bias=True)
+            self.conv_offset.weight.data.zero_()
+            self.conv_offset.bias.data.zero_()
+
+        def forward(self, x):
+            out = self.conv_offset(x)
+            o1, o2, m = _torch.chunk(out, 3, dim=1)
+            offset = _torch.cat((o1, o2), dim=1)
+            return _mdc_cpu(x, offset, _torch.sigmoid(m), self.weight, self.bias,
+                            self.stride, self.padding, self.dilation,
+                            self.groups, self.deformable_groups)
+
+    dcn.ModulatedDeformConvPack = _MDCPack
+    dcn.modulated_deform_conv = _mdc_cpu
     sys.modules["basicsr.ops.dcn"] = dcn
 
     # torchvision: arch_util imports it top-level and vgg_arch does
@@ -141,12 +256,21 @@ def install_reference_stubs() -> None:
     ldm_util.default = lambda v, d: v if v is not None else (d() if callable(d) else d)
     sys.modules["ldm.util"] = ldm_util
 
-    # openaimodel imports ConvLayer/EqualConv2d from the vendored
-    # stylegan2_arch (which would pull CUDA ops); only dead classes use them
-    sg2 = types.ModuleType("basicsr.archs.stylegan2_arch")
-    sg2.ConvLayer = type("ConvLayer", (), {})
-    sg2.EqualConv2d = type("EqualConv2d", (), {})
-    sys.modules["basicsr.archs.stylegan2_arch"] = sg2
+    # the real (diffusion-tree) stylegan2_arch now imports cleanly on CPU via
+    # the fused_act stub + upfirdn2d native fallback, so openaimodel's
+    # ConvLayer/EqualConv2d imports resolve from the genuine module.
+
+    # the GAN tree's arch_util (priority on the shared path) lacks
+    # PixelShufflePack, which basicvsrpp_arch imports; graft it from the
+    # diffusion tree's arch_util
+    arch_util = importlib.import_module("basicsr.archs.arch_util")
+    if not hasattr(arch_util, "PixelShufflePack"):
+        spec = importlib.util.spec_from_file_location(
+            "basicsr.archs._arch_util_diff", f"{REF_DIFF}/basicsr/archs/arch_util.py")
+        diff_util = importlib.util.module_from_spec(spec)
+        sys.modules[spec.name] = diff_util
+        spec.loader.exec_module(diff_util)
+        arch_util.PixelShufflePack = diff_util.PixelShufflePack
 
     _installed = True
 

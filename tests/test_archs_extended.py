@@ -101,14 +101,17 @@ def test_ranksrgan_ssl_step():
 
 
 def test_stylegan2_generator():
-    for rs in ("fir", "bilinear"):
-        net = build_network(dict(type="StyleGAN2Generator", out_size=16,
-                                 num_style_feat=32, num_mlp=2, resample=rs))
-        z = jnp.zeros((2, 32))
-        v = net.init(jax.random.PRNGKey(0), z)
-        out = net.apply(v, z)
-        assert out.shape == (2, 16, 16, 3), rs
-        assert np.isfinite(np.asarray(out)).all()
+    net = build_network(dict(type="StyleGAN2Generator", out_size=16,
+                             num_style_feat=32, num_mlp=2))
+    z = jnp.ones((2, 32))
+    v = net.init(jax.random.PRNGKey(0), [z])
+    out, _ = net.apply(v, [z])
+    assert out.shape == (2, 16, 16, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    # discriminator closes the loop
+    d = build_network(dict(type="StyleGAN2Discriminator", out_size=16))
+    vd = d.init(jax.random.PRNGKey(1), out)
+    assert d.apply(vd, out).shape == (2, 1)
 
 
 def test_mod_and_snv1_discriminators():
@@ -126,8 +129,8 @@ def test_mod_and_snv1_discriminators():
 
 @pytest.mark.parametrize("cfg", [
     dict(type="EDSR", num_feat=8, num_block=2, upscale=4),
-    dict(type="RCAN", num_feat=8, num_group=1, num_block=2, upscale=4),
-    dict(type="ECBSR", num_channel=8, num_block=2, upscale=4),
+    dict(type="RCAN", num_feat=8, num_group=1, num_block=2, squeeze_factor=4, upscale=4),
+    dict(type="ECBSR", num_channel=8, num_block=2, scale=4),
 ])
 def test_classic_sr_archs(cfg):
     net = build_network(cfg)
@@ -138,11 +141,11 @@ def test_classic_sr_archs(cfg):
 
 
 def test_basicvsr_and_spynet():
-    net = build_network(dict(type="BasicVSR", num_feat=8, num_block=1, spynet_levels=2))
-    lqs = jnp.zeros((1, 3, 8, 8, 3))
+    net = build_network(dict(type="BasicVSR", num_feat=8, num_block=1))
+    lqs = jnp.zeros((1, 3, 40, 40, 3))
     v = net.init(jax.random.PRNGKey(0), lqs)
     out = net.apply(v, lqs)
-    assert out.shape == (1, 3, 32, 32, 3)
+    assert out.shape == (1, 3, 160, 160, 3)
 
 
 def test_edvr():
@@ -155,17 +158,17 @@ def test_edvr():
 
 
 def test_tof_and_duf():
-    lqs = jnp.zeros((1, 3, 16, 16, 3))
-    net = build_network(dict(type="TOFlow", num_frame=3, spynet_levels=2))
+    lqs = jnp.zeros((1, 7, 16, 16, 3))
+    net = build_network(dict(type="TOFlow"))
     v = net.init(jax.random.PRNGKey(0), lqs)
     assert net.apply(v, lqs).shape == (1, 16, 16, 3)
-    net = build_network(dict(type="DUF", scale=4, num_feat=8, num_block=1))
+    net = build_network(dict(type="DUF", scale=4, num_layer=16))
     v = net.init(jax.random.PRNGKey(0), lqs)
     assert net.apply(v, lqs).shape == (1, 64, 64, 3)
 
 
 def test_ridnet():
-    net = build_network(dict(type="RIDNet", num_feat=8, num_block=1))
+    net = build_network(dict(type="RIDNet", num_feat=16, num_block=1))
     v = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
     assert net.apply(v, jnp.zeros((1, 16, 16, 3))).shape == (1, 16, 16, 3)
 
@@ -196,22 +199,24 @@ def test_spsr_branch_pretrain_and_net_d_gating():
     G does not update at all on early iters while D does."""
     import jax
     opt = _base_ssl_opt("SPSRSSLModel", dict(type="SPSRNet", nf=8, nb=23, gc=4, upscale=4))
+    opt["network_d_grad"] = {"type": "UNetDiscriminatorSN", "num_feat": 4}
     opt["train"].update({"Branch_pretrain": 1, "Branch_init_iters": 2,
                          "gradient_pixel_opt": {"type": "L1Loss", "loss_weight": 1.0}})
     from ssl_tpu.models import build_model
     model = build_model(opt)
     state = model.init_state(lq_shape=(1, 8, 8, 3))
     batch = _batch()
-    new_state, logs = model.train_step(state, batch)
 
     def leaves_by_branch(tree):
         import jax.tree_util as jtu
         flat = jtu.tree_flatten_with_path(tree)[0]
-        fb = [v for k, v in flat if str(k[0].key).startswith("f_")]
-        other = [v for k, v in flat if not str(k[0].key).startswith("f_")]
+        fb = [np.asarray(v) for k, v in flat if str(k[0].key).startswith("f_")]
+        other = [np.asarray(v) for k, v in flat if not str(k[0].key).startswith("f_")]
         return fb, other
 
+    # snapshot to host BEFORE the step: train_step donates the input state
     f_old, o_old = leaves_by_branch(state.params_g)
+    new_state, logs = model.train_step(state, batch)
     f_new, o_new = leaves_by_branch(new_state.params_g)
     assert any(not np.allclose(a, b) for a, b in zip(f_old, f_new)), \
         "fusion branch should train during pretrain"
@@ -220,14 +225,15 @@ def test_spsr_branch_pretrain_and_net_d_gating():
 
     # net_d_init_iters: G fully frozen on iter 1, D still trains
     opt2 = _base_ssl_opt("SPSRSSLModel", dict(type="SPSRNet", nf=8, nb=23, gc=4, upscale=4))
+    opt2["network_d_grad"] = {"type": "UNetDiscriminatorSN", "num_feat": 4}
     opt2["train"].update({"net_d_init_iters": 3,
                           "gradient_pixel_opt": {"type": "L1Loss", "loss_weight": 1.0}})
     model2 = build_model(opt2)
     s0 = model2.init_state(lq_shape=(1, 8, 8, 3))
+    g0 = [np.asarray(v) for v in jax.tree_util.tree_leaves(s0.params_g)]
+    d0 = [np.asarray(v) for v in jax.tree_util.tree_leaves(s0.params_d)]
     s1, _ = model2.train_step(s0, batch)
-    g0 = jax.tree_util.tree_leaves(s0.params_g)
     g1 = jax.tree_util.tree_leaves(s1.params_g)
     assert all(np.allclose(a, b) for a, b in zip(g0, g1)), "G gated off"
-    d0 = jax.tree_util.tree_leaves(s0.params_d)
     d1 = jax.tree_util.tree_leaves(s1.params_d)
     assert any(not np.allclose(a, b) for a, b in zip(d0, d1)), "D must train"

@@ -69,3 +69,58 @@ def test_jnp_filter2d_matches_cv2():
     assert np.abs(out - ref).max() < 1e-5
     s = usm_sharp(jnp.asarray(img))
     assert s.shape == img.shape and np.isfinite(np.asarray(s)).all()
+
+
+def test_deform_attn_zero_offset_equals_window_attention():
+    """With zero offsets, deform_attn == plain window attention over the
+    kernel neighborhood (zero-padded) — the identity the reference op
+    satisfies by construction (deform_attn_cuda_pt110.cpp:84-111)."""
+    import jax
+    import jax.numpy as jnp
+    from ssl_tpu.ops.deform_attn import deform_attn
+
+    rng = np.random.RandomState(0)
+    b, h, w, c, heads, dg, kk = 1, 6, 5, 8, 2, 2, 3
+    K = kk * kk
+    q = jnp.asarray(rng.rand(b, h, w, c), jnp.float32)
+    kmap = jnp.asarray(rng.rand(b, 1, h, w, c), jnp.float32)
+    vmap_ = jnp.asarray(rng.rand(b, 1, h, w, c), jnp.float32)
+    kv = jnp.concatenate([kmap, vmap_], axis=-1)
+    off = jnp.zeros((b, h, w, 1 * dg * K * 2))
+    out = np.asarray(deform_attn(q, kv, off, kk, kk, heads, dg))
+
+    # naive oracle
+    hd = c // heads
+    kp = np.pad(np.asarray(kmap)[0, 0], ((1, 1), (1, 1), (0, 0)))
+    vp = np.pad(np.asarray(vmap_)[0, 0], ((1, 1), (1, 1), (0, 0)))
+    expect = np.zeros((h, w, c))
+    qn = np.asarray(q)[0]
+    for y in range(h):
+        for x in range(w):
+            keys = kp[y:y + 3, x:x + 3].reshape(K, heads, hd)
+            vals = vp[y:y + 3, x:x + 3].reshape(K, heads, hd)
+            qh = qn[y, x].reshape(heads, hd) * (hd ** -0.5)
+            logit = np.einsum("hd,khd->hk", qh, keys)
+            a = np.exp(logit - logit.max(-1, keepdims=True))
+            a /= a.sum(-1, keepdims=True)
+            expect[y, x] = np.einsum("hk,khd->hd", a, vals).reshape(c)
+    np.testing.assert_allclose(out[0], expect, rtol=1e-5, atol=1e-6)
+
+
+def test_deform_attn_pack_runs_and_grads():
+    import jax
+    import jax.numpy as jnp
+    from ssl_tpu.ops.deform_attn import DeformAttnPack
+
+    rng = np.random.RandomState(1)
+    b, h, w, c = 1, 4, 4, 8
+    params = DeformAttnPack.init_params(jax.random.PRNGKey(0), c, clip_size=2,
+                                        deform_groups=2)
+    q = jnp.asarray(rng.rand(b, h, w, c), jnp.float32)
+    k = jnp.asarray(rng.rand(b, 2, h, w, c), jnp.float32)
+    v = jnp.asarray(rng.rand(b, 2, h, w, c), jnp.float32)
+    out = DeformAttnPack.apply(params, q, k, v, heads=2, deform_groups=2)
+    assert out.shape == (b, h, w, c)
+    g = jax.grad(lambda p: jnp.sum(
+        DeformAttnPack.apply(p, q, k, v, heads=2, deform_groups=2) ** 2))(params)
+    assert np.isfinite(np.asarray(jax.tree_util.tree_leaves(g)[0])).all()
