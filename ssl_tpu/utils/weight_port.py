@@ -735,6 +735,158 @@ def convert_stylegan2_disc(sd: dict) -> dict:
     return params
 
 
+def convert_deresnet(sd: dict) -> dict:
+    """Reference DEResNet keys (degradat_arch.py:37-78) -> our flax tree."""
+    params: dict = {}
+    nd = 1 + max(int(m.group(1)) for k in sd
+                 if (m := re.match(r"conv_first\.(\d+)\.weight", k)))
+    for d in range(nd):
+        params[f"conv_first_{d}"] = _convp(sd, f"conv_first.{d}")
+        j = 0
+        while True:
+            base = f"body.{d}.{j}"
+            if f"{base}.conv1.weight" in sd:
+                params[f"body_{d}_{j}"] = {
+                    f"Conv3x3_{kk - 1}": {"Conv_0": _convp(sd, f"{base}.conv{kk}")}
+                    for kk in (1, 2)}
+            elif f"{base}.weight" in sd:
+                params[f"body_{d}_{j}"] = _convp(sd, base)
+            else:
+                break
+            j += 1
+        params[f"fc_{d}_0"] = _dense(sd, f"fc_degree.{d}.0")
+        params[f"fc_{d}_1"] = _dense(sd, f"fc_degree.{d}.2")
+    return params
+
+
+def _spade_tree(sd: dict, pfx: str) -> dict:
+    return {"mlp_shared": _convp(sd, f"{pfx}.mlp_shared.0"),
+            "mlp_gamma": {"kernel": _conv_w(sd[f"{pfx}.mlp_gamma.weight"])},
+            "mlp_beta": {"kernel": _conv_w(sd[f"{pfx}.mlp_beta.weight"])}}
+
+
+def _spade_block_tree(sd: dict, pfx: str) -> dict:
+    node: dict = {
+        "norm_0": _spade_tree(sd, f"{pfx}.norm_0"),
+        "norm_1": _spade_tree(sd, f"{pfx}.norm_1"),
+        "conv_0": {"Conv_0": {"kernel": _conv_w(sd[f"{pfx}.conv_0.weight_orig"]),
+                              "bias": _to_np(sd[f"{pfx}.conv_0.bias"])}},
+        "conv_1": {"Conv_0": {"kernel": _conv_w(sd[f"{pfx}.conv_1.weight_orig"]),
+                              "bias": _to_np(sd[f"{pfx}.conv_1.bias"])}},
+    }
+    if f"{pfx}.conv_s.weight_orig" in sd:
+        node["conv_s"] = {"Conv_0": {"kernel": _conv_w(sd[f"{pfx}.conv_s.weight_orig"])}}
+        node["norm_s"] = _spade_tree(sd, f"{pfx}.norm_s")
+    return node
+
+
+def _lip_tree(sd: dict, pfx: str, n_2xdown: int = 5) -> dict:
+    node: dict = {"conv_in": {"kernel": _conv_w(sd[f"{pfx}.model.0.weight"])}}
+    ti = 3
+    for i in range(n_2xdown):
+        node[f"block{i}_lip_conv"] = {
+            "kernel": _conv_w(sd[f"{pfx}.model.{ti}.logit.0.weight"])}
+        node[f"block{i}_lip_norm"] = {
+            "scale": _to_np(sd[f"{pfx}.model.{ti}.logit.1.weight"]),
+            "bias": _to_np(sd[f"{pfx}.model.{ti}.logit.1.bias"])}
+        node[f"block{i}_conv"] = _convp(sd, f"{pfx}.model.{ti + 1}")
+        ti += 4 if i < n_2xdown - 1 else 3
+    return node
+
+
+def _spade_body_tree(sd: dict) -> dict:
+    body: dict = {"head_0": _spade_block_tree(sd, "head_0"),
+                  "g_middle_0": _spade_block_tree(sd, "g_middle_0"),
+                  "g_middle_1": _spade_block_tree(sd, "g_middle_1")}
+    for i in range(4):
+        if f"ups.{i}.conv_0.weight_orig" in sd:
+            body[f"ups_{i}"] = _spade_block_tree(sd, f"ups.{i}")
+        if f"to_rgbs.{i}.weight" in sd:
+            body[f"to_rgbs_{i}"] = _convp(sd, f"to_rgbs.{i}")
+    return body
+
+
+def convert_hifacegan(sd: dict) -> dict:
+    """Reference HiFaceGAN keys (hifacegan_arch.py:144-164) -> ours
+    (the unused inherited `fc` conv is dropped)."""
+    return {"lip_encoder": _lip_tree(sd, "lip_encoder"),
+            "body": _spade_body_tree(sd)}
+
+
+def convert_spade_generator(sd: dict) -> dict:
+    return {"fc": _convp(sd, "fc"), "body": _spade_body_tree(sd)}
+
+
+def convert_hifacegan_disc(sd: dict) -> dict:
+    """Reference HiFaceGANDiscriminator keys (hifacegan_arch.py:188-249)."""
+    params: dict = {}
+    nd = 1 + max(int(m.group(1)) for k in sd
+                 if (m := re.match(r"discriminator_(\d+)\.", k)))
+    for i in range(nd):
+        p = f"discriminator_{i}"
+        sub: dict = {"model0_conv": _convp(sd, f"{p}.model0.0")}
+        n = 1
+        while f"{p}.model{n}.0.0.weight_orig" in sd:
+            sub[f"model{n}_conv"] = {"Conv_0": {
+                "kernel": _conv_w(sd[f"{p}.model{n}.0.0.weight_orig"])}}
+            n += 1
+        sub[f"model{n}_conv"] = _convp(sd, f"{p}.model{n}.0")
+        params[p] = sub
+    return params
+
+
+def sn_stats_tree(sd: dict, ref_stats, to_torch_key):
+    """Recursive version of sn_batch_stats_from_torch for nested SN convs:
+    walks the reference batch_stats tree, and at each SpectralNorm_0 node
+    recomputes (u, sigma) by converged numpy power iteration on the torch
+    `<to_torch_key(path)>.weight_orig` tensor."""
+    def walk(node, path):
+        if isinstance(node, dict) and "SpectralNorm_0" in node:
+            tk = to_torch_key(path)
+            w = sd.get(f"{tk}.weight_orig") if tk else None
+            if w is None:
+                return node
+            a = _conv_w(w).reshape(-1, w.shape[0])
+            rng = np.random.RandomState(0)
+            u = rng.randn(1, a.shape[1]).astype(np.float32)
+            u /= np.linalg.norm(u) + 1e-12
+            for _ in range(50):
+                v = a @ u.T
+                v /= np.linalg.norm(v) + 1e-12
+                u = (a.T @ v).T
+                u /= np.linalg.norm(u) + 1e-12
+            sigma = float((v.T @ a @ u.T).item())
+            inner = dict(node["SpectralNorm_0"])
+            for k in inner:
+                inner[k] = (np.float32(sigma) if k.endswith("sigma")
+                            else u.astype(np.float32))
+            return {"SpectralNorm_0": inner}
+        if isinstance(node, dict):
+            return {k: walk(v, path + (k,)) for k, v in node.items()}
+        return node
+    return walk(ref_stats, ())
+
+
+def hifacegan_sn_stats(sd: dict, ref_stats) -> dict:
+    """SN stats for HiFaceGAN/SPADEGenerator: flax path body/<blk>/<conv>
+    -> torch '<blk>.<conv>' (ups_{i} -> ups.{i})."""
+    def to_key(path):
+        parts = [p for p in path if p != "body"]
+        parts = [re.sub(r"^(ups|to_rgbs)_(\d+)$", r"\1.\2", p) for p in parts]
+        return ".".join(parts)
+    return sn_stats_tree(sd, ref_stats, to_key)
+
+
+def hifacegan_disc_sn_stats(sd: dict, ref_stats) -> dict:
+    """flax discriminator_{i}/model{n}_conv -> torch
+    discriminator_{i}.model{n}.0.0."""
+    def to_key(path):
+        parts = list(path)
+        parts[-1] = re.sub(r"^model(\d+)_conv$", r"model\1.0.0", parts[-1])
+        return ".".join(parts)
+    return sn_stats_tree(sd, ref_stats, to_key)
+
+
 def _spsr_conv(sd: dict, base: str) -> dict:
     """conv_block keys: '<base>.0.weight' when an activation kept it a
     Sequential, bare '<base>.weight' when flattened to the Conv itself."""
@@ -1338,6 +1490,15 @@ CONVERTERS = {
                   convert_stylegan2),
     "stylegan2_disc": (lambda sd: "conv_body.0.0.weight" in sd
                        and "final_linear.0.weight" in sd, convert_stylegan2_disc),
+    "deresnet": (lambda sd: "conv_first.0.weight" in sd
+                 and "fc_degree.0.0.weight" in sd, convert_deresnet),
+    "hifacegan": (lambda sd: "lip_encoder.model.0.weight" in sd,
+                  convert_hifacegan),
+    "spade_generator": (lambda sd: "head_0.conv_0.weight_orig" in sd
+                        and "lip_encoder.model.0.weight" not in sd,
+                        convert_spade_generator),
+    "hifacegan_disc": (lambda sd: "discriminator_0.model0.0.weight" in sd,
+                       convert_hifacegan_disc),
     "ranker": (lambda sd: "conv0_0.weight" in sd and "classifier.0.weight" in sd,
                convert_ranker),
     "spsr": (lambda sd: any(k.startswith("model.1.sub.") for k in sd)
@@ -1348,6 +1509,13 @@ CONVERTERS = {
     "ldm_vae": (lambda sd: any(k.endswith("decoder.mid.attn_1.q.weight") for k in sd),
                 convert_ldm_vae),
 }
+
+
+def _prune_to_ref(tree, ref):
+    """Keep only the converted subtree that exists in the reference tree."""
+    if isinstance(tree, dict) and isinstance(ref, dict):
+        return {k: _prune_to_ref(v, ref[k]) for k, v in tree.items() if k in ref}
+    return tree
 
 
 def _tree_shapes_match(tree, ref) -> bool:
@@ -1431,6 +1599,11 @@ def load_params_auto(path: str, param_key: str = "params", reference_tree=None):
                 tree = _as_jnp(convert(sd))
             except Exception:
                 continue
+            if reference_tree is not None:
+                # drop converted entries with no counterpart in the target
+                # tree (e.g. reference modules our arch doesn't instantiate,
+                # like HiFaceGAN's unused to_rgbs heads)
+                tree = _prune_to_ref(tree, reference_tree)
             if reference_tree is None or _tree_shapes_match(tree, reference_tree):
                 return tree
             fallback = fallback if fallback is not None else name

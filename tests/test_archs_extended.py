@@ -174,9 +174,14 @@ def test_ridnet():
 
 
 def test_hifacegan_and_deresnet():
-    net = build_network(dict(type="HiFaceGAN", num_feat=8, num_levels=2))
-    v = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
-    assert net.apply(v, jnp.zeros((1, 32, 32, 3))).shape == (1, 32, 32, 3)
+    net = build_network(dict(type="HiFaceGAN", num_feat=4))
+    v = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    out = net.apply(v, jnp.zeros((1, 64, 64, 3)))
+    assert out.shape == (1, 64, 64, 3)
+    d = build_network(dict(type="HiFaceGANDiscriminator", num_feat=4, num_d=2))
+    vd = d.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 6)))
+    res = d.apply(vd, jnp.zeros((1, 64, 64, 6)))
+    assert len(res) == 2 and res[0][-1].shape[-1] == 1
     net = build_network(dict(type="DEResNet", num_feats=(8, 16), num_blocks=(1, 1),
                              downscales=(2, 1)))
     v = net.init(jax.random.PRNGKey(0), jnp.zeros((2, 32, 32, 3)))

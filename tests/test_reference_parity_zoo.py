@@ -438,3 +438,108 @@ def test_stylegan2_discriminator_parity():
         assert params is not None
         out = net.apply({"params": params}, xj)
     np.testing.assert_allclose(np.asarray(out), y_ref, rtol=1e-3, atol=1e-4)
+
+
+def test_deresnet_forward_parity():
+    arch = ref_module("basicsr.archs.degradat_arch")
+    ref = arch.DEResNet(3, num_feats=[8, 16], num_blocks=[1, 1],
+                        downscales=[2, 1])
+    x = np.random.RandomState(16).rand(2, 3, 16, 16).astype(np.float32)
+    ref.eval()
+    with torch.no_grad():
+        y_ref = torch.stack(ref(torch.from_numpy(x)), dim=-1).numpy()
+
+    import tempfile
+    from ssl_tpu.archs import build_network
+    from ssl_tpu.utils.weight_port import load_params_auto
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "ref.pth")
+        torch.save({"params": ref.state_dict()}, path)
+        net = build_network(dict(type="DEResNet", num_feats=(8, 16),
+                                 num_blocks=(1, 1), downscales=(2, 1)))
+        xj = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+        variables = net.init(jax.random.PRNGKey(0), xj)
+        params = load_params_auto(path, "params", variables["params"])
+        assert params is not None
+        out = net.apply({"params": params}, xj)
+    np.testing.assert_allclose(np.asarray(out), y_ref, rtol=1e-4, atol=1e-5)
+
+
+def _converge_sn(ref, x, iters=100):
+    """Run torch train-mode forwards so every spectral_norm u converges
+    (one power iteration per call); eval then uses the converged u."""
+    ref.train()
+    with torch.no_grad():
+        for _ in range(iters):
+            ref(x)
+    ref.eval()
+
+
+def test_hifacegan_forward_parity():
+    arch = ref_module("basicsr.archs.hifacegan_arch")
+    ref = arch.HiFaceGAN(num_in_ch=3, num_feat=4, crop_size=64)
+    g = torch.Generator().manual_seed(10)
+    with torch.no_grad():
+        for p in ref.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.1)
+    x = np.random.RandomState(17).rand(1, 3, 64, 64).astype(np.float32)
+    xt = torch.from_numpy(x)
+    _converge_sn(ref, xt)
+    with torch.no_grad():
+        y_ref = ref(xt).numpy()
+
+    import tempfile
+    from ssl_tpu.archs import build_network
+    from ssl_tpu.utils.weight_port import (hifacegan_sn_stats,
+                                           load_params_auto,
+                                           load_torch_state_dict)
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "ref.pth")
+        torch.save({"params": ref.state_dict()}, path)
+        net = build_network(dict(type="HiFaceGAN", num_feat=4, crop_size=64))
+        xj = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+        variables = net.init(jax.random.PRNGKey(0), xj)
+        params = load_params_auto(path, "params", variables["params"])
+        assert params is not None
+        stats = hifacegan_sn_stats(load_torch_state_dict(path, "params"),
+                                   variables.get("batch_stats", {}))
+        out = net.apply({"params": params, "batch_stats": stats}, xj)
+    got = np.transpose(np.asarray(out), (0, 3, 1, 2))
+    np.testing.assert_allclose(got, y_ref, rtol=5e-3, atol=5e-4)
+
+
+def test_hifacegan_discriminator_parity():
+    arch = ref_module("basicsr.archs.hifacegan_arch")
+    ref = arch.HiFaceGANDiscriminator(num_d=2, n_layers_d=3, num_feat=8)
+    g = torch.Generator().manual_seed(11)
+    with torch.no_grad():
+        for p in ref.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.1)
+    x = np.random.RandomState(18).rand(1, 6, 32, 32).astype(np.float32)
+    xt = torch.from_numpy(x)
+    _converge_sn(ref, xt)
+    with torch.no_grad():
+        y_ref = ref(xt)
+
+    import tempfile
+    from ssl_tpu.archs import build_network
+    from ssl_tpu.utils.weight_port import (hifacegan_disc_sn_stats,
+                                           load_params_auto,
+                                           load_torch_state_dict)
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "ref.pth")
+        torch.save({"params": ref.state_dict()}, path)
+        net = build_network(dict(type="HiFaceGANDiscriminator", num_d=2,
+                                 n_layers_d=3, num_feat=8))
+        xj = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+        variables = net.init(jax.random.PRNGKey(0), xj)
+        params = load_params_auto(path, "params", variables["params"])
+        assert params is not None
+        stats = hifacegan_disc_sn_stats(load_torch_state_dict(path, "params"),
+                                        variables.get("batch_stats", {}))
+        out = net.apply({"params": params, "batch_stats": stats}, xj)
+    for di in range(2):
+        for li, ref_feat in enumerate(y_ref[di]):
+            got = np.transpose(np.asarray(out[di][li]), (0, 3, 1, 2))
+            np.testing.assert_allclose(got, ref_feat.numpy(),
+                                       rtol=5e-3, atol=5e-4)
