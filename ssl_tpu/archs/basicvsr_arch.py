@@ -312,86 +312,190 @@ class IconVSR(nn.Module):
         return jnp.stack(outs, axis=1)[:, :, :4 * h_in, :4 * w_in]
 
 
-class _FlowGuidedDeformAlign(nn.Module):
-    """BasicVSR++ second-order alignment: flow pre-warp + deformable residual
-    offsets (reference basicvsrpp_arch.py SecondOrderDeformableAlignment)."""
-    num_feat: int
-    deform_groups: int = 8
+class SecondOrderDeformableAlignment(nn.Module):
+    """BasicVSR++ second-order flow-guided deformable alignment
+    (basicvsrpp_arch.py:347-408).
+
+    The conv_offset stack consumes cat([cond, flow1, flow2]) and emits 27*dg
+    channels read as interleaved (y,x) per (group, position) for the offsets
+    (torchvision deform_conv2d layout) — groups [0, dg/2) ride flow_1 (they
+    sample the feat_prop half of the input channels), groups [dg/2, dg) ride
+    flow_2 (the feat_n2 half)."""
+    out_channels: int
+    deform_groups: int = 16
+    max_residue_magnitude: float = 10.0
 
     @nn.compact
-    def __call__(self, feat_prop, cond, flow):
+    def __call__(self, x, extra_feat, flow_1, flow_2):
         from ssl_tpu.ops.deform_conv import modulated_deform_conv2d
-        k = 3
-        pred = nn.Conv(self.deform_groups * 3 * k * k, (3, 3), padding="SAME",
-                       kernel_init=nn.initializers.zeros, name="conv_offset")(cond)
-        o1, o2, m = jnp.split(pred, 3, axis=-1)
-        # residual offsets around the optical flow (y,x interleave)
-        base = jnp.stack([flow[..., 1], flow[..., 0]], axis=-1)  # (b,h,w,2) y,x
-        off = jnp.stack([o1, o2], axis=-1)                        # (...,dgk2,2)
-        off = off + base[:, :, :, None, :]
-        offset = off.reshape(pred.shape[:3] + (-1,))
-        mask = jax.nn.sigmoid(m)
+        dg = self.deform_groups
+        oc = self.out_channels
+        y = jnp.concatenate([extra_feat, flow_1, flow_2], axis=-1)
+        y = nn.leaky_relu(nn.Conv(oc, (3, 3), padding="SAME", name="offset_conv0")(y), 0.1)
+        y = nn.leaky_relu(nn.Conv(oc, (3, 3), padding="SAME", name="offset_conv1")(y), 0.1)
+        y = nn.leaky_relu(nn.Conv(oc, (3, 3), padding="SAME", name="offset_conv2")(y), 0.1)
+        raw = nn.Conv(27 * dg, (3, 3), padding="SAME",
+                      kernel_init=nn.initializers.zeros, name="offset_conv3")(y)
+        b, h, w, _ = raw.shape
+        off = self.max_residue_magnitude * jnp.tanh(raw[..., :18 * dg])
+        off = off.reshape(b, h, w, dg, 9, 2)                  # (g, p, y/x)
+        flow1_yx = jnp.stack([flow_1[..., 1], flow_1[..., 0]], axis=-1)
+        flow2_yx = jnp.stack([flow_2[..., 1], flow_2[..., 0]], axis=-1)
+        off = jnp.concatenate([
+            off[:, :, :, :dg // 2] + flow1_yx[:, :, :, None, None, :],
+            off[:, :, :, dg // 2:] + flow2_yx[:, :, :, None, None, :],
+        ], axis=3)
+        offset = off.reshape(b, h, w, dg * 18)
+        mask = jax.nn.sigmoid(raw[..., 18 * dg:])
         weight = self.param("weight", nn.initializers.lecun_normal(),
-                            (k, k, feat_prop.shape[-1], self.num_feat))
-        bias = self.param("bias", nn.initializers.zeros, (self.num_feat,))
-        return modulated_deform_conv2d(feat_prop, offset, mask, weight, bias,
-                                       deform_groups=self.deform_groups)
+                            (3, 3, x.shape[-1], oc))
+        bias = self.param("bias", nn.initializers.zeros, (oc,))
+        return modulated_deform_conv2d(x, offset, mask, weight, bias,
+                                       deform_groups=dg)
 
 
 @ARCH_REGISTRY.register()
 class BasicVSRPlusPlus(nn.Module):
-    """BasicVSR++ (reference basicvsrpp_arch.py), compact: one backward + one
-    forward propagation branch with flow-guided deformable alignment.
-    lqs (b,t,h,w,3) -> (b,t,4h,4w,3)."""
-    num_feat: int = 64
-    num_block: int = 7
-    deform_groups: int = 8
+    """BasicVSR++ (reference basicvsrpp_arch.py:15-344): second-order grid
+    propagation over 4 branches with flow-guided deformable alignment.
+    lqs (b,t,h,w,3) -> (b,t,4h,4w,3) (x4) or same-size if not
+    is_low_res_input."""
+    mid_channels: int = 64
+    num_blocks: int = 7
+    max_residue_magnitude: float = 10.0
+    is_low_res_input: bool = True
+    deform_groups: int = 16
 
     @nn.compact
     def __call__(self, lqs):
         b, t, h, w, c = lqs.shape
-        lrelu = lambda v: nn.leaky_relu(v, 0.1)
+        mid = self.mid_channels
+        if self.is_low_res_input:
+            lqs_down = lqs
+        else:
+            lqs_down = _bicubic_resize_quarter(lqs.reshape(-1, h, w, c)) \
+                .reshape(b, t, h // 4, w // 4, c)
+
+        # spatial features
+        if self.is_low_res_input:
+            feats_ = ConvResidualBlocks(mid, 5, name="feat_extract")(
+                lqs.reshape(-1, h, w, c))
+        else:
+            y = nn.leaky_relu(nn.Conv(mid, (3, 3), strides=(2, 2),
+                                      padding=((1, 1), (1, 1)),
+                                      name="feat_down1")(lqs.reshape(-1, h, w, c)), 0.1)
+            y = nn.leaky_relu(nn.Conv(mid, (3, 3), strides=(2, 2),
+                                      padding=((1, 1), (1, 1)),
+                                      name="feat_down2")(y), 0.1)
+            feats_ = ConvResidualBlocks(mid, 5, name="feat_extract")(y)
+        fh, fw = feats_.shape[1], feats_.shape[2]
+        feats_ = feats_.reshape(b, t, fh, fw, -1)
+        feats = {"spatial": [feats_[:, i] for i in range(t)]}
+
+        # optical flow on the low-res inputs (>= 64px per reference assert)
         spynet = SPyNet(name="spynet")
-        x1 = lqs[:, :-1].reshape(-1, h, w, c)
-        x2 = lqs[:, 1:].reshape(-1, h, w, c)
-        flow_bwd = spynet(x1, x2).reshape(b, t - 1, h, w, 2)
-        flow_fwd = spynet(x2, x1).reshape(b, t - 1, h, w, 2)
+        dh, dw = lqs_down.shape[2], lqs_down.shape[3]
+        x1 = lqs_down[:, :-1].reshape(-1, dh, dw, c)
+        x2 = lqs_down[:, 1:].reshape(-1, dh, dw, c)
+        flows_backward = spynet(x1, x2).reshape(b, t - 1, dh, dw, 2)
+        flows_forward = spynet(x2, x1).reshape(b, t - 1, dh, dw, 2)
 
-        extract = ConvResidualBlocks(self.num_feat, 2, name="extract")
-        feats = [extract(lqs[:, i]) for i in range(t)]
+        # propagation (order: backward_1, forward_1, backward_2, forward_2)
+        for it in (1, 2):
+            for direction in ("backward", "forward"):
+                module = f"{direction}_{it}"
+                feats[module] = []
+                flows = flows_backward if direction == "backward" else flows_forward
+                align = SecondOrderDeformableAlignment(
+                    mid, self.deform_groups, self.max_residue_magnitude,
+                    name=f"deform_align_{module}")
+                backbone = ConvResidualBlocks(mid, self.num_blocks,
+                                              name=f"backbone_{module}")
 
-        align_b = _FlowGuidedDeformAlign(self.num_feat, self.deform_groups, name="align_b")
-        branch_b = ConvResidualBlocks(self.num_feat, self.num_block, name="branch_b")
-        prop_b = []
-        feat = jnp.zeros((b, h, w, self.num_feat))
-        for i in range(t - 1, -1, -1):
-            if i < t - 1:
-                flow = flow_bwd[:, i]
-                cond = jnp.concatenate([flow_warp(feat, flow), feats[i]], axis=-1)
-                feat = align_b(feat, cond, flow)
-            feat = branch_b(jnp.concatenate([lqs[:, i], feat], axis=-1))
-            prop_b.insert(0, feat)
+                frame_idx = list(range(t))
+                flow_idx = list(range(-1, t - 1))
+                mapping_idx = list(range(t)) + list(range(t))[::-1]
+                if direction == "backward":
+                    frame_idx = frame_idx[::-1]
+                    flow_idx = frame_idx
+                feat_prop = jnp.zeros((b, fh, fw, mid))
+                for i, idx in enumerate(frame_idx):
+                    feat_current = feats["spatial"][mapping_idx[idx]]
+                    if i > 0:
+                        flow_n1 = flows[:, flow_idx[i]]
+                        cond_n1 = flow_warp(feat_prop, flow_n1)
+                        feat_n2 = jnp.zeros_like(feat_prop)
+                        flow_n2 = jnp.zeros_like(flow_n1)
+                        cond_n2 = jnp.zeros_like(cond_n1)
+                        if i > 1:
+                            feat_n2 = feats[module][-2]
+                            flow_n2 = flows[:, flow_idx[i - 1]]
+                            flow_n2 = flow_n1 + flow_warp(flow_n2, flow_n1)
+                            cond_n2 = flow_warp(feat_n2, flow_n2)
+                        cond = jnp.concatenate([cond_n1, feat_current, cond_n2],
+                                               axis=-1)
+                        feat_prop = align(
+                            jnp.concatenate([feat_prop, feat_n2], axis=-1),
+                            cond, flow_n1, flow_n2)
+                    feat = ([feat_current]
+                            + [feats[k][idx] for k in feats
+                               if k not in ("spatial", module)]
+                            + [feat_prop])
+                    feat_prop = feat_prop + backbone(jnp.concatenate(feat, axis=-1))
+                    feats[module].append(feat_prop)
+                if direction == "backward":
+                    feats[module] = feats[module][::-1]
 
-        align_f = _FlowGuidedDeformAlign(self.num_feat, self.deform_groups, name="align_f")
-        branch_f = ConvResidualBlocks(self.num_feat, self.num_block, name="branch_f")
-        fuse = nn.Conv(self.num_feat, (1, 1), name="fuse")
-        up1 = nn.Conv(self.num_feat * 4, (3, 3), padding="SAME", name="up1")
-        up2 = nn.Conv(self.num_feat * 4, (3, 3), padding="SAME", name="up2")
-        hr = nn.Conv(self.num_feat, (3, 3), padding="SAME", name="hr")
-        last = nn.Conv(3, (3, 3), padding="SAME", name="last")
-
+        # reconstruction + upsample
+        recon = ConvResidualBlocks(mid, 5, name="reconstruction")
+        upconv1 = nn.Conv(mid * 4, (3, 3), padding="SAME", name="upconv1")
+        upconv2 = nn.Conv(64 * 4, (3, 3), padding="SAME", name="upconv2")
+        conv_hr = nn.Conv(64, (3, 3), padding="SAME", name="conv_hr")
+        conv_last = nn.Conv(3, (3, 3), padding="SAME", name="conv_last")
         outs = []
-        feat = jnp.zeros((b, h, w, self.num_feat))
         for i in range(t):
-            if i > 0:
-                flow = flow_fwd[:, i - 1]
-                cond = jnp.concatenate([flow_warp(feat, flow), feats[i]], axis=-1)
-                feat = align_f(feat, cond, flow)
-            feat = branch_f(jnp.concatenate([lqs[:, i], feat], axis=-1))
-            y = lrelu(fuse(jnp.concatenate([prop_b[i], feat], axis=-1)))
-            y = pixel_shuffle(lrelu(up1(y)), 2)
-            y = pixel_shuffle(lrelu(up2(y)), 2)
-            y = last(lrelu(hr(y)))
-            base = interp_bilinear(lqs[:, i], (4 * h, 4 * w), align_corners=False)
-            outs.append(y + base)
+            hr = [feats["spatial"][i if i < t else 2 * t - 1 - i]]
+            hr += [feats[k][i] for k in feats if k != "spatial"]
+            hr = jnp.concatenate(hr, axis=-1)
+            hr = recon(hr)
+            hr = nn.leaky_relu(pixel_shuffle(upconv1(hr), 2), 0.1)
+            hr = nn.leaky_relu(pixel_shuffle(upconv2(hr), 2), 0.1)
+            hr = nn.leaky_relu(conv_hr(hr), 0.1)
+            hr = conv_last(hr)
+            if self.is_low_res_input:
+                hr = hr + interp_bilinear(lqs[:, i], (4 * h, 4 * w),
+                                          align_corners=False)
+            else:
+                hr = hr + lqs[:, i]
+            outs.append(hr)
         return jnp.stack(outs, axis=1)
+
+
+def _cubic_kernel(x, a=-0.75):
+    """torch bicubic convolution kernel (A=-0.75)."""
+    ax = jnp.abs(x)
+    return jnp.where(
+        ax <= 1, (a + 2) * ax ** 3 - (a + 3) * ax ** 2 + 1,
+        jnp.where(ax < 2, a * ax ** 3 - 5 * a * ax ** 2 + 8 * a * ax - 4 * a, 0.0))
+
+
+def _cubic_matrix(n_out, n_in):
+    """Band matrix for F.interpolate(mode='bicubic', align_corners=False),
+    no antialias (torch default)."""
+    src = (jnp.arange(n_out) + 0.5) * (n_in / n_out) - 0.5
+    i0 = jnp.floor(src).astype(jnp.int32)
+    mat = jnp.zeros((n_out, n_in))
+    rows = jnp.arange(n_out)
+    for k in range(-1, 3):
+        idx = jnp.clip(i0 + k, 0, n_in - 1)
+        wgt = _cubic_kernel(src - (i0 + k).astype(jnp.float32))
+        mat = mat.at[rows, idx].add(wgt)
+    return mat
+
+
+def _bicubic_resize_quarter(x):
+    """F.interpolate(scale_factor=0.25, mode='bicubic') on NHWC."""
+    bb, h, w, c = x.shape
+    ay = _cubic_matrix(h // 4, h)
+    ax = _cubic_matrix(w // 4, w)
+    return jnp.einsum("yh,bhwc,xw->byxc", ay, x, ax)

@@ -645,6 +645,31 @@ def _edvr_feat_extractor_tree(sd: dict, pfx: str) -> dict:
     }
 
 
+def convert_basicvsrpp(sd: dict) -> dict:
+    """Reference BasicVSRPlusPlus keys (basicvsrpp_arch.py:43-96) -> ours.
+    The SecondOrderDeformableAlignment conv_offset output layout is consumed
+    raw on our side (no channel permutation needed)."""
+    params: dict = {"spynet": _spynet_tree(sd, "spynet.")}
+    if "feat_extract.main.0.weight" in sd:
+        params["feat_extract"] = _conv_res_blocks_tree(sd, "feat_extract")
+    else:  # is_low_res_input=False variant: two strided convs first
+        params["feat_down1"] = _convp(sd, "feat_extract.0")
+        params["feat_down2"] = _convp(sd, "feat_extract.2")
+        params["feat_extract"] = _conv_res_blocks_tree(sd, "feat_extract.4")
+    for module in ("backward_1", "forward_1", "backward_2", "forward_2"):
+        da = f"deform_align.{module}"
+        node = {"weight": _conv_w(sd[f"{da}.weight"]),
+                "bias": _to_np(sd[f"{da}.bias"])}
+        for j, idx in enumerate((0, 2, 4, 6)):
+            node[f"offset_conv{j}"] = _convp(sd, f"{da}.conv_offset.{idx}")
+        params[f"deform_align_{module}"] = node
+        params[f"backbone_{module}"] = _conv_res_blocks_tree(sd, f"backbone.{module}")
+    params["reconstruction"] = _conv_res_blocks_tree(sd, "reconstruction")
+    for name in ("upconv1", "upconv2", "conv_hr", "conv_last"):
+        params[name] = _convp(sd, name)
+    return params
+
+
 def convert_iconvsr(sd: dict) -> dict:
     """Reference IconVSR keys (basicvsr_arch.py:133-167) -> our flax tree."""
     params: dict = {"spynet": _spynet_tree(sd, "spynet."),
@@ -1486,6 +1511,8 @@ CONVERTERS = {
              convert_edvr),
     "iconvsr": (lambda sd: "edvr.pcd_align.cas_dcnpack.conv_offset.weight" in sd
                 and "backward_fusion.weight" in sd, convert_iconvsr),
+    "basicvsrpp": (lambda sd: "deform_align.backward_1.conv_offset.0.weight" in sd,
+                   convert_basicvsrpp),
     "stylegan2": (lambda sd: "style_conv1.modulated_conv.weight" in sd,
                   convert_stylegan2),
     "stylegan2_disc": (lambda sd: "conv_body.0.0.weight" in sd

@@ -226,9 +226,24 @@ def install_reference_stubs() -> None:
             tv_vgg.VGG16_Weights = type("VGG16_Weights", (), {"DEFAULT": None})
             tv_models.vgg = tv_vgg
             tv.models = tv_models
+            # torchvision.ops.deform_conv2d (used by basicvsrpp's
+            # SecondOrderDeformableAlignment) shares the mmcv offset layout;
+            # route to the CPU implementation below
+            tv_ops = types.ModuleType("torchvision.ops")
+
+            def _tv_deform_conv2d(input, offset, weight, bias=None, stride=1,
+                                  padding=0, dilation=1, mask=None):
+                kh, kw = weight.shape[-2], weight.shape[-1]
+                dg = offset.shape[1] // (2 * kh * kw)
+                return _mdc_cpu(input, offset, mask, weight, bias, stride,
+                                padding, dilation, 1, dg)
+
+            tv_ops.deform_conv2d = _tv_deform_conv2d
+            tv.ops = tv_ops
             sys.modules["torchvision"] = tv
             sys.modules["torchvision.models"] = tv_models
             sys.modules["torchvision.models.vgg"] = tv_vgg
+            sys.modules["torchvision.ops"] = tv_ops
 
     # ---- diffusion tree (ldm) shells ----
     _shell_package("ldm", f"{REF_DIFF}/ldm")

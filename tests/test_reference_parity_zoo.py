@@ -543,3 +543,42 @@ def test_hifacegan_discriminator_parity():
             got = np.transpose(np.asarray(out[di][li]), (0, 3, 1, 2))
             np.testing.assert_allclose(got, ref_feat.numpy(),
                                        rtol=5e-3, atol=5e-4)
+
+
+def test_basicvsrpp_forward_parity():
+    """BasicVSR++ second-order propagation + flow-guided DCN.  The reference
+    only builds its alignment modules when CUDA is 'available', so
+    is_available is patched for construction; its DCN then runs on the
+    loader's torchvision.ops.deform_conv2d CPU implementation."""
+    arch = ref_module("basicsr.archs.basicvsrpp_arch")
+    orig = torch.cuda.is_available
+    torch.cuda.is_available = lambda: True
+    try:
+        ref = arch.BasicVSRPlusPlus(mid_channels=8, num_blocks=1)
+    finally:
+        torch.cuda.is_available = orig
+    g = torch.Generator().manual_seed(12)
+    with torch.no_grad():
+        for name, p in ref.named_parameters():
+            scale = 0.01 if "conv_offset" in name else 0.05
+            p.copy_(torch.randn(p.shape, generator=g) * scale)
+    x = np.random.RandomState(19).rand(1, 3, 3, 64, 64).astype(np.float32)
+    ref.eval()
+    with torch.no_grad():
+        y_ref = ref(torch.from_numpy(x)).numpy()
+
+    import tempfile
+    from ssl_tpu.archs import build_network
+    from ssl_tpu.utils.weight_port import load_params_auto
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "ref.pth")
+        torch.save({"params": ref.state_dict()}, path)
+        net = build_network(dict(type="BasicVSRPlusPlus", mid_channels=8,
+                                 num_blocks=1))
+        xj = jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2)))
+        variables = net.init(jax.random.PRNGKey(0), xj)
+        params = load_params_auto(path, "params", variables["params"])
+        assert params is not None
+        out = net.apply({"params": params}, xj)
+    got = np.transpose(np.asarray(out), (0, 1, 4, 2, 3))
+    np.testing.assert_allclose(got, y_ref, rtol=1e-3, atol=2e-4)
