@@ -100,7 +100,11 @@ def _per_sample_conv_transpose2(x, w):
 
 
 class ModulatedConv2d(nn.Module):
-    """Style-modulated conv (stylegan2_arch.py:182-285), no bias."""
+    """Style-modulated conv (stylegan2_arch.py:182-285), no bias.
+
+    interpolation_mode 'fir' = the upfirdn resampling of stylegan2_arch.py;
+    'bilinear'/'nearest' = the pre-interpolate + plain conv variant of
+    stylegan2_bilinear_arch.py:73-160 (same param layout)."""
     out_channels: int
     kernel_size: int
     num_style_feat: int
@@ -108,9 +112,11 @@ class ModulatedConv2d(nn.Module):
     sample_mode: str | None = None
     resample_kernel: Sequence[int] = (1, 3, 3, 1)
     eps: float = 1e-8
+    interpolation_mode: str = "fir"
 
     @nn.compact
     def __call__(self, x, style):
+        from ssl_tpu.archs.basicvsr_arch import interp_bilinear
         b, h, w, cin = x.shape
         k = self.kernel_size
         scale = 1.0 / math.sqrt(cin * k * k)
@@ -122,6 +128,12 @@ class ModulatedConv2d(nn.Module):
             demod = jax.lax.rsqrt(jnp.sum(wmod * wmod, axis=(1, 2, 3)) + self.eps)
             wmod = wmod * demod[:, None, None, None, :]
 
+        if self.interpolation_mode != "fir":
+            if self.sample_mode == "upsample":
+                x = interp_bilinear(x, (h * 2, w * 2), align_corners=False)
+            elif self.sample_mode == "downsample":
+                x = interp_bilinear(x, (h // 2, w // 2), align_corners=False)
+            return _per_sample_conv(x, wmod, stride=1, padding=k // 2)
         if self.sample_mode == "upsample":
             out = _per_sample_conv_transpose2(x, wmod)
             out = _upfirdn_smooth(out, self.resample_kernel, 2, 1, k)
@@ -141,12 +153,14 @@ class StyleConv(nn.Module):
     demodulate: bool = True
     sample_mode: str | None = None
     resample_kernel: Sequence[int] = (1, 3, 3, 1)
+    interpolation_mode: str = "fir"
 
     @nn.compact
     def __call__(self, x, style, noise=None):
         out = ModulatedConv2d(self.out_channels, self.kernel_size,
                               self.num_style_feat, self.demodulate,
                               self.sample_mode, self.resample_kernel,
+                              interpolation_mode=self.interpolation_mode,
                               name="modulated_conv")(x, style)
         noise_weight = self.param("noise_weight", nn.initializers.zeros, (1,))
         if noise is None:
@@ -163,15 +177,22 @@ class ToRGB(nn.Module):
     num_style_feat: int
     upsample: bool = True
     resample_kernel: Sequence[int] = (1, 3, 3, 1)
+    interpolation_mode: str = "fir"
 
     @nn.compact
     def __call__(self, x, style, skip=None):
+        from ssl_tpu.archs.basicvsr_arch import interp_bilinear
         out = ModulatedConv2d(3, 1, self.num_style_feat, demodulate=False,
                               name="modulated_conv")(x, style)
         out = out + self.param("bias", nn.initializers.zeros, (3,))
         if skip is not None:
             if self.upsample:
-                skip = _upfirdn_up(skip, self.resample_kernel, 2)
+                if self.interpolation_mode == "fir":
+                    skip = _upfirdn_up(skip, self.resample_kernel, 2)
+                else:
+                    skip = interp_bilinear(
+                        skip, (skip.shape[1] * 2, skip.shape[2] * 2),
+                        align_corners=False)
             out = out + skip
         return out
 
@@ -398,3 +419,96 @@ class StyleGAN2Discriminator(nn.Module):
         out = EqualLinear(ch[4], activation="fused_lrelu",
                           name="final_linear_0")(out)
         return EqualLinear(1, name="final_linear_1")(out)
+
+
+@ARCH_REGISTRY.register()
+class StyleGAN2GeneratorBilinear(nn.Module):
+    """StyleGAN2 generator, bilinear-resampling variant (reference
+    stylegan2_bilinear_arch.py:274-464) — identical param layout to
+    StyleGAN2Generator (convert_stylegan2 covers both)."""
+    out_size: int
+    num_style_feat: int = 512
+    num_mlp: int = 8
+    channel_multiplier: int = 2
+    lr_mlp: float = 0.01
+    narrow: float = 1.0
+    interpolation_mode: str = "bilinear"
+
+    @property
+    def log_size(self):
+        return int(math.log(self.out_size, 2))
+
+    @property
+    def num_layers(self):
+        return (self.log_size - 2) * 2 + 1
+
+    @property
+    def num_latent(self):
+        return self.log_size * 2 - 2
+
+    @nn.compact
+    def __call__(self, styles, input_is_latent=False, noise=None,
+                 randomize_noise=False, truncation=1.0, truncation_latent=None,
+                 inject_index=None, return_latents=False):
+        ch = _sg2_channels(self.channel_multiplier, self.narrow)
+        nsf = self.num_style_feat
+        im = self.interpolation_mode
+
+        def style_mlp(s):
+            s = _norm_style_code(s)
+            for i in range(self.num_mlp):
+                s = EqualLinear(nsf, lr_mul=self.lr_mlp,
+                                activation="fused_lrelu",
+                                name=f"style_mlp_{i}")(s)
+            return s
+
+        if not input_is_latent:
+            styles = [style_mlp(s) for s in styles]
+        stored_noise = [self.param(f"noise{i}", nn.initializers.normal(1.0),
+                                   (1, 2 ** ((i + 5) // 2), 2 ** ((i + 5) // 2), 1))
+                        for i in range(self.num_layers)]
+        if noise is None:
+            noise = [None] * self.num_layers if randomize_noise else stored_noise
+        if truncation < 1:
+            styles = [truncation_latent + truncation * (s - truncation_latent)
+                      for s in styles]
+        if len(styles) == 1:
+            inject_index = self.num_latent
+            if styles[0].ndim < 3:
+                latent = jnp.repeat(styles[0][:, None], inject_index, axis=1)
+            else:
+                latent = styles[0]
+        elif len(styles) == 2:
+            if inject_index is None:
+                inject_index = self.num_latent // 2
+            latent1 = jnp.repeat(styles[0][:, None], inject_index, axis=1)
+            latent2 = jnp.repeat(styles[1][:, None],
+                                 self.num_latent - inject_index, axis=1)
+            latent = jnp.concatenate([latent1, latent2], axis=1)
+
+        const = self.param("constant_input", nn.initializers.normal(1.0),
+                           (1, 4, 4, ch[4]))
+        out = jnp.repeat(const, latent.shape[0], axis=0)
+        out = StyleConv(ch[4], 3, nsf, interpolation_mode=im,
+                        name="style_conv1")(out, latent[:, 0], noise=noise[0])
+        skip = ToRGB(nsf, upsample=False, interpolation_mode=im,
+                     name="to_rgb1")(out, latent[:, 1])
+
+        i = 1
+        for li, res_log in enumerate(range(3, self.log_size + 1)):
+            out_ch = ch[2 ** res_log]
+            out = StyleConv(out_ch, 3, nsf, sample_mode="upsample",
+                            interpolation_mode=im,
+                            name=f"style_convs_{2 * li}")(out, latent[:, i],
+                                                          noise=noise[2 * li + 1])
+            out = StyleConv(out_ch, 3, nsf, sample_mode=None,
+                            interpolation_mode=im,
+                            name=f"style_convs_{2 * li + 1}")(out, latent[:, i + 1],
+                                                              noise=noise[2 * li + 2])
+            skip = ToRGB(nsf, upsample=True, interpolation_mode=im,
+                         name=f"to_rgbs_{li}")(out, latent[:, i + 2], skip)
+            i += 2
+
+        if return_latents:
+            return skip, latent
+        return skip, None

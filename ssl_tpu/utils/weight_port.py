@@ -860,11 +860,32 @@ def convert_hifacegan_disc(sd: dict) -> dict:
     return params
 
 
+def top_singular_pair(a: np.ndarray):
+    """Exact top singular triplet (u, sigma, v) of a (rows, cols) matrix via
+    the smaller Gram eigendecomposition.  Power iteration is NOT enough here:
+    random conv kernels have near-degenerate leading singular values, so
+    iterative estimates disagree across implementations in the 3rd decimal."""
+    a = np.asarray(a, np.float64)
+    if a.shape[0] <= a.shape[1]:
+        w_, vecs = np.linalg.eigh(a @ a.T)
+        u = vecs[:, -1]
+        sigma = float(np.sqrt(max(w_[-1], 0.0)))
+        v = a.T @ u / (sigma + 1e-12)
+    else:
+        w_, vecs = np.linalg.eigh(a.T @ a)
+        v = vecs[:, -1]
+        sigma = float(np.sqrt(max(w_[-1], 0.0)))
+        u = a @ v / (sigma + 1e-12)
+    return u.astype(np.float32), sigma, v.astype(np.float32)
+
+
 def sn_stats_tree(sd: dict, ref_stats, to_torch_key):
     """Recursive version of sn_batch_stats_from_torch for nested SN convs:
     walks the reference batch_stats tree, and at each SpectralNorm_0 node
-    recomputes (u, sigma) by converged numpy power iteration on the torch
-    `<to_torch_key(path)>.weight_orig` tensor."""
+    sets (u, sigma) to the EXACT top singular pair of the torch
+    `<to_torch_key(path)>.weight_orig` tensor (flax matrix convention:
+    HWIO kernel reshaped (-1, out), u (1, out) = the right singular vector
+    — an exact fixed point of flax's power-iteration step)."""
     def walk(node, path):
         if isinstance(node, dict) and "SpectralNorm_0" in node:
             tk = to_torch_key(path)
@@ -872,19 +893,11 @@ def sn_stats_tree(sd: dict, ref_stats, to_torch_key):
             if w is None:
                 return node
             a = _conv_w(w).reshape(-1, w.shape[0])
-            rng = np.random.RandomState(0)
-            u = rng.randn(1, a.shape[1]).astype(np.float32)
-            u /= np.linalg.norm(u) + 1e-12
-            for _ in range(50):
-                v = a @ u.T
-                v /= np.linalg.norm(v) + 1e-12
-                u = (a.T @ v).T
-                u /= np.linalg.norm(u) + 1e-12
-            sigma = float((v.T @ a @ u.T).item())
+            _, sigma, v_right = top_singular_pair(a)
             inner = dict(node["SpectralNorm_0"])
             for k in inner:
                 inner[k] = (np.float32(sigma) if k.endswith("sigma")
-                            else u.astype(np.float32))
+                            else v_right.reshape(1, -1))
             return {"SpectralNorm_0": inner}
         if isinstance(node, dict):
             return {k: walk(v, path + (k,)) for k, v in node.items()}
@@ -909,6 +922,75 @@ def hifacegan_disc_sn_stats(sd: dict, ref_stats) -> dict:
         parts = list(path)
         parts[-1] = re.sub(r"^model(\d+)_conv$", r"model\1.0.0", parts[-1])
         return ".".join(parts)
+    return sn_stats_tree(sd, ref_stats, to_key)
+
+
+def _sn_convp(sd: dict, base: str) -> dict:
+    node: dict = {"kernel": _conv_w(sd[f"{base}.weight_orig"])}
+    if f"{base}.bias" in sd:
+        node["bias"] = _to_np(sd[f"{base}.bias"])
+    return {"Conv_0": node}
+
+
+def convert_dfdnet(sd: dict) -> dict:
+    """Reference DFDNet keys (dfdnet_arch.py:67-103) -> our flax tree."""
+    params: dict = {}
+    vgg: dict = {}
+    pat = re.compile(r"vgg_extractor\.vgg_net\.(conv\d_\d)\.weight")
+    for k in sd:
+        if (m := pat.match(k)):
+            vgg[m.group(1)] = _convp(sd, k[:-len(".weight")])
+    params["vgg_extractor"] = vgg
+    for k in sd:
+        if (m := re.match(r"attn_blocks\.(\w+)_(\d+)\.0\.weight_orig", k)):
+            part, fs = m.group(1), m.group(2)
+            params[f"attn_{part}_{fs}"] = {
+                "conv0": _sn_convp(sd, f"attn_blocks.{part}_{fs}.0"),
+                "conv1": _sn_convp(sd, f"attn_blocks.{part}_{fs}.2")}
+    msd: dict = {"fusion": _sn_convp(sd, "multi_scale_dilation.conv_fusion")}
+    for i in range(4):
+        msd[f"block{i}_conv0"] = _sn_convp(sd, f"multi_scale_dilation.conv_blocks.{i}.0")
+        msd[f"block{i}_conv1"] = _sn_convp(sd, f"multi_scale_dilation.conv_blocks.{i}.2")
+    params["msd"] = msd
+    for k in range(4):
+        p = f"upsample{k}"
+        params[p] = {
+            "conv1": _sn_convp(sd, f"{p}.conv1.1"),
+            "convup": _sn_convp(sd, f"{p}.convup.1"),
+            "scale0": _sn_convp(sd, f"{p}.scale_block.0"),
+            "scale1": _sn_convp(sd, f"{p}.scale_block.2"),
+            "shift0": _sn_convp(sd, f"{p}.shift_block.0"),
+            "shift1": _sn_convp(sd, f"{p}.shift_block.2"),
+        }
+    params["up4_conv0"] = _sn_convp(sd, "upsample4.0")
+    for r in (0, 1):
+        params[f"up4_res{r}_conv0"] = _convp(sd, f"upsample4.{r + 2}.body.0")
+        params[f"up4_res{r}_conv1"] = _convp(sd, f"upsample4.{r + 2}.body.2")
+    params["up4_last"] = _convp(sd, "upsample4.4")
+    return params
+
+
+def dfdnet_sn_stats(sd: dict, ref_stats) -> dict:
+    def to_key(path):
+        parts = list(path)
+        if parts[0].startswith("attn_"):
+            m = re.match(r"attn_(\w+)_(\d+)$", parts[0])
+            idx = {"conv0": 0, "conv1": 2}[parts[1]]
+            return f"attn_blocks.{m.group(1)}_{m.group(2)}.{idx}"
+        if parts[0] == "msd":
+            if parts[1] == "fusion":
+                return "multi_scale_dilation.conv_fusion"
+            m = re.match(r"block(\d)_conv(\d)$", parts[1])
+            return f"multi_scale_dilation.conv_blocks.{m.group(1)}.{int(m.group(2)) * 2}"
+        if parts[0].startswith("upsample"):
+            name = parts[1]
+            if name in ("conv1", "convup"):
+                return f"{parts[0]}.{name}.1"
+            m = re.match(r"(scale|shift)(\d)$", name)
+            return f"{parts[0]}.{m.group(1)}_block.{int(m.group(2)) * 2}"
+        if parts[0] == "up4_conv0":
+            return "upsample4.0"
+        return None
     return sn_stats_tree(sd, ref_stats, to_key)
 
 
@@ -1526,6 +1608,8 @@ CONVERTERS = {
                         convert_spade_generator),
     "hifacegan_disc": (lambda sd: "discriminator_0.model0.0.weight" in sd,
                        convert_hifacegan_disc),
+    "dfdnet": (lambda sd: "multi_scale_dilation.conv_fusion.weight_orig" in sd,
+               convert_dfdnet),
     "ranker": (lambda sd: "conv0_0.weight" in sd and "classifier.0.weight" in sd,
                convert_ranker),
     "spsr": (lambda sd: any(k.startswith("model.1.sub.") for k in sd)

@@ -582,3 +582,109 @@ def test_basicvsrpp_forward_parity():
         out = net.apply({"params": params}, xj)
     got = np.transpose(np.asarray(out), (0, 1, 4, 2, 3))
     np.testing.assert_allclose(got, y_ref, rtol=1e-3, atol=2e-4)
+
+
+def test_stylegan2_bilinear_generator_parity():
+    arch = ref_module("basicsr.archs.stylegan2_bilinear_arch")
+    ref = arch.StyleGAN2GeneratorBilinear(out_size=32, num_style_feat=16,
+                                          num_mlp=2, channel_multiplier=1,
+                                          narrow=0.25)
+    g = torch.Generator().manual_seed(13)
+    with torch.no_grad():
+        for p in ref.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.1)
+    z = np.random.RandomState(20).randn(2, 16).astype(np.float32)
+    ref.eval()
+    with torch.no_grad():
+        y_ref, _ = ref([torch.from_numpy(z)], randomize_noise=False)
+
+    import tempfile
+    from ssl_tpu.archs import build_network
+    from ssl_tpu.utils.weight_port import load_params_auto
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "ref.pth")
+        torch.save({"params": ref.state_dict()}, path)
+        net = build_network(dict(type="StyleGAN2GeneratorBilinear", out_size=32,
+                                 num_style_feat=16, num_mlp=2,
+                                 channel_multiplier=1, narrow=0.25))
+        zj = jnp.asarray(z)
+        variables = net.init(jax.random.PRNGKey(0), [zj])
+        params = load_params_auto(path, "params", variables["params"])
+        assert params is not None
+        out, _ = net.apply({"params": params}, [zj])
+    got = np.transpose(np.asarray(out), (0, 3, 1, 2))
+    np.testing.assert_allclose(got, y_ref.numpy(), rtol=1e-3, atol=1e-4)
+
+
+def test_dfdnet_forward_parity():
+    """DFDNet with a fabricated small facial-component dictionary; the
+    reference runs on the loader's random-weight torchvision vgg19 stub
+    (standard architecture) — weights travel through the converter, so
+    parity is exact regardless of the initialization."""
+    import tempfile
+    td_ctx = tempfile.TemporaryDirectory()
+    td = td_ctx.name
+    # fabricate the dict: {f_size: {part: (N, c, s, s)}}
+    gen = torch.Generator().manual_seed(14)
+    channel_sizes = {256: 128, 128: 256, 64: 512, 32: 512}
+    ref_dict = {str(fs): {part: torch.randn(3, c, 4, 4, generator=gen) * 0.1
+                          for part in ("left_eye", "right_eye", "nose", "mouth")}
+                for fs, c in channel_sizes.items()}
+    dict_path = os.path.join(td, "dict.pth")
+    torch.save(ref_dict, dict_path)
+
+    arch = ref_module("basicsr.archs.dfdnet_arch")
+    # num_feat must be 64: the reference hardcodes the VGG channel widths
+    ref = arch.DFDNet(num_feat=64, dict_path=dict_path)
+    g = torch.Generator().manual_seed(15)
+    with torch.no_grad():
+        for p in ref.parameters():
+            # fan-in scaling keeps activations O(1) through the 20+ layer
+            # stack — a flat scale explodes magnitudes and amplifies benign
+            # fp reassociation into saturated-tanh sign flips
+            fan_in = max(p.numel() // p.shape[0], 1) if p.dim() > 1 else 1
+            p.copy_(torch.randn(p.shape, generator=g) * (0.7 / fan_in ** 0.5))
+
+    # set every torch spectral-norm u/v buffer to the EXACT top singular
+    # vectors (eval-mode torch SN uses the stored buffers; power iteration
+    # does not converge on random kernels with near-degenerate spectra)
+    from ssl_tpu.utils.weight_port import top_singular_pair
+    with torch.no_grad():
+        for _name, mod in ref.named_modules():
+            if not hasattr(mod, "weight_orig"):
+                continue
+            a = mod.weight_orig.detach().reshape(mod.weight_orig.shape[0], -1).numpy()
+            u, _sigma, v = top_singular_pair(a)
+            mod.weight_u.copy_(torch.from_numpy(u))
+            mod.weight_v.copy_(torch.from_numpy(v))
+
+    # 64px input (both sides share the reference's hardcoded 512-scale
+    # location mapping, so parity holds at any input size)
+    x = (np.random.RandomState(21).rand(1, 3, 64, 64) * 2 - 1).astype(np.float32)
+    # all coords < 64 so the crops stay inside the (smaller) feature maps
+    locs = [torch.tensor([[0, 0, 64, 64]]), torch.tensor([[0, 0, 32, 32]]),
+            torch.tensor([[16, 16, 64, 64]]), torch.tensor([[0, 16, 48, 64]])]
+    xt = torch.from_numpy(x)
+    ref.eval()
+    with torch.no_grad():
+        y_ref = ref(xt, locs).numpy()
+
+    from ssl_tpu.archs import build_network
+    from ssl_tpu.archs.dfdnet_arch import load_dfdnet_dict
+    from ssl_tpu.utils.weight_port import (dfdnet_sn_stats, load_params_auto,
+                                           load_torch_state_dict)
+    path = os.path.join(td, "ref.pth")
+    torch.save({"params": ref.state_dict()}, path)
+    net = build_network(dict(type="DFDNet", num_feat=64))
+    dicts = load_dfdnet_dict(dict_path)
+    np_locs = [l.numpy() for l in locs]
+    xj = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    variables = net.init(jax.random.PRNGKey(0), xj, np_locs, dicts)
+    params = load_params_auto(path, "params", variables["params"])
+    assert params is not None
+    stats = dfdnet_sn_stats(load_torch_state_dict(path, "params"),
+                            variables.get("batch_stats", {}))
+    out = net.apply({"params": params, "batch_stats": stats}, xj, np_locs, dicts)
+    got = np.transpose(np.asarray(out), (0, 3, 1, 2))
+    td_ctx.cleanup()
+    np.testing.assert_allclose(got, y_ref, rtol=5e-3, atol=5e-4)
