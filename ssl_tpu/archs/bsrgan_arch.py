@@ -50,7 +50,8 @@ class BSRGANRRDBNet(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return _RRDBTrunkNet(self.in_nc, self.out_nc, self.nf, self.nb, self.gc, self.sf)(x)
+        return _RRDBTrunkNet(self.in_nc, self.out_nc, self.nf, self.nb,
+                             self.gc, self.sf, name="net")(x)
 
 
 @ARCH_REGISTRY.register()
@@ -64,4 +65,5 @@ class RRDBBebyGANNet(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return _RRDBTrunkNet(self.in_nc, self.out_nc, self.nf, self.nb, self.gc, 4)(x)
+        return _RRDBTrunkNet(self.in_nc, self.out_nc, self.nf, self.nb,
+                             self.gc, 4, name="net")(x)

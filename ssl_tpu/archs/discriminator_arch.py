@@ -52,17 +52,21 @@ class VGGStyleDiscriminator(nn.Module):
 
 
 class _SNConv(nn.Module):
-    """Spectral-normalized conv (power-iteration state in batch_stats)."""
+    """Spectral-normalized conv (power-iteration state in batch_stats).
+
+    Padding is the torch convention ((k-1)//2 both sides) — flax 'SAME'
+    differs for even kernels on odd inputs (e.g. the reference's own
+    25x25 UNetDiscriminatorSNv1 demo)."""
     features: int
     kernel: tuple = (3, 3)
     strides: int = 1
-    padding = "SAME"
     use_bias: bool = True
 
     @nn.compact
     def __call__(self, x, update_stats: bool = True):
+        p = (self.kernel[0] - 1) // 2
         conv = nn.Conv(self.features, self.kernel, strides=self.strides,
-                       padding="SAME", use_bias=self.use_bias)
+                       padding=((p, p), (p, p)), use_bias=self.use_bias)
         return nn.SpectralNorm(conv)(x, update_stats=update_stats)
 
 
@@ -126,9 +130,12 @@ class UNetDiscriminatorSNv1(nn.Module):
 class MOD(nn.Module):
     """Mixture-of-discriminators with hard expert routing (reference :39-110).
 
-    Per-pixel features route to one of num_expert linear heads; returns
-    (logits, routing, per-expert features) like the reference (the orthonormal
-    CodeReduction is folded into a learned projection)."""
+    Faithful layout: 7-conv BN feature extractor; softmax routing over
+    feature @ w_gating1; CodeReduction = Linear(c -> c*E) + lrelu, times a
+    learned (1,1,c*E) OrthorTransform weight, + lrelu; the per-expert
+    classifier weights are SHARED (the reference appends the same module E
+    times); hard routing picks the argmax expert per pixel.
+    Returns (logits, routing, parts, ortho_weight) like the reference."""
     num_in_ch: int = 3
     num_feat: int = 64
     num_expert: int = 12
@@ -137,28 +144,39 @@ class MOD(nn.Module):
     def __call__(self, x, train: bool = True):
         import jax
         lrelu = lambda v: nn.leaky_relu(v, 0.2)
-        norm = lambda v: nn.BatchNorm(use_running_average=not train, momentum=0.9)(v)
-        f = lrelu(nn.Conv(self.num_feat, (3, 3), padding="SAME")(x))
-        f = lrelu(norm(nn.Conv(self.num_feat, (4, 4), strides=2, padding=((1, 1), (1, 1)), use_bias=False)(f)))
-        f = lrelu(norm(nn.Conv(self.num_feat * 2, (3, 3), padding="SAME", use_bias=False)(f)))
-        f = lrelu(norm(nn.Conv(self.num_feat * 2, (4, 4), strides=2, padding=((1, 1), (1, 1)), use_bias=False)(f)))
-        for _ in range(3):
-            f = lrelu(norm(nn.Conv(self.num_feat * 4, (3, 3), padding="SAME", use_bias=False)(f)))
+        norm = lambda v, i: nn.BatchNorm(use_running_average=not train,
+                                         momentum=0.9, name=f"fe_bn{i}")(v)
+        nf = self.num_feat
+        f = lrelu(nn.Conv(nf, (3, 3), padding="SAME", name="fe_conv0")(x))
+        f = lrelu(norm(nn.Conv(nf, (4, 4), strides=2, padding=((1, 1), (1, 1)),
+                               use_bias=False, name="fe_conv1")(f), 1))
+        f = lrelu(norm(nn.Conv(nf * 2, (3, 3), padding="SAME", use_bias=False,
+                               name="fe_conv2")(f), 2))
+        f = lrelu(norm(nn.Conv(nf * 2, (4, 4), strides=2, padding=((1, 1), (1, 1)),
+                               use_bias=False, name="fe_conv3")(f), 3))
+        for i in range(3):
+            f = lrelu(norm(nn.Conv(nf * 4, (3, 3), padding="SAME", use_bias=False,
+                                   name=f"fe_conv{4 + i}")(f), 4 + i))
         b, h, w, c = f.shape
         feature = f.reshape(b, h * w, c)
-        w_gate = self.param("w_gating1", nn.initializers.normal(1.0), (c, self.num_expert))
+        w_gate = self.param("w_gating1", nn.initializers.normal(1.0),
+                            (c, self.num_expert))
         routing = jax.nn.softmax(feature @ w_gate, axis=-1)       # (b, hw, E)
-        proj = nn.Dense(c, name="code_reduction")(feature)        # orthonet stand-in
+        # CodeReduction (reference :22-35)
+        body = lrelu(nn.Dense(c * self.num_expert, name="cr_body")(feature))
+        w_trans = self.param("cr_weight", nn.initializers.normal(1.0),
+                             (1, 1, c * self.num_expert))
+        proj = lrelu(body * w_trans)
         parts = jnp.split(proj, self.num_expert, axis=-1)
         top = jnp.argmax(routing, axis=-1)                        # (b, hw)
-        outs = []
-        for i, part in enumerate(parts):
-            y = nn.Dense(self.num_feat // 2, name=f"cls_{i}_fc1")(part)
-            y = nn.leaky_relu(y, 0.2)
-            outs.append(nn.Dense(1, name=f"cls_{i}_fc2")(y))      # (b, hw, 1)
+        # SHARED classifier applied to each expert's slice
+        fc1 = nn.Dense(self.num_feat // 2, name="cls_fc1")
+        fc2 = nn.Dense(1, name="cls_fc2")
+        outs = [fc2(nn.leaky_relu(fc1(p), 0.2)) for p in parts]   # E x (b,hw,1)
         stacked = jnp.stack(outs, axis=-1)                        # (b, hw, 1, E)
         output = jnp.take_along_axis(stacked, top[..., None, None], axis=-1)[..., 0]
-        return output, routing, parts
+        ortho_weight = w_trans.reshape(self.num_expert, -1)
+        return output, routing, parts, ortho_weight
 
 
 @ARCH_REGISTRY.register()

@@ -135,18 +135,46 @@ class RRDBPSNet(nn.Module):
 
 @ARCH_REGISTRY.register()
 class RRDBMeanNet(nn.Module):
-    """RRDBNet variant that adds the bicubic-upsampled input mean path
-    (reference rrdbnet_arch.py:196-258)."""
+    """RRDBNet variant with DIV2K mean-shift in/out wrappers
+    (reference rrdbnet_arch.py:197-258): (x-mean)*range -> RRDBNet body/tail
+    -> /range + mean.  Identical state-dict layout to RRDBNet, so
+    convert_rrdbnet covers it."""
     num_in_ch: int = 3
     num_out_ch: int = 3
     scale: int = 4
     num_feat: int = 64
     num_block: int = 23
     num_grow_ch: int = 32
+    scan_blocks: bool = True
+    img_range: float = 255.0
+    rgb_mean: tuple = (0.4488, 0.4371, 0.4040)
 
     @nn.compact
     def __call__(self, x):
-        base = resize_nearest(x, self.scale)
-        out = RRDBNet(self.num_in_ch, self.num_out_ch, self.scale, self.num_feat,
-                      self.num_block, self.num_grow_ch)(x)
-        return out + base
+        lrelu = lambda v: nn.leaky_relu(v, 0.2)
+        mean = jnp.asarray(self.rgb_mean)
+        x = (x - mean) * self.img_range
+        if self.scale == 2:
+            feat = pixel_unshuffle(x, 2)
+        elif self.scale == 1:
+            feat = pixel_unshuffle(x, 4)
+        else:
+            feat = x
+        feat = nn.Conv(self.num_feat, (3, 3), padding="SAME", name="conv_first")(feat)
+        if self.scan_blocks:
+            ScanRRDB = nn.scan(
+                nn.remat(_RRDBScanCell), variable_axes={"params": 0},
+                split_rngs={"params": True}, length=self.num_block,
+                metadata_params={nn.meta.PARTITION_NAME: None})
+            body, _ = ScanRRDB(self.num_feat, self.num_grow_ch, name="body")(feat, None)
+        else:
+            body = feat
+            for i in range(self.num_block):
+                body = RRDB(self.num_feat, self.num_grow_ch, name=f"body_{i}")(body)
+        body = nn.Conv(self.num_feat, (3, 3), padding="SAME", name="conv_body")(body)
+        feat = feat + body
+        feat = lrelu(nn.Conv(self.num_feat, (3, 3), padding="SAME", name="conv_up1")(resize_nearest(feat, 2)))
+        feat = lrelu(nn.Conv(self.num_feat, (3, 3), padding="SAME", name="conv_up2")(resize_nearest(feat, 2)))
+        out = nn.Conv(self.num_out_ch, (3, 3), padding="SAME", name="conv_last")(
+            lrelu(nn.Conv(self.num_feat, (3, 3), padding="SAME", name="conv_hr")(feat)))
+        return out / self.img_range + mean

@@ -40,6 +40,8 @@ class SPSRNet(nn.Module):
     out_nc: int = 3
     nf: int = 64
     nb: int = 23
+    # NOTE: the reference hardcodes gc=32 in every RRDB (spsr_arch.py:301,
+    # 328-340,365) — its `gc` ctor arg is dead; field kept for config compat
     gc: int = 32
     upscale: int = 4
 
@@ -53,7 +55,7 @@ class SPSRNet(nn.Module):
         taps = {}
         h = feat
         for i in range(self.nb):
-            h = RRDB(self.nf, self.gc, name=f"rb_{i}")(h)
+            h = RRDB(self.nf, 32, name=f"rb_{i}")(h)
             if i + 1 in (5, 10, 15, 20):
                 taps[i + 1] = h
         h = nn.Conv(self.nf, (3, 3), padding="SAME", name="LR_conv")(h)
@@ -68,7 +70,7 @@ class SPSRNet(nn.Module):
         cat = b
         for k, tap_i in enumerate((5, 10, 15, 20), start=1):
             cat = jnp.concatenate([cat, taps[tap_i]], axis=-1)
-            cat = RRDB(self.nf * 2, self.gc, name=f"b_block_{k}")(cat)
+            cat = RRDB(self.nf * 2, 32, name=f"b_block_{k}")(cat)
             cat = nn.Conv(self.nf, (3, 3), padding="SAME", name=f"b_concat_{k}")(cat)
         cat = nn.Conv(self.nf, (3, 3), padding="SAME", name="b_LR_conv")(cat)
         cat = cat + b
@@ -80,7 +82,7 @@ class SPSRNet(nn.Module):
 
         # fusion
         f = jnp.concatenate([x_branch, h], axis=-1)
-        f = RRDB(self.nf * 2, self.gc, name="f_block")(f)
+        f = RRDB(self.nf * 2, 32, name="f_block")(f)
         f = nn.Conv(self.nf, (3, 3), padding="SAME", name="f_concat")(f)
         f = nn.leaky_relu(nn.Conv(self.nf, (3, 3), padding="SAME", name="f_HR_conv0")(f), 0.2)
         x_out = nn.Conv(self.out_nc, (3, 3), padding="SAME", name="f_HR_conv1")(f)

@@ -102,7 +102,10 @@ def _dense(sd: dict, key: str) -> dict:
 
 
 def _convp(sd: dict, key: str) -> dict:
-    return {"kernel": _conv_w(sd[f"{key}.weight"]), "bias": _to_np(sd[f"{key}.bias"])}
+    node = {"kernel": _conv_w(sd[f"{key}.weight"])}
+    if f"{key}.bias" in sd:
+        node["bias"] = _to_np(sd[f"{key}.bias"])
+    return node
 
 
 def _swin_block_tree(sd: dict, pfx: str) -> dict:
@@ -760,6 +763,95 @@ def convert_stylegan2_disc(sd: dict) -> dict:
     return params
 
 
+def convert_bsrgan_rrdbnet(sd: dict) -> dict:
+    """Reference BSRGANRRDBNet / RRDBBebyGANNet keys (bsrgan_arch.py:74-103,
+    rrdbbebygan_arch.py:55-80: conv_first / RRDB_trunk.{i}.RDB{j}.conv{k} /
+    trunk_conv / upconv1-2 / HRconv / conv_last) -> our net/body_{i} tree."""
+    net: dict = {}
+    for name in ("conv_first", "trunk_conv", "upconv1", "upconv2", "HRconv",
+                 "conv_last"):
+        if f"{name}.weight" in sd:
+            net[name] = _convp(sd, name)
+    pat = re.compile(r"RRDB_trunk\.(\d+)\.RDB(\d)\.conv(\d)\.weight")
+    for k in sd:
+        if (m := pat.match(k)):
+            i, j, kk = int(m.group(1)), int(m.group(2)), int(m.group(3))
+            net.setdefault(f"body_{i}", {}) \
+               .setdefault(f"ResidualDenseBlock_{j - 1}", {})[f"Conv3x3_{kk - 1}"] = {
+                "Conv_0": _convp(sd, f"RRDB_trunk.{i}.RDB{j}.conv{kk}")}
+    return {"net": net}
+
+
+def convert_ranksrgan_g(sd: dict) -> dict:
+    """Reference RankSRGANSRResNet keys (ranksrgan_arch.py:55-107:
+    conv_first / recon_trunk.{i}.conv1-2 / LRconv / upconv1-2 / HRconv /
+    conv_last) -> our trunk_{i}/Conv3x3_{j}/Conv_0 tree."""
+    params: dict = {}
+    for name in ("conv_first", "LRconv", "upconv1", "upconv2", "HRconv",
+                 "conv_last"):
+        if f"{name}.weight" in sd:
+            params[name] = _convp(sd, name)
+    pat = re.compile(r"recon_trunk\.(\d+)\.conv(\d)\.weight")
+    for k in sd:
+        if (m := pat.match(k)):
+            i, j = int(m.group(1)), int(m.group(2))
+            params.setdefault(f"trunk_{i}", {})[f"Conv3x3_{j - 1}"] = {
+                "Conv_0": _convp(sd, f"recon_trunk.{i}.conv{j}")}
+    return params
+
+
+def convert_rrdbps(sd: dict) -> dict:
+    """Reference RRDBPSNet keys (rrdbnet_arch.py:144-195): like RRDBNet but
+    with a pixel-shuffle Upsample tail (upsample.{0,2})."""
+    params: dict = {}
+    for name in ("conv_first", "conv_body", "conv_hr", "conv_last"):
+        params[name] = _convp(sd, name)
+    pat = re.compile(r"body\.(\d+)\.rdb(\d)\.conv(\d)\.weight")
+    for k in sd:
+        if (m := pat.match(k)):
+            i, j, kk = int(m.group(1)), int(m.group(2)), int(m.group(3))
+            params.setdefault(f"body_{i}", {}) \
+                  .setdefault(f"ResidualDenseBlock_{j - 1}", {})[f"Conv3x3_{kk - 1}"] = {
+                "Conv_0": _convp(sd, f"body.{i}.rdb{j}.conv{kk}")}
+    params["upsample"] = _upsample_tree(sd)
+    return params
+
+
+_MOD_FE = [(0, "fe_conv0", None), (2, "fe_conv1", 3), (5, "fe_conv2", 6),
+           (8, "fe_conv3", 9), (11, "fe_conv4", 12), (14, "fe_conv5", 15),
+           (17, "fe_conv6", 18)]
+
+
+def convert_mod(sd: dict) -> dict:
+    """Reference MOD keys (discriminator_arch.py:39-110: FE Sequential,
+    w_gating1, shared classifier, orthonet CodeReduction) -> ours.  The
+    duplicated classifiers.{i}.* entries alias the shared module (skipped)."""
+    params: dict = {}
+    for ci, name, bi in _MOD_FE:
+        params[name] = _convp(sd, f"FE.{ci}")
+        if bi is not None:
+            params[f"fe_bn{_MOD_FE.index((ci, name, bi))}"] = {
+                "scale": _to_np(sd[f"FE.{bi}.weight"]),
+                "bias": _to_np(sd[f"FE.{bi}.bias"])}
+    params["w_gating1"] = _to_np(sd["w_gating1"])
+    params["cls_fc1"] = _dense(sd, "classifier.0")
+    params["cls_fc2"] = _dense(sd, "classifier.2")
+    params["cr_body"] = _dense(sd, "orthonet.body.0")
+    params["cr_weight"] = _to_np(sd["orthonet.trans.weight"])
+    return params
+
+
+def mod_batch_stats(sd: dict, ref_batch_stats: dict) -> dict:
+    stats: dict = {}
+    for ci, name, bi in _MOD_FE:
+        if bi is not None:
+            stats[f"fe_bn{_MOD_FE.index((ci, name, bi))}"] = {
+                "mean": _to_np(sd[f"FE.{bi}.running_mean"]),
+                "var": _to_np(sd[f"FE.{bi}.running_var"])}
+    del ref_batch_stats
+    return stats
+
+
 def convert_deresnet(sd: dict) -> dict:
     """Reference DEResNet keys (degradat_arch.py:37-78) -> our flax tree."""
     params: dict = {}
@@ -1382,18 +1474,11 @@ def sn_batch_stats_from_torch(sd: dict, ref_batch_stats: dict) -> dict:
             out[name] = node
             continue
         a = _conv_w(w).reshape(-1, w.shape[0])  # (h*w*in, out)
-        rng = np.random.RandomState(0)
-        u = rng.randn(1, a.shape[1]).astype(np.float32)
-        u /= np.linalg.norm(u) + 1e-12
-        for _ in range(50):
-            v = a @ u.T
-            v /= np.linalg.norm(v) + 1e-12
-            u = (a.T @ v).T
-            u /= np.linalg.norm(u) + 1e-12
-        sigma = float((v.T @ a @ u.T).item())
+        _, sigma, v_right = top_singular_pair(a)
         inner = dict(node["SpectralNorm_0"])
         for k in inner:
-            inner[k] = np.float32(sigma) if k.endswith("sigma") else u.astype(np.float32)
+            inner[k] = (np.float32(sigma) if k.endswith("sigma")
+                        else v_right.reshape(1, -1))
         out[name] = {"SpectralNorm_0": inner}
     return out
 
@@ -1567,6 +1652,8 @@ CONVERTERS = {
     "swinir": (lambda sd: any(".residual_group.blocks." in k for k in sd), convert_swinir),
     "unet_disc_sn": (lambda sd: "conv9.weight" in sd and "conv1.weight_orig" in sd,
                      lambda sd: convert_unet_disc_sn(sd)),
+    "unet_disc_snv1": (lambda sd: "conv4.weight" in sd and "conv1.weight_orig" in sd
+                       and "conv9.weight" not in sd, convert_unet_disc_sn),
     "vgg_style_disc": (lambda sd: "conv0_0.weight" in sd and "linear1.weight" in sd,
                        convert_vgg_style_disc),
     "vgg296_disc": (lambda sd: "conv0_0.weight" in sd and "linear1.weight" in sd,
@@ -1610,12 +1697,22 @@ CONVERTERS = {
                        convert_hifacegan_disc),
     "dfdnet": (lambda sd: "multi_scale_dilation.conv_fusion.weight_orig" in sd,
                convert_dfdnet),
+    "bsrgan_rrdbnet": (lambda sd: any(k.startswith("RRDB_trunk.") for k in sd),
+                       convert_bsrgan_rrdbnet),
+    "ranksrgan_g": (lambda sd: "recon_trunk.0.conv1.weight" in sd
+                    and "LRconv.weight" in sd, convert_ranksrgan_g),
+    "rrdbps": (lambda sd: "body.0.rdb1.conv1.weight" in sd
+               and "upsample.0.weight" in sd, convert_rrdbps),
+    "mod": (lambda sd: "w_gating1" in sd and "orthonet.trans.weight" in sd,
+            convert_mod),
     "ranker": (lambda sd: "conv0_0.weight" in sd and "classifier.0.weight" in sd,
                convert_ranker),
     "spsr": (lambda sd: any(k.startswith("model.1.sub.") for k in sd)
-             and "b_fea_conv.weight" in sd, convert_spsr),
+             and ("b_fea_conv.weight" in sd or "b_fea_conv.0.weight" in sd),
+             convert_spsr),
     "old_rrdbnet": (lambda sd: any(k.startswith("model.1.sub.") for k in sd)
-                    and "b_fea_conv.weight" not in sd, convert_old_rrdbnet),
+                    and "b_fea_conv.weight" not in sd
+                    and "b_fea_conv.0.weight" not in sd, convert_old_rrdbnet),
     "elan": (lambda sd: any(".modules_gmsa." in k for k in sd), convert_elan),
     "ldm_vae": (lambda sd: any(k.endswith("decoder.mid.attn_1.q.weight") for k in sd),
                 convert_ldm_vae),

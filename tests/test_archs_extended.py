@@ -121,10 +121,11 @@ def test_mod_and_snv1_discriminators():
     assert out.shape == (1, 25, 25, 1)
     net = build_network(dict(type="MOD", num_feat=8, num_expert=4))
     v = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
-    (logits, routing, parts), _ = net.apply(v, jnp.zeros((1, 32, 32, 3)),
-                                            mutable=["batch_stats"])
+    (logits, routing, parts, ortho_w), _ = net.apply(
+        v, jnp.zeros((1, 32, 32, 3)), mutable=["batch_stats"])
     assert logits.shape == (1, 64, 1)
     assert routing.shape == (1, 64, 4)
+    assert ortho_w.shape[0] == 4
 
 
 @pytest.mark.parametrize("cfg", [
