@@ -51,6 +51,68 @@ def ddim_sample(apply_model: Callable, sched: DiffusionSchedule, shape,
     return x
 
 
+def plms_sample(apply_model: Callable, sched: DiffusionSchedule, shape,
+                rng, context, z_lq, steps: int = 50,
+                parameterization: str = "eps"):
+    """PLMS (pseudo linear multistep, PNDM) sampling — reference
+    ldm/models/diffusion/plms.py:173-235: Adams-Bashforth on the eps
+    predictions (orders 2..4 as history accumulates), deterministic
+    (the reference asserts ddim_eta == 0 for PLMS); first step is the
+    pseudo improved Euler with a second model evaluation."""
+    assert steps >= 2, "PLMS needs at least 2 steps"
+    timesteps = np.asarray(space_timesteps(sched.num_timesteps, steps), np.int32)
+    t_seq = jnp.asarray(timesteps[::-1].copy())
+    t_prev_seq = jnp.asarray(np.concatenate([timesteps[::-1][1:], [-1]]).astype(np.int32))
+    ac = sched.alphas_cumprod
+
+    def eps_of(x, t):
+        b = x.shape[0]
+        tb = jnp.full((b,), t, jnp.int32)
+        out = apply_model(x, tb, context, z_lq)
+        if parameterization == "v":
+            a_t = ac[t]
+            x0 = jnp.sqrt(a_t) * x - jnp.sqrt(1 - a_t) * out
+            out = (x - jnp.sqrt(a_t) * x0) / jnp.sqrt(1 - a_t)
+        return out
+
+    def x_prev_of(x, e, t, t_prev):
+        a_t = ac[t]
+        a_prev = jnp.where(t_prev >= 0, ac[jnp.maximum(t_prev, 0)], 1.0)
+        x0 = (x - jnp.sqrt(1 - a_t) * e) / jnp.sqrt(a_t)
+        return jnp.sqrt(a_prev) * x0 + jnp.sqrt(1 - a_prev) * e
+
+    rng, r0 = jax.random.split(rng)
+    x = jax.random.normal(r0, shape)
+
+    # step 0: pseudo improved Euler (two model evals)
+    t0, t1 = t_seq[0], t_prev_seq[0]
+    e0 = eps_of(x, t0)
+    x_euler = x_prev_of(x, e0, t0, t1)
+    e_next = eps_of(x_euler, t1)
+    x = x_prev_of(x, (e0 + e_next) / 2.0, t0, t1)
+    buf = jnp.stack([e0, e0, e0])                      # newest-first history
+
+    def body(carry, inp):
+        x, buf = carry
+        i, t, t_prev = inp
+        e_t = eps_of(x, t)
+        branches = [
+            lambda: (3 * e_t - buf[0]) / 2,
+            lambda: (23 * e_t - 16 * buf[0] + 5 * buf[1]) / 12,
+            lambda: (55 * e_t - 59 * buf[0] + 37 * buf[1] - 9 * buf[2]) / 24,
+        ]
+        e_prime = jax.lax.switch(jnp.minimum(i - 1, 2), branches)
+        x_new = x_prev_of(x, e_prime, t, t_prev)
+        buf = jnp.stack([e_t, buf[0], buf[1]])
+        return (x_new, buf), None
+
+    n = len(timesteps)
+    idxs = jnp.arange(1, n)
+    (x, _), _ = jax.lax.scan(body, (x, buf),
+                             (idxs, t_seq[1:], t_prev_seq[1:]))
+    return x
+
+
 def spaced_ddpm_sample(apply_model: Callable, sched: DiffusionSchedule, shape,
                        rng, context, z_lq, steps: int = 200):
     """Spaced ancestral DDPM sampling (reference test.py uses ddpm_steps=200)."""

@@ -29,13 +29,19 @@ def main():
                              "save_cfw_params); decodes with LQ-feature fusion "
                              "like reference test.py's separate VQGAN ckpt")
     parser.add_argument("--tile_latent", type=int, default=0, help="latent tile size (0=off)")
+    parser.add_argument("--sampler", choices=["ddpm", "ddim", "plms"],
+                        default="ddpm",
+                        help="spaced ancestral DDPM (reference test.py "
+                             "default), DDIM (eta 0), or PLMS "
+                             "(reference ldm/models/diffusion/plms.py)")
     args = parser.parse_args()
 
     import cv2
     import jax
     import jax.numpy as jnp
     from ssl_tpu.diffusion.main import build_from_config
-    from ssl_tpu.diffusion.sampler import spaced_ddpm_sample, tiled_sample
+    from ssl_tpu.diffusion.sampler import (ddim_sample, plms_sample,
+                                           spaced_ddpm_sample, tiled_sample)
     from ssl_tpu.diffusion.color_fix import adain_color_fix, wavelet_color_fix
     from ssl_tpu.utils.img_util import array2img, img2array, imread, imwrite
 
@@ -78,8 +84,12 @@ def main():
                                (1,) + infer_p["null_context"].shape)
 
         def sample_tile(z_tile):
-            return spaced_ddpm_sample(apply_fn, model.sched, z_tile.shape,
-                                      r_samp, ctx, z_tile, steps=args.ddpm_steps)
+            kw = dict(rng=r_samp, context=ctx, z_lq=z_tile, steps=args.ddpm_steps)
+            if args.sampler == "ddim":
+                return ddim_sample(apply_fn, model.sched, z_tile.shape, **kw)
+            if args.sampler == "plms":
+                return plms_sample(apply_fn, model.sched, z_tile.shape, **kw)
+            return spaced_ddpm_sample(apply_fn, model.sched, z_tile.shape, **kw)
 
         if args.tile_latent and (z_lq.shape[1] > args.tile_latent or
                                  z_lq.shape[2] > args.tile_latent):

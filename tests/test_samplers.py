@@ -40,3 +40,25 @@ def test_tiled_sample_blending():
 
     out = tiled_sample(sample_fn, z_lq, tile=8, overlap=4)
     np.testing.assert_allclose(np.asarray(out), np.asarray(z_lq) * 2.0, rtol=1e-5)
+
+
+def test_plms_matches_ddim_ode_limit():
+    """PLMS (4th-order multistep on eps) and DDIM (1st order) integrate the
+    same probability-flow ODE: PLMS at 30 steps should land near DDIM at 400
+    steps, and much nearer than DDIM at 30 steps is to its own limit."""
+    from ssl_tpu.diffusion.sampler import plms_sample
+    sched = build_schedule_arrays(make_beta_schedule("linear", 1000))
+    rng = jax.random.PRNGKey(1)
+    z_lq = jnp.asarray(np.random.RandomState(3).rand(1, 6, 6, 4), np.float32)
+
+    ref = np.asarray(ddim_sample(_fake_model, sched, (1, 6, 6, 4), rng, None,
+                                 z_lq, steps=400))
+    plms = np.asarray(plms_sample(_fake_model, sched, (1, 6, 6, 4), rng, None,
+                                  z_lq, steps=30))
+    ddim30 = np.asarray(ddim_sample(_fake_model, sched, (1, 6, 6, 4), rng,
+                                    None, z_lq, steps=30))
+    assert np.isfinite(plms).all()
+    err_plms = np.abs(plms - ref).max()
+    err_ddim30 = np.abs(ddim30 - ref).max()
+    assert err_plms < err_ddim30, (err_plms, err_ddim30)
+    assert err_plms < 0.05 * np.abs(ref).max() + 1e-3
