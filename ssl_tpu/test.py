@@ -16,7 +16,10 @@ from ssl_tpu.utils.options import dict2str, parse_options
 
 
 def test_pipeline(root_path: str, args=None):
-    opt, _ = parse_options(root_path, is_train=False, args=args)
+    opt, parsed = parse_options(root_path, is_train=False, args=args)
+    if getattr(parsed, "launcher", "none") == "jax":
+        import jax
+        jax.distributed.initialize()
 
     os.makedirs(opt["path"]["results_root"], exist_ok=True)
     log_file = os.path.join(opt["path"]["log"], f"test_{opt['name']}_{int(time.time())}.log")

@@ -73,7 +73,7 @@ def train_pipeline(root_path: str, args=None):
     from ssl_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()
     opt, parsed = parse_options(root_path, is_train=True, args=args)
-    if opt.get("num_processes", 1) > 1:
+    if getattr(parsed, "launcher", "none") == "jax" or opt.get("num_processes", 1) > 1:
         jax.distributed.initialize()
 
     seed = opt["manual_seed"] + jax.process_index()

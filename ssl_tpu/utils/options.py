@@ -55,6 +55,10 @@ def parse_options(root_path: str, is_train: bool = True, args=None) -> tuple[dic
     parser.add_argument("--debug", action="store_true")
     parser.add_argument("--force_yml", nargs="+", default=None,
                         help="Override yaml options, e.g. train:total_iter=100")
+    parser.add_argument("--launcher", choices=["none", "jax"], default="none",
+                        help="'jax' forces jax.distributed.initialize() for "
+                             "multi-host TPU pods (reference surface: "
+                             "--launcher pytorch/slurm)")
     parsed = parser.parse_args(args)
 
     opt = ordered_yaml_load(parsed.opt)
