@@ -319,8 +319,9 @@ def test_diffusion_ema_tracks_params():
     batch = {"gt": jnp.asarray(rng.rand(1, 32, 32, 3), jnp.float32),
              "lq": jnp.asarray(rng.rand(1, 32, 32, 3), jnp.float32),
              "gt_mask": jnp.asarray(rng.rand(1, 32, 32, 1) < 0.2, jnp.float32)}
+    # snapshot BEFORE the step: train_step donates the input state
+    p0 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
     new_state, logs = model.train_step(state, batch)
-    p0 = jax.tree_util.tree_leaves(state.params)[0]
     e1 = jax.tree_util.tree_leaves(new_state.ema_params)[0]
     p1 = jax.tree_util.tree_leaves(new_state.params)[0]
     # step 0: decay = min(0.9999, 1/10) = 0.1 -> ema ≈ 0.1*old + 0.9*new
