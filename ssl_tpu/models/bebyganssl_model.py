@@ -38,3 +38,11 @@ class BebyGANSSLModel(ESRGANSSLModel):
             total += l_bp
             logs["l_g_bp"] = l_bp
         return total, logs, sr
+
+
+@MODEL_REGISTRY.register()
+class BebyGANModel(BebyGANSSLModel):
+    """Plain BebyGAN (reference bebygan_model.py:15): the SSL-less original —
+    BBL pixel term + back-projection + perceptual + GAN.  Identical recipe
+    with the SSL terms disabled (use_ssl is False when no ssl_setting is
+    configured)."""

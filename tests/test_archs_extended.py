@@ -243,3 +243,19 @@ def test_spsr_branch_pretrain_and_net_d_gating():
     assert all(np.allclose(a, b) for a, b in zip(g0, g1)), "G gated off"
     d1 = jax.tree_util.tree_leaves(s1.params_d)
     assert any(not np.allclose(a, b) for a, b in zip(d0, d1)), "D must train"
+
+
+def test_bebygan_plain_model_step():
+    """Reference bebygan_model.py (SSL-less original): same recipe with
+    use_ssl off when no ssl_setting is configured."""
+    opt = _base_ssl_opt("BebyGANModel", dict(type="RRDBBebyGANNet", nf=8, nb=1, gc=4))
+    del opt["ssl_setting"]
+    opt["train"].pop("selfsim_opt")
+    opt["train"].pop("selfsim1_opt")
+    opt["train"]["bbl_opt"] = {"loss_weight": 1.0}
+    model = build_model(opt)
+    assert not model.use_ssl
+    state = model.init_state(lq_shape=(1, 8, 8, 3))
+    state, logs = model.train_step(state, _batch())
+    assert np.isfinite(float(logs["l_g_bbl"]))
+    assert "l_selfsim" not in logs
