@@ -157,3 +157,97 @@ class TwoStageDegradationImgMaskDataset(BaseDataset):
         k1, k2, sinc = self.synth.sample()
         return {"gt": img_gt, "gt_mask": mask, "kernel1": k1, "kernel2": k2,
                 "sinc_kernel": sinc, "gt_path": gt_path}
+
+
+@DATASET_REGISTRY.register()
+class FFHQDegradationDataset(BaseDataset):
+    """FFHQ with on-the-fly GFPGAN-style degradation (reference
+    ffhq_degradation_dataset.py:18-243): mixed blur kernel, random
+    downsample, gaussian noise, JPEG, resize back, optional color
+    jitter / grayscale, mean/std normalization, optional facial-component
+    boxes from a precomputed components file."""
+
+    def __init__(self, opt: dict):
+        self.opt = opt
+        self.paths = paths_from_folder(opt["dataroot_gt"])
+        self.mean = np.asarray(opt.get("mean", (0.5, 0.5, 0.5)), np.float32)
+        self.std = np.asarray(opt.get("std", (0.5, 0.5, 0.5)), np.float32)
+        self.out_size = opt.get("out_size", 512)
+        self.kernel_list = opt.get("kernel_list", ("iso", "aniso"))
+        self.kernel_prob = opt.get("kernel_prob", (0.5, 0.5))
+        self.blur_kernel_size = opt.get("blur_kernel_size", 41)
+        self.blur_sigma = opt.get("blur_sigma", (0.1, 10))
+        self.downsample_range = opt.get("downsample_range", (0.8, 8))
+        self.noise_range = opt.get("noise_range", (0, 20))
+        self.jpeg_range = opt.get("jpeg_range", (60, 100))
+        self.color_jitter_prob = opt.get("color_jitter_prob")
+        self.color_jitter_shift = opt.get("color_jitter_shift", 20) / 255.0
+        self.gray_prob = opt.get("gray_prob")
+        self.crop_components = opt.get("crop_components", False)
+        self.eye_enlarge_ratio = opt.get("eye_enlarge_ratio", 1)
+        if self.crop_components:
+            import torch
+            self.components_list = torch.load(opt["component_path"],
+                                              map_location="cpu")
+
+    def _component_coords(self, index, hflipped):
+        comp = {k: np.asarray(v, np.float32).copy()
+                for k, v in self.components_list[f"{index:08d}"].items()}
+        if hflipped:
+            comp["left_eye"], comp["right_eye"] = comp["right_eye"], comp["left_eye"]
+            for part in ("left_eye", "right_eye", "mouth"):
+                comp[part][0] = self.out_size - comp[part][0]
+        locs = []
+        for part in ("left_eye", "right_eye", "mouth"):
+            mean = comp[part][0:2]
+            half = comp[part][2] * (self.eye_enlarge_ratio if "eye" in part else 1)
+            locs.append(np.hstack([mean - half + 1, mean + half]).astype(np.float32))
+        return locs
+
+    def __getitem__(self, index):
+        import cv2
+        from ssl_tpu.data.degradations import (add_jpg_compression_np,
+                                               random_mixed_kernels)
+        img_gt = img2array(imread(self.paths[index]))
+        hflipped = self.opt.get("use_hflip", True) and random.random() < 0.5
+        if hflipped:
+            img_gt = img_gt[:, ::-1].copy()
+        h, w = img_gt.shape[:2]
+
+        kernel = random_mixed_kernels(self.kernel_list, self.kernel_prob,
+                                      self.blur_kernel_size, self.blur_sigma,
+                                      self.blur_sigma,
+                                      (-np.pi, np.pi), noise_range=None)
+        img_lq = cv2.filter2D(img_gt, -1, kernel)
+        scale = np.random.uniform(*self.downsample_range)
+        img_lq = cv2.resize(img_lq, (int(w // scale), int(h // scale)),
+                            interpolation=cv2.INTER_LINEAR)
+        if self.noise_range is not None:
+            sigma = np.random.uniform(*self.noise_range) / 255.0
+            img_lq = img_lq + np.random.randn(*img_lq.shape).astype(np.float32) * sigma
+            img_lq = np.clip(img_lq, 0, 1)
+        if self.jpeg_range is not None:
+            quality = np.random.uniform(*self.jpeg_range)
+            img_lq = add_jpg_compression_np(img_lq, quality)
+        img_lq = cv2.resize(img_lq.astype(np.float32), (w, h),
+                            interpolation=cv2.INTER_LINEAR)
+        if self.color_jitter_prob is not None and np.random.uniform() < self.color_jitter_prob:
+            jitter = np.random.uniform(-self.color_jitter_shift,
+                                       self.color_jitter_shift, 3).astype(np.float32)
+            img_lq = np.clip(img_lq + jitter, 0, 1)
+        if self.gray_prob and np.random.uniform() < self.gray_prob:
+            gray = cv2.cvtColor(img_lq.astype(np.float32), cv2.COLOR_RGB2GRAY)
+            img_lq = np.tile(gray[:, :, None], (1, 1, 3))
+            if self.opt.get("gt_gray"):
+                ggray = cv2.cvtColor(img_gt.astype(np.float32), cv2.COLOR_RGB2GRAY)
+                img_gt = np.tile(ggray[:, :, None], (1, 1, 3))
+        # round/clip like the reference (quantize to uint8 levels)
+        img_lq = np.clip(np.round(img_lq * 255.0), 0, 255) / 255.0
+        img_gt = (img_gt - self.mean) / self.std
+        img_lq = (img_lq.astype(np.float32) - self.mean) / self.std
+        out = {"lq": img_lq.astype(np.float32), "gt": img_gt.astype(np.float32),
+               "gt_path": self.paths[index]}
+        if self.crop_components:
+            le, re, mo = self._component_coords(index, hflipped)
+            out.update({"loc_left_eye": le, "loc_right_eye": re, "loc_mouth": mo})
+        return out

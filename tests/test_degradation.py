@@ -145,3 +145,30 @@ def test_device_vs_host_degradation_distribution_drift():
     # the remaining divergence so regressions are caught.
     assert abs(hm[2] - dm[2]) / (hm[2] + 1e-9) < 0.45, \
         f"gradient-energy drift {hm[2]} vs {dm[2]}"
+
+
+def test_ffhq_degradation_dataset(tmp_path):
+    """GFPGAN-style on-the-fly face degradation (reference
+    ffhq_degradation_dataset.py)."""
+    import cv2
+    import os
+    from ssl_tpu.data import build_dataset
+    gt_dir = tmp_path / "faces"
+    os.makedirs(gt_dir)
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        cv2.imwrite(str(gt_dir / f"{i:08d}.png"),
+                    (rng.rand(64, 64, 3) * 255).astype(np.uint8))
+    ds = build_dataset({"type": "FFHQDegradationDataset", "phase": "train",
+                        "dataroot_gt": str(gt_dir), "out_size": 64,
+                        "blur_kernel_size": 11, "blur_sigma": (0.1, 3),
+                        "downsample_range": (0.8, 4), "noise_range": (0, 10),
+                        "jpeg_range": (60, 95), "color_jitter_prob": 0.5,
+                        "gray_prob": 0.5,
+                        "mean": (0.5, 0.5, 0.5), "std": (0.5, 0.5, 0.5)})
+    assert len(ds) == 2
+    s = ds[0]
+    assert s["gt"].shape == (64, 64, 3) and s["lq"].shape == (64, 64, 3)
+    # normalized to roughly [-1, 1]
+    assert s["lq"].min() >= -1.01 and s["lq"].max() <= 1.01
+    assert np.isfinite(s["lq"]).all() and np.isfinite(s["gt"]).all()
