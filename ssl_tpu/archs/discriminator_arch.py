@@ -181,18 +181,23 @@ class MOD(nn.Module):
 
 @ARCH_REGISTRY.register()
 class Discriminator_VGG_192(nn.Module):
-    """192-input VGG-style D without BN option parity (reference :194-255)."""
+    """192-input VGG-style D (reference :194-255) — layer-for-layer identical
+    to VGGStyleDiscriminator(input_size=192); shares its scope so the param
+    tree (and the vgg_style converter) stay flat."""
     num_in_ch: int = 3
     num_feat: int = 64
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        return VGGStyleDiscriminator(self.num_in_ch, self.num_feat, 192)(x, train)
+        sub = VGGStyleDiscriminator(self.num_in_ch, self.num_feat, 192)
+        nn.share_scope(self, sub)
+        return sub(x, train)
 
 
 @ARCH_REGISTRY.register()
 class DiscriminatorSN_VGG_192(nn.Module):
-    """Spectral-norm VGG D for 192 inputs (reference :258-323)."""
+    """Spectral-norm VGG D for 192 inputs (reference :258-323): conv0_0
+    biased, all SN convs bias-free."""
     num_in_ch: int = 3
     num_feat: int = 64
 
@@ -200,15 +205,15 @@ class DiscriminatorSN_VGG_192(nn.Module):
     def __call__(self, x, train: bool = True):
         lrelu = lambda v: nn.leaky_relu(v, 0.2)
         feat = lrelu(nn.Conv(self.num_feat, (3, 3), padding="SAME")(x))
-        feat = lrelu(_SNConv(self.num_feat, (4, 4), 2)(feat, train))
+        feat = lrelu(_SNConv(self.num_feat, (4, 4), 2, use_bias=False)(feat, train))
         mult = 2
         for _ in range(4):
             f = self.num_feat * min(mult, 8)
-            feat = lrelu(_SNConv(f, (3, 3), 1)(feat, train))
-            feat = lrelu(_SNConv(f, (4, 4), 2)(feat, train))
+            feat = lrelu(_SNConv(f, (3, 3), 1, use_bias=False)(feat, train))
+            feat = lrelu(_SNConv(f, (4, 4), 2, use_bias=False)(feat, train))
             mult *= 2
-        feat = lrelu(_SNConv(self.num_feat * 8, (3, 3), 1)(feat, train))
-        feat = lrelu(_SNConv(self.num_feat * 8, (4, 4), 2)(feat, train))
+        feat = lrelu(_SNConv(self.num_feat * 8, (3, 3), 1, use_bias=False)(feat, train))
+        feat = lrelu(_SNConv(self.num_feat * 8, (4, 4), 2, use_bias=False)(feat, train))
         feat = feat.reshape(feat.shape[0], -1)
         feat = lrelu(nn.Dense(100)(feat))
         return nn.Dense(1)(feat)

@@ -1381,6 +1381,39 @@ def convert_vgg_style_disc(sd: dict) -> dict:
     return params
 
 
+def convert_sn_vgg192_disc(sd: dict) -> dict:
+    """Reference DiscriminatorSN_VGG_192 keys (discriminator_arch.py:258-323:
+    conv0_0 plain + 11 spectral-norm convs + linear1/2) -> our flax tree
+    (Conv_0 + _SNConv_{i}/Conv_0 + Dense_{0,1}), with the same NCHW->NHWC
+    linear1 flatten fixup as convert_vgg_style_disc."""
+    params: dict = {"Conv_0": _convp(sd, "conv0_0")}
+    names = ["conv0_1"]
+    for k in range(1, 6):
+        names += [f"conv{k}_0", f"conv{k}_1"]
+    for i, name in enumerate(names):
+        params[f"_SNConv_{i}"] = {"Conv_0": {"kernel": _conv_w(sd[f"{name}.weight_orig"])}}
+    w1 = _to_np(sd["linear1.weight"])
+    c = sd[names[-1] + ".weight_orig"].shape[0]
+    s = int(round((w1.shape[1] // c) ** 0.5))
+    w1 = w1.reshape(w1.shape[0], c, s, s).transpose(0, 2, 3, 1).reshape(w1.shape[0], -1)
+    params["Dense_0"] = {"kernel": w1.T, "bias": _to_np(sd["linear1.bias"])}
+    params["Dense_1"] = _dense(sd, "linear2")
+    return params
+
+
+def sn_vgg192_stats(sd: dict, ref_stats) -> dict:
+    """SN stats for DiscriminatorSN_VGG_192: flax _SNConv_{i} -> torch
+    conv{k}_{j} in construction order."""
+    names = ["conv0_1"]
+    for k in range(1, 6):
+        names += [f"conv{k}_0", f"conv{k}_1"]
+
+    def to_key(path):
+        m = re.match(r"_SNConv_(\d+)$", path[-1])
+        return names[int(m.group(1))] if m else None
+    return sn_stats_tree(sd, ref_stats, to_key)
+
+
 def convert_ranker(sd: dict) -> dict:
     """Reference Ranker_VGG12_296 keys (ranksrgan_arch.py:168-227) -> our
     name-mirrored flax tree.  classifier.0/.2 -> linear1/linear2; the global
@@ -1705,6 +1738,8 @@ CONVERTERS = {
                and "upsample.0.weight" in sd, convert_rrdbps),
     "mod": (lambda sd: "w_gating1" in sd and "orthonet.trans.weight" in sd,
             convert_mod),
+    "sn_vgg192_disc": (lambda sd: "conv0_1.weight_orig" in sd
+                       and "linear1.weight" in sd, convert_sn_vgg192_disc),
     "ranker": (lambda sd: "conv0_0.weight" in sd and "classifier.0.weight" in sd,
                convert_ranker),
     "spsr": (lambda sd: any(k.startswith("model.1.sub.") for k in sd)

@@ -231,3 +231,54 @@ def test_disc_vgg_296_and_ranker_parity():
         out = net.apply({"params": params, "batch_stats": stats}, xj, train=False)
         np.testing.assert_allclose(np.asarray(out), y_ref, rtol=1e-3, atol=1e-4,
                                    err_msg=our_type)
+
+
+def test_disc_vgg_192_parity():
+    """Discriminator_VGG_192 == VGGStyleDiscriminator(192) layer-for-layer;
+    our wrapper + the vgg_style converter must reproduce it."""
+    arch = ref_module("basicsr.archs.discriminator_arch")
+    ref = _randomize_bn(arch.Discriminator_VGG_192(3, 64), 22)
+    x = np.random.RandomState(11).rand(1, 3, 192, 192).astype(np.float32)
+    ref.eval()
+    with torch.no_grad():
+        y_ref = ref(torch.from_numpy(x)).numpy()
+    net, path, load_params_auto = _convert(
+        ref, dict(type="Discriminator_VGG_192", num_feat=64))
+    from ssl_tpu.utils.weight_port import (load_torch_state_dict,
+                                           vgg_disc_batch_stats)
+    xj = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    variables = net.init(jax.random.PRNGKey(0), xj)
+    params = load_params_auto(path, "params", variables["params"])
+    assert params is not None
+    stats = vgg_disc_batch_stats(load_torch_state_dict(path, "params"),
+                                 variables.get("batch_stats", {}))
+    out = net.apply({"params": params, "batch_stats": stats}, xj, train=False)
+    np.testing.assert_allclose(np.asarray(out), y_ref, rtol=1e-3, atol=1e-4)
+
+
+def test_disc_sn_vgg_192_parity():
+    arch = ref_module("basicsr.archs.discriminator_arch")
+    ref = arch.DiscriminatorSN_VGG_192(3, 64)
+    from ssl_tpu.utils.weight_port import top_singular_pair
+    with torch.no_grad():
+        for _name, mod in ref.named_modules():
+            if hasattr(mod, "weight_orig"):
+                a = mod.weight_orig.detach().reshape(mod.weight_orig.shape[0], -1).numpy()
+                u, _s, v = top_singular_pair(a)
+                mod.weight_u.copy_(torch.from_numpy(u))
+                mod.weight_v.copy_(torch.from_numpy(v))
+    x = np.random.RandomState(12).rand(1, 3, 192, 192).astype(np.float32)
+    ref.eval()
+    with torch.no_grad():
+        y_ref = ref(torch.from_numpy(x)).numpy()
+    net, path, load_params_auto = _convert(
+        ref, dict(type="DiscriminatorSN_VGG_192", num_feat=64))
+    from ssl_tpu.utils.weight_port import load_torch_state_dict, sn_vgg192_stats
+    xj = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    variables = net.init(jax.random.PRNGKey(0), xj)
+    params = load_params_auto(path, "params", variables["params"])
+    assert params is not None
+    stats = sn_vgg192_stats(load_torch_state_dict(path, "params"),
+                            variables.get("batch_stats", {}))
+    out = net.apply({"params": params, "batch_stats": stats}, xj, train=False)
+    np.testing.assert_allclose(np.asarray(out), y_ref, rtol=5e-3, atol=5e-4)
