@@ -87,10 +87,12 @@ def train(args):
     loader = build_dataloader(dataset, {"phase": "train",
                                         "batch_size_per_gpu": batch_size,
                                         "num_worker_per_gpu": data_cfg.get("num_workers", 4)})
+    # queue_size > 0 enables the shuffled training-pair pool INCLUDING the
+    # gt_mask (reference ddpmssl.py:296-339 queues lq/gt/mask together);
+    # 0 (default) disables it
     degrader = RealESRGANDegrader(cfg.get("degradation", {}),
                                   scale=1,  # LQ stays at GT size (SR latent space)
                                   queue_size=cfg.get("degradation", {}).get("queue_size", 0))
-    degrader.pool = None
 
     state = model.init_state(gt_shape=(batch_size, gt_size, gt_size, 3))
     total_steps = cfg.get("train", {}).get("max_steps", 800000)

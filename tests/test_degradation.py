@@ -172,3 +172,25 @@ def test_ffhq_degradation_dataset(tmp_path):
     # normalized to roughly [-1, 1]
     assert s["lq"].min() >= -1.01 and s["lq"].max() <= 1.01
     assert np.isfinite(s["lq"]).all() and np.isfinite(s["gt"]).all()
+
+
+def test_training_pair_pool_with_mask():
+    """The diffusion loop queues lq/gt/gt_mask together (reference
+    ddpmssl.py:296-339); the pool must shuffle all keys consistently."""
+    from ssl_tpu.data.realesr_degradation import TrainingPairPool
+    pool = TrainingPairPool(queue_size=4)
+    rng = np.random.RandomState(0)
+    seen = []
+    for i in range(4):
+        t = {"lq": np.full((2, 4, 4, 3), i, np.float32),
+             "gt": np.full((2, 8, 8, 3), i, np.float32),
+             "gt_mask": np.full((2, 8, 8, 1), i, np.float32)}
+        out = pool(t)
+        seen.append(out)
+    # once full, outputs come from the queue with consistent keys
+    last = seen[-1]
+    assert set(last) == {"lq", "gt", "gt_mask"}
+    for j in range(last["lq"].shape[0]):
+        v = last["lq"][j, 0, 0, 0]
+        assert last["gt"][j, 0, 0, 0] == v and last["gt_mask"][j, 0, 0, 0] == v
+    del rng
