@@ -1315,7 +1315,7 @@ def convert_old_rrdbnet(sd: dict) -> dict:
     (reference train_BSGRAN models, bsrgan_arch-style: model.0 fea conv,
     model.1.sub.{i} RRDBs, model.1.sub.{nb} trunk conv, then upsample convs,
     HRconv, conv_last) -> our BSRGANRRDBNet/RRDBBebyGANNet tree (everything
-    nested under _RRDBTrunkNet_0)."""
+    nested under the shared 'net' trunk module)."""
     inner: dict = {"conv_first": _spsr_conv(sd, "model.0")}
     idxs = sorted({int(m.group(1)) for k in sd
                    if (m := re.match(r"model\.1\.sub\.(\d+)\.RDB", k))})
@@ -1327,7 +1327,7 @@ def convert_old_rrdbnet(sd: dict) -> dict:
     names = ["upconv1", "upconv2"][: len(ups) - 2] + ["HRconv", "conv_last"]
     for name, n in zip(names, ups):
         inner[name] = _spsr_conv(sd, f"model.{n}")
-    return {"_RRDBTrunkNet_0": inner}
+    return {"net": inner}
 
 
 def convert_unet_disc_sn(sd: dict) -> dict:

@@ -110,6 +110,13 @@ def test_device_vs_host_degradation_distribution_drift():
     from ssl_tpu.data.realesrgan_dataset import _KernelSynth
     from ssl_tpu.ops.degrade_jax import DegradeJaxConfig, degrade_two_stage_jax
 
+    # kernel synthesis + the host degrader draw from the GLOBAL numpy/python
+    # RNGs; seed them so the statistical bounds below are order-independent
+    # (the margin is ~0.08 over the measured drift — unseeded, the test's
+    # outcome depended on which tests ran before it in the same process)
+    import random as _pyrandom
+    np.random.seed(0)
+    _pyrandom.seed(0)
     rng = np.random.RandomState(0)
     gt = rng.rand(4, 64, 64, 3).astype(np.float32)
     synth = _KernelSynth({})

@@ -397,7 +397,8 @@ def test_ranker_conversion(tmp_path):
 def test_spsr_conversion(tmp_path):
     """Old-style SPSRNet layout (flattened sequential; model.1.sub RRDBs,
     b_module gradient branch) -> our dual-branch tree."""
-    nf, gc, nb = 8, 4, 23
+    # gc is 32 like every reference SPSR RRDB (the ctor arg is dead upstream)
+    nf, gc, nb = 8, 32, 23
     rng = np.random.RandomState(5)
 
     def conv(co, ci, k=3):
