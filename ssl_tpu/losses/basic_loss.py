@@ -103,3 +103,41 @@ class CrossEntropyLoss:
         logp = jax.nn.log_softmax(logits, axis=-1)
         nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)
         return self.loss_weight * jnp.mean(nll)
+
+
+@LOSS_REGISTRY.register()
+class SSIMLoss:
+    """KAIR SSIM loss (reference train_BSGRAN/models/loss_ssim.py, selectable
+    via ``G_lossfn_type: "ssim"``, model_ssl.py:152-153): 11×11 Gaussian
+    σ=1.5 window, per-channel depthwise conv with SAME zero padding, C1=1e-4,
+    C2=9e-4.  Faithful to the reference: returns the mean SSIM *value*
+    (pytorch-ssim convention — callers negate if they want a similarity
+    maximizer; KAIR adds it to G_loss as-is)."""
+
+    def __init__(self, loss_weight=1.0, window_size=11, sigma=1.5):
+        self.loss_weight = loss_weight
+        self.window_size = window_size
+        coords = jnp.arange(window_size) - window_size // 2
+        g = jnp.exp(-(coords.astype(jnp.float32) ** 2) / (2 * sigma ** 2))
+        g = g / g.sum()
+        self._window2d = jnp.outer(g, g)
+
+    def _filt(self, x):
+        c = x.shape[-1]
+        kern = jnp.tile(self._window2d[:, :, None, None], (1, 1, 1, c)).astype(x.dtype)
+        # torch F.conv2d(padding=k//2) zero-pads
+        return jax.lax.conv_general_dilated(
+            x, kern, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
+
+    def __call__(self, pred, target, weight=None):
+        mu1 = self._filt(pred)
+        mu2 = self._filt(target)
+        mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+        sigma1_sq = self._filt(pred * pred) - mu1_sq
+        sigma2_sq = self._filt(target * target) - mu2_sq
+        sigma12 = self._filt(pred * target) - mu1_mu2
+        c1, c2 = 0.01 ** 2, 0.03 ** 2
+        ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / \
+            ((mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2))
+        return self.loss_weight * jnp.mean(ssim_map)

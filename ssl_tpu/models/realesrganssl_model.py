@@ -133,3 +133,29 @@ class RealESRNetSSLModel(_DegradationMixin, SRModel):
     def __init__(self, opt: dict):
         super().__init__(opt)
         self._init_degrader(opt)
+
+
+@MODEL_REGISTRY.register()
+class RealESRNetModel(_DegradationMixin, SRModel):
+    """RealESRNet: blind two-stage degradation + pixel-only loss, no GAN/SSL
+    (reference realesrnet_model.py — same feed_data as RealESRGANModel, but the
+    recipe trains only net_g with L1 against the (optionally USM-sharpened) GT)."""
+
+    def __init__(self, opt: dict):
+        super().__init__(opt)
+        self._init_degrader(opt)
+
+    def g_losses(self, params_g, state, batch, rng):
+        sr = self.net_g.apply({"params": params_g}, batch["lq"])
+        gt = batch.get("gt_usm", batch["gt"]) if self.l1_gt_usm else batch["gt"]
+        total = 0.0
+        logs = {}
+        if self.cri_pix is not None:
+            l_pix = self.cri_pix(sr, gt)
+            total += l_pix
+            logs["l_pix"] = l_pix
+        if self.cri_perceptual is not None:
+            l_percep, l_style = self.cri_perceptual(sr, gt)
+            total += l_percep + l_style
+            logs["l_percep"] = l_percep
+        return total, logs, sr

@@ -183,6 +183,12 @@ class SRModel(BaseModel):
         metric_opts = (self.opt.get("val") or {}).get("metrics") or {}
         results = {name: [] for name in metric_opts}
         for batch in dataloader:
+            # Per-image metric protocol (reference nondist_validation) — a val
+            # batch >1 would silently drop images below, so refuse it loudly.
+            if np.asarray(batch["lq"]).shape[0] != 1:
+                raise ValueError(
+                    f"validation expects batch_size_per_gpu=1 for val loaders, got "
+                    f"{np.asarray(batch['lq']).shape[0]} (dataset {dataset_name!r})")
             sr = self.test(state, batch["lq"])
             # Metric boundary convention: RGB uint8.  to_y_channel uses RGB
             # (rgb2ycbcr) coefficients and calculate_lpips/dists expect RGB,
@@ -216,8 +222,5 @@ class SRModel(BaseModel):
                 rec[name] = {"val": val, "iter": current_iter}
 
 
-@MODEL_REGISTRY.register()
-class RealESRNetModel(SRModel):
-    """Placeholder alias: RealESRNet = SRModel + on-device degradation feed
-    (degradation wiring lives in RealESRGANSSLModel; the non-GAN variant uses
-    the same synthesize step with pixel loss only)."""
+# RealESRNetModel (degradation + pixel-only loss, reference realesrnet_model.py)
+# lives in realesrganssl_model.py next to the _DegradationMixin it needs.

@@ -105,9 +105,13 @@ def kair_to_opt(k: dict) -> dict:
                           "milestones": t.get("G_scheduler_milestones", []),
                           "gamma": t.get("G_scheduler_gamma", 0.5)},
             "total_iter": t.get("iterations", 150000),
-            "pixel_opt": {"type": {"l1": "L1Loss", "l2": "MSELoss"}.get(
+            "pixel_opt": {"type": {"l1": "L1Loss", "l2": "MSELoss",
+                                   "l2sum": "MSELoss",
+                                   "ssim": "SSIMLoss"}.get(
                 t.get("G_lossfn_type", "l1"), "L1Loss"),
-                "loss_weight": t.get("G_lossfn_weight", 1.0)},
+                "loss_weight": t.get("G_lossfn_weight", 1.0),
+                **({"reduction": "sum"}
+                   if t.get("G_lossfn_type") == "l2sum" else {})},
             "selfsim_opt": {"type": "L1Loss", "loss_weight": t.get("SSL_loss_weight", 0)},
             "selfsim1_opt": {"type": "KLDistanceLoss",
                              "loss_weight": t.get("SSL1_loss_weight", 0)},

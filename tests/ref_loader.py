@@ -263,6 +263,12 @@ def install_reference_stubs() -> None:
 
             tv_ops.deform_conv2d = _tv_deform_conv2d
             tv.ops = tv_ops
+            # img_util.py imports make_grid top-level; only tensor2img's
+            # multi-image path calls it (oracles pass single tensors)
+            tv_utils = types.ModuleType("torchvision.utils")
+            tv_utils.make_grid = _no_cuda
+            tv.utils = tv_utils
+            sys.modules["torchvision.utils"] = tv_utils
             sys.modules["torchvision"] = tv
             sys.modules["torchvision.models"] = tv_models
             sys.modules["torchvision.models.vgg"] = tv_vgg
@@ -309,6 +315,19 @@ def install_reference_stubs() -> None:
         sys.modules[spec.name] = diff_util
         spec.loader.exec_module(diff_util)
         arch_util.PixelShufflePack = diff_util.PixelShufflePack
+
+    # ---- GAN-tree model files as oracles (BBL / imresize / degradation) ----
+    # model modules import the builders from package level (real __init__s are
+    # skipped); stub them — oracle tests construct classes directly.
+    _shell_package("basicsr.models", f"{REF_GAN}/basicsr/models")
+    for pkg_name, attr in (("basicsr.archs", "build_network"),
+                           ("basicsr.losses", "build_loss"),
+                           ("basicsr.metrics", "calculate_metric"),
+                           ("basicsr.data", "build_dataloader"),
+                           ("basicsr.data", "build_dataset")):
+        pkg = sys.modules[pkg_name]
+        if not hasattr(pkg, attr):
+            setattr(pkg, attr, _no_cuda)
 
     _installed = True
 
