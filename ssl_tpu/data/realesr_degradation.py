@@ -52,42 +52,90 @@ def usm_sharp_np(img: np.ndarray, weight: float = 0.5, radius: int = 50,
 
 
 def _resize(img, size_or_scale, mode: str):
-    interp = {"area": cv2.INTER_AREA, "bilinear": cv2.INTER_LINEAR,
-              "bicubic": cv2.INTER_CUBIC}[mode]
+    """Exact torch ``F.interpolate`` semantics (reference feed_data resizes
+    with area/bilinear/bicubic, align_corners=False, no antialias —
+    oracle-tested in tests/test_degradation_parity.py).  scale_factor maps to
+    floor(dim*scale) like torch."""
+    from ssl_tpu.ops.torch_resize import torch_resize_np
     if isinstance(size_or_scale, tuple):
-        h, w = size_or_scale
-        return cv2.resize(img, (w, h), interpolation=interp)
+        return torch_resize_np(img, size_or_scale, mode)
     s = size_or_scale
-    return cv2.resize(img, None, fx=s, fy=s, interpolation=interp)
+    h, w = img.shape[:2]
+    return torch_resize_np(img, (int(h * s), int(w * s)), mode, scale=float(s))
 
 
-def add_gaussian_noise(img, sigma_range, gray_prob, rng):
-    sigma = rng.uniform(*sigma_range)
-    if rng.uniform() < gray_prob:
-        noise = rng.randn(*img.shape[:2], 1).astype(np.float32) * sigma / 255.0
-    else:
-        noise = rng.randn(*img.shape).astype(np.float32) * sigma / 255.0
-    return np.clip(img + noise, 0, 1)
+def _rgb_to_grayscale(img: np.ndarray) -> np.ndarray:
+    """torchvision functional_tensor.rgb_to_grayscale coefficients (the
+    reference's generate_poisson_noise_pt gray path — note 0.2989, not
+    cv2's 0.299)."""
+    return (0.2989 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2])[..., None]
 
 
-def add_poisson_noise(img, scale_range, gray_prob, rng):
-    scale = rng.uniform(*scale_range)
-    gray = rng.uniform() < gray_prob
-    base = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)[..., None] if gray else img
-    # number of distinct uint8 levels via bincount (np.unique is O(n log n))
-    flat = (base * 255).round().astype(np.uint8).reshape(-1)
+def _round_uint8_grid(img: np.ndarray) -> np.ndarray:
+    return np.clip((img * 255.0).round(), 0, 255).astype(np.float32) / 255.0
+
+
+def _poisson_vals(img_rounded: np.ndarray) -> float:
+    """reference: vals = 2**ceil(log2(len(unique(img)))) on the uint8-rounded
+    image (all channels jointly).  Distinct float values of the rounded image
+    == distinct uint8 levels -> O(n) bincount."""
+    flat = (img_rounded * 255.0).round().astype(np.uint8).reshape(-1)
     n_levels = int((np.bincount(flat, minlength=256) > 0).sum())
-    vals = max(2.0 ** np.ceil(np.log2(max(n_levels, 2))), 2.0)
-    noisy = rng.poisson(np.clip(base, 0, 1) * vals) / float(vals)
-    noise = (noisy - base) * scale
-    return np.clip(img + noise, 0, 1)
+    return float(2.0 ** np.ceil(np.log2(max(n_levels, 1))))
+
+
+def apply_gaussian_noise_batch(out: np.ndarray, sigma: np.ndarray, gray: np.ndarray,
+                               normals_color: np.ndarray,
+                               normals_gray: np.ndarray | None) -> np.ndarray:
+    """random_add_gaussian_noise_pt semantics (degradations.py:492-556) given
+    explicit draws: per-item sigma (b,), per-item gray flag (b,), color field
+    (b,h,w,3) and ONE gray field (h,w) shared across the batch (the
+    reference's broadcasting quirk: torch.randn(h,w) * sigma(b,1,1,1)).
+    clip=True rounds=False."""
+    sigma = sigma.reshape(-1, 1, 1, 1).astype(np.float32)
+    gray = gray.reshape(-1, 1, 1, 1).astype(np.float32)
+    noise = normals_color.astype(np.float32) * sigma / 255.0
+    if normals_gray is not None and gray.any():
+        noise_gray = normals_gray.astype(np.float32)[None, :, :, None] * sigma / 255.0
+        noise = noise * (1 - gray) + noise_gray * gray
+    return np.clip(out + noise, 0, 1)
+
+
+def apply_poisson_noise_batch(out: np.ndarray, scale: np.ndarray, gray: np.ndarray,
+                              poisson_fn=None) -> np.ndarray:
+    """random_add_poisson_noise_pt semantics (degradations.py:609-730) given
+    explicit draws: the image is uint8-rounded FIRST (both lam and the
+    subtracted base), vals per item from the unique-level count, gray via
+    torchvision grayscale coefficients.  ``poisson_fn(lam)`` supplies the
+    Poisson draws (default np.random)."""
+    if poisson_fn is None:
+        poisson_fn = np.random.poisson
+    b = out.shape[0]
+    scale = scale.reshape(-1, 1, 1, 1).astype(np.float32)
+    gray = gray.reshape(-1, 1, 1, 1).astype(np.float32)
+    any_gray = bool((gray > 0).any())
+    if any_gray:
+        img_gray = _round_uint8_grid(_rgb_to_grayscale(out))
+        vals_g = np.array([_poisson_vals(img_gray[i]) for i in range(b)],
+                          np.float32).reshape(-1, 1, 1, 1)
+        draw_g = poisson_fn(img_gray * vals_g).astype(np.float32)
+        noise_gray = draw_g / vals_g - img_gray          # (b,h,w,1) -> bcast 3ch
+    img_c = _round_uint8_grid(out)
+    vals_c = np.array([_poisson_vals(img_c[i]) for i in range(b)],
+                      np.float32).reshape(-1, 1, 1, 1)
+    draw_c = poisson_fn(img_c * vals_c).astype(np.float32)
+    noise = draw_c / vals_c - img_c
+    if any_gray:
+        noise = noise * (1 - gray) + noise_gray * gray
+    return np.clip(out + noise * scale, 0, 1)
 
 
 def jpeg_np(img: np.ndarray, quality: float) -> np.ndarray:
     """DCT-based JPEG round-trip, numpy (same math as ops/diffjpeg.diff_jpeg)."""
     h, w = img.shape[:2]
     ph, pw = (16 - h % 16) % 16, (16 - w % 16) % 16
-    x = np.pad(img, ((0, ph), (0, pw), (0, 0)), mode="edge") * 255.0
+    # constant-0 pad like the reference DiffJPEG (diffjpeg.py:486)
+    x = np.pad(img, ((0, ph), (0, pw), (0, 0))) * 255.0
     hp, wp = h + ph, w + pw
     ycc = x @ _RGB2YCBCR_NP + np.array([0.0, 128.0, 128.0], np.float32)
     y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
@@ -188,10 +236,10 @@ class RealESRGANDegrader:
         self.pyrng = pyrandom.Random(seed)
 
     # ------------------------------------------------------------------ stages
-    def _jpeg_batch(self, out, jpeg_range):
+    def _jpeg_batch(self, out, qualities):
         """Per-item quality JPEG; native C++ batch kernel when available."""
         b = out.shape[0]
-        qualities = [self.rng.uniform(*jpeg_range) for _ in range(b)]
+        qualities = [float(q) for q in qualities]
         try:
             from ssl_tpu import native
             if native.available():
@@ -200,99 +248,112 @@ class RealESRGANDegrader:
             pass
         return np.stack([jpeg_np(np.clip(out[i], 0, 1), qualities[i]) for i in range(b)])
 
-    def _noise_batch(self, out, stage2=False):
-        """Noise family drawn once per batch (reference); per-item sigma/gray.
-        Per-item RNG params are drawn up-front (deterministic order), then the
-        pixel work fans out across threads."""
+    def _draw_noise_params(self, b: int, stage2: bool) -> dict:
         o = self.o
         suf = "2" if stage2 else ""
-        b = out.shape[0]
-        if self.rng.uniform() < o[f"gaussian_noise_prob{suf}"]:
+        use_gauss = bool(self.rng.uniform() < o[f"gaussian_noise_prob{suf}"])
+        if use_gauss:
             lo, hi = o[f"noise_range{suf}"]
-            params = [(self.rng.uniform(lo, hi), self.rng.uniform() < o[f"gray_noise_prob{suf}"],
-                       self.rng.randint(0, 2**31)) for _ in range(b)]
+        else:
+            lo, hi = o[f"poisson_scale_range{suf}"]
+        return {
+            "use_gauss": use_gauss,
+            "level": self.rng.uniform(lo, hi, size=b),
+            "gray": self.rng.uniform(size=b) < o[f"gray_noise_prob{suf}"],
+            "normals": None, "normals_gray": None, "poisson": None,
+        }
 
-            def gauss(i):
-                sigma, gray, seed = params[i]
-                r = np.random.RandomState(seed)
-                shape = out[i].shape[:2] + (1,) if gray else out[i].shape
-                noise = r.randn(*shape).astype(np.float32) * sigma / 255.0
-                return np.clip(out[i] + noise, 0, 1)
-            return np.stack(_pmap(gauss, b))
-        lo, hi = o[f"poisson_scale_range{suf}"]
-        params = [(self.rng.uniform(lo, hi), self.rng.uniform() < o[f"gray_noise_prob{suf}"],
-                   self.rng.randint(0, 2**31)) for _ in range(b)]
+    def draw_plan(self, b: int) -> dict:
+        """Sample every batch-level decision + per-item parameter for one
+        degrade_batch call (the injectable seam the oracle-parity tests use:
+        tests/test_degradation_parity.py freezes this plan on both sides)."""
+        o = self.o
 
-        def poisson(i):
-            scale, gray, seed = params[i]
-            r = np.random.RandomState(seed)
-            img = out[i]
-            base = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)[..., None] if gray else img
-            flat = (base * 255).round().astype(np.uint8).reshape(-1)
-            n_levels = int((np.bincount(flat, minlength=256) > 0).sum())
-            vals = max(2.0 ** np.ceil(np.log2(max(n_levels, 2))), 2.0)
-            noisy = r.poisson(np.clip(base, 0, 1) * vals) / float(vals)
-            return np.clip(img + (noisy - base) * scale, 0, 1)
-        return np.stack(_pmap(poisson, b))
+        def rand_resize(stage2):
+            suf = "2" if stage2 else ""
+            updown = self.pyrng.choices(["up", "down", "keep"], o[f"resize_prob{suf}"])[0]
+            rrange = o[f"resize_range{suf}"]
+            if updown == "up":
+                s = float(self.rng.uniform(1, rrange[1]))
+            elif updown == "down":
+                s = float(self.rng.uniform(rrange[0], 1))
+            else:
+                s = 1.0
+            mode = self.pyrng.choice(["area", "bilinear", "bicubic"])
+            return s, mode
 
-    def degrade_batch(self, gt: np.ndarray, kernel1, kernel2, sinc_kernel) -> np.ndarray:
+        s1, m1 = rand_resize(False)
+        plan = {
+            "scale1": s1, "mode1": m1,
+            "noise1": self._draw_noise_params(b, False),
+            "jpeg_q1": self.rng.uniform(*o["jpeg_range"], size=b),
+        }
+        if self.order == "two":
+            s2, m2 = rand_resize(True)
+            plan.update({
+                "second_blur": bool(self.rng.uniform() < o["second_blur_prob"]),
+                "scale2": s2, "mode2": m2,
+                "noise2": self._draw_noise_params(b, True),
+                "sinc_first": bool(self.rng.uniform() < 0.5),
+                "final_mode": self.pyrng.choice(["area", "bilinear", "bicubic"]),
+                "jpeg_q2": self.rng.uniform(*o["jpeg_range2"], size=b),
+            })
+        return plan
+
+    def _apply_noise(self, out: np.ndarray, p: dict) -> np.ndarray:
+        level = np.asarray(p["level"], np.float32)
+        gray = np.asarray(p["gray"], np.float32)
+        if p["use_gauss"]:
+            normals = p["normals"]
+            if normals is None:
+                normals = self.rng.randn(*out.shape)
+            normals_gray = p["normals_gray"]
+            if normals_gray is None and gray.any():
+                normals_gray = self.rng.randn(*out.shape[1:3])
+            return apply_gaussian_noise_batch(out, level, gray, normals, normals_gray)
+        poisson_fn = p["poisson"] or self.rng.poisson
+        return apply_poisson_noise_batch(out, level, gray, poisson_fn)
+
+    def degrade_batch(self, gt: np.ndarray, kernel1, kernel2, sinc_kernel,
+                      plan: dict | None = None) -> np.ndarray:
         """gt (b,h,w,3) float32 [0,1]; kernels per item. Returns lq (b,h/s,w/s,3).
 
         Batch-level randomness (one draw per op per batch) matches the
-        reference; blur kernels & JPEG quality are per-item."""
+        reference feed_data (:171-302); pass ``plan`` (see draw_plan) to
+        freeze every random decision."""
         b, ori_h, ori_w, _ = gt.shape
-        o = self.o
         src = gt
+        if plan is None:
+            plan = self.draw_plan(b)
 
-        # stage 1 (batch-common draws sampled once, applied per item)
+        # stage 1
         out = np.stack(_pmap(lambda i: filter2d_np(src[i], kernel1[i]), b))
-        out = self._rand_resize_batchdraw(out)
-        out = self._noise_batch(out)
-        out = self._jpeg_batch(out, o["jpeg_range"])
+        out = np.stack([_resize(out[i], plan["scale1"], plan["mode1"]) for i in range(b)])
+        out = self._apply_noise(out, plan["noise1"])
+        out = self._jpeg_batch(out, plan["jpeg_q1"])
 
         if self.order == "two":
-            if self.rng.uniform() < o["second_blur_prob"]:
+            if plan["second_blur"]:
                 out = np.stack(_pmap(lambda i: filter2d_np(out[i], kernel2[i]), b))
-            out = self._rand_resize_batchdraw(out, stage2=True, base=(ori_h, ori_w))
-            out = self._noise_batch(out, stage2=True)
-            if self.rng.uniform() < 0.5:
-                out = self._final_resize(out, ori_h, ori_w)
+            h2 = int(ori_h / self.scale * plan["scale2"])
+            w2 = int(ori_w / self.scale * plan["scale2"])
+            out = np.stack([_resize(out[i], (h2, w2), plan["mode2"]) for i in range(b)])
+            out = self._apply_noise(out, plan["noise2"])
+            target = (ori_h // self.scale, ori_w // self.scale)
+            if plan["sinc_first"]:
+                out = np.stack([_resize(out[i], target, plan["final_mode"]) for i in range(b)])
                 out = np.stack(_pmap(lambda i: filter2d_np(out[i], sinc_kernel[i]), b))
-                out = self._jpeg_batch(out, o["jpeg_range2"])
+                out = self._jpeg_batch(out, plan["jpeg_q2"])
             else:
-                out = self._jpeg_batch(out, o["jpeg_range2"])
-                out = self._final_resize(out, ori_h, ori_w)
+                out = self._jpeg_batch(out, plan["jpeg_q2"])
+                out = np.stack([_resize(out[i], target, plan["final_mode"]) for i in range(b)])
                 out = np.stack(_pmap(lambda i: filter2d_np(out[i], sinc_kernel[i]), b))
         else:
-            out = self._final_resize(out, ori_h, ori_w)
+            # order 'one': the final resize reuses the stage-1 mode (:204)
+            target = (ori_h // self.scale, ori_w // self.scale)
+            out = np.stack([_resize(out[i], target, plan["mode1"]) for i in range(b)])
 
         return (np.clip((out * 255.0).round(), 0, 255) / 255.0).astype(np.float32)
-
-    def _rand_resize_batchdraw(self, out, stage2=False, base=None):
-        o = self.o
-        if stage2:
-            updown = self.pyrng.choices(["up", "down", "keep"], o["resize_prob2"])[0]
-            rrange = o["resize_range2"]
-        else:
-            updown = self.pyrng.choices(["up", "down", "keep"], o["resize_prob"])[0]
-            rrange = o["resize_range"]
-        if updown == "up":
-            s = self.rng.uniform(1, rrange[1])
-        elif updown == "down":
-            s = self.rng.uniform(rrange[0], 1)
-        else:
-            s = 1.0
-        mode = self.pyrng.choice(["area", "bilinear", "bicubic"])
-        if stage2:
-            h = int(base[0] / self.scale * s)
-            w = int(base[1] / self.scale * s)
-            return np.stack([_resize(out[i], (h, w), mode) for i in range(out.shape[0])])
-        return np.stack([_resize(out[i], s, mode) for i in range(out.shape[0])])
-
-    def _final_resize(self, out, ori_h, ori_w):
-        mode = self.pyrng.choice(["area", "bilinear", "bicubic"])
-        return np.stack([_resize(out[i], (ori_h // self.scale, ori_w // self.scale), mode)
-                         for i in range(out.shape[0])])
 
     # ------------------------------------------------------------------- entry
     def __call__(self, batch: dict) -> dict:

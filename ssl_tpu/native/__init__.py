@@ -73,8 +73,9 @@ def jpeg_roundtrip_batch(imgs: np.ndarray, qualities, n_threads: int = 8) -> np.
         return np.stack([jpeg_np(imgs[i], float(qualities[i])) for i in range(len(imgs))])
     b, h, w = imgs.shape[:3]
     ph, pw = (16 - h % 16) % 16, (16 - w % 16) % 16
+    # constant-0 pad like the reference DiffJPEG (diffjpeg.py:486)
     buf = np.ascontiguousarray(
-        np.pad(imgs, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge"), np.float32)
+        np.pad(imgs, ((0, 0), (0, ph), (0, pw), (0, 0))), np.float32)
     q = np.ascontiguousarray(np.asarray(qualities, np.float32))
     lib.jpeg_roundtrip_batch(buf, b, h + ph, w + pw, q, n_threads)
     return buf[:, :h, :w]

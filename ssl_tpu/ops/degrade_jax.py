@@ -14,8 +14,11 @@ data/realesr_degradation.py):
   range; all other ops are exact.
 - Between stages the image passes through a fixed inter-stage canvas (H/2),
   one extra resample vs the reference.
-- cv2's 'area' mode maps to jax.image.resize 'linear' with antialiasing
-  (scale_and_translate); 'bilinear'/'bicubic' map to 'linear'/'cubic'.
+- Resize/noise are otherwise EXACT reference semantics: torch-interpolate
+  band matrices (ops/torch_resize.py) for area/bilinear/bicubic, genuine
+  per-image-vals Poisson draws, torchvision grayscale coefficients, and the
+  shared-gray-field Gaussian quirk (oracle-tested primitives in
+  tests/test_degradation_parity.py).
 
 Everything (blur conv, noise, DCT JPEG, sinc) rides the MXU/VPU inside the
 train-step jit — zero host work per batch beyond kernel synthesis."""
@@ -56,19 +59,12 @@ class DegradeJaxConfig(NamedTuple):
 
 
 def _resize_to(img, size, method):
-    b, h, w, c = img.shape
-    if method == "area":
-        # antialiased linear ~ area for downscales
-        scale = (size / h, size / w)
-        return jax.image.scale_and_translate(
-            img, (b, size, size, c), (1, 2),
-            jnp.asarray([scale[0], scale[1]]), jnp.asarray([0.0, 0.0]),
-            method="linear", antialias=True)
-    # cv2 INTER_LINEAR/INTER_CUBIC do NOT low-pass before downscaling; the
-    # host pipeline uses cv2, so antialias=False keeps the LQ sharpness
-    # distribution matched (the drift test quantifies this)
-    return jax.image.resize(img, (b, size, size, c), method=method,
-                            antialias=False)
+    """Exact torch F.interpolate semantics (area = adaptive pool,
+    bilinear/bicubic non-antialiased, align_corners=False) via the shared
+    band matrices — identical math to the host pipeline's torch_resize_np."""
+    from ssl_tpu.ops.torch_resize import interp_torch
+    mode = {"area": "area", "linear": "bilinear", "cubic": "bicubic"}[method]
+    return interp_torch(img, (size, size), mode)
 
 
 def _rand_resize_switch(key, img, probs, rrange, base_size, out_common, n_buckets,
@@ -108,6 +104,50 @@ def _rand_resize_switch(key, img, probs, rrange, base_size, out_common, n_bucket
     return lax.switch(idx, [branch(s) for s in sizes], (img, method_i, inner_key))
 
 
+def _round_uint8_grid(img):
+    return jnp.clip(jnp.round(img * 255.0), 0, 255) / 255.0
+
+
+def _poisson_vals(img_rounded):
+    """Per-image vals = 2**ceil(log2(#distinct uint8 levels)) — the unique()
+    count as a static-shape 256-bin histogram (jit-friendly)."""
+    b = img_rounded.shape[0]
+    lv = jnp.round(img_rounded * 255.0).astype(jnp.int32).reshape(b, -1)
+    hist = jax.vmap(lambda v: jnp.zeros((256,), jnp.int32).at[v].add(1))(lv)
+    n = jnp.sum(hist > 0, axis=1).astype(jnp.float32)
+    return (2.0 ** jnp.ceil(jnp.log2(jnp.maximum(n, 1.0)))).reshape(b, 1, 1, 1)
+
+
+def apply_gaussian_noise_jax(img, sigma, gray, normals_color, normals_gray):
+    """Same contract as data.realesr_degradation.apply_gaussian_noise_batch
+    (reference random_add_gaussian_noise_pt): per-item sigma/gray, color field
+    per item, ONE gray field shared across the batch."""
+    noise = normals_color * sigma / 255.0
+    noise_gray = normals_gray * sigma / 255.0
+    noise = noise * (1 - gray) + noise_gray * gray
+    return jnp.clip(img + noise, 0.0, 1.0)
+
+
+def apply_poisson_noise_jax(key, img, scale, gray):
+    """Exact reference Poisson semantics (random_add_poisson_noise_pt):
+    uint8-rounded base, per-image vals from the unique-level count,
+    torchvision grayscale coefficients; genuine Poisson draws
+    (jax.random.poisson), not a Gaussian approximation."""
+    kg, kc = jax.random.split(key)
+    img_gray = (0.2989 * img[..., 0:1] + 0.587 * img[..., 1:2]
+                + 0.114 * img[..., 2:3])
+    img_gray = _round_uint8_grid(img_gray)
+    vals_g = _poisson_vals(img_gray)
+    draw_g = jax.random.poisson(kg, img_gray * vals_g).astype(img.dtype)
+    noise_gray = draw_g / vals_g - img_gray
+    img_c = _round_uint8_grid(img)
+    vals_c = _poisson_vals(img_c)
+    draw_c = jax.random.poisson(kc, img_c * vals_c).astype(img.dtype)
+    noise = draw_c / vals_c - img_c
+    noise = noise * (1 - gray) + noise_gray * gray
+    return jnp.clip(img + noise * scale, 0.0, 1.0)
+
+
 def _add_noise(key, img, cfg: DegradeJaxConfig, stage2: bool):
     gp = cfg.gaussian_noise_prob2 if stage2 else cfg.gaussian_noise_prob
     nr = cfg.noise_range2 if stage2 else cfg.noise_range
@@ -116,27 +156,15 @@ def _add_noise(key, img, cfg: DegradeJaxConfig, stage2: bool):
     b = img.shape[0]
     kf, ks, kg, kn, kp = jax.random.split(key, 5)
     use_gauss = jax.random.uniform(kf) < gp
-    sigma = jax.random.uniform(ks, (b, 1, 1, 1), minval=nr[0], maxval=nr[1]) / 255.0
+    sigma = jax.random.uniform(ks, (b, 1, 1, 1), minval=nr[0], maxval=nr[1])
     gray = (jax.random.uniform(kg, (b, 1, 1, 1)) < grayp).astype(img.dtype)
     gnoise_c = jax.random.normal(kn, img.shape)
-    gnoise_g = jax.random.normal(jax.random.fold_in(kn, 1), img.shape[:3] + (1,))
-    gnoise = (gray * gnoise_g + (1 - gray) * gnoise_c) * sigma
-
-    # Poisson via Gaussian approximation N(lam, lam) at the reference's
-    # vals=2^round(log2(levels)) scaling (documented approximation; the exact
-    # host path exists for parity)
+    # reference quirk: ONE (h,w) gray field broadcast across the batch
+    gnoise_g = jax.random.normal(jax.random.fold_in(kn, 1), (1,) + img.shape[1:3] + (1,))
+    gauss_out = apply_gaussian_noise_jax(img, sigma, gray, gnoise_c, gnoise_g)
     pscale = jax.random.uniform(kp, (b, 1, 1, 1), minval=pr[0], maxval=pr[1])
-    vals = 256.0
-    lum = jnp.mean(img, axis=-1, keepdims=True)
-    base_c = jnp.clip(img, 0, 1)
-    base_g = jnp.clip(lum, 0, 1)
-    base = gray * base_g + (1 - gray) * base_c
-    pn = jax.random.normal(jax.random.fold_in(kn, 2), base.shape)
-    pnoise = pn * jnp.sqrt(base * vals) / vals * pscale
-    pnoise = jnp.broadcast_to(pnoise, img.shape)
-
-    noise = jnp.where(use_gauss, gnoise, pnoise)
-    return jnp.clip(img + noise, 0.0, 1.0)
+    poisson_out = apply_poisson_noise_jax(jax.random.fold_in(kn, 2), img, pscale, gray)
+    return jnp.where(use_gauss, gauss_out, poisson_out)
 
 
 def _jpeg(key, img, jrange):

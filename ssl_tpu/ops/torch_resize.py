@@ -36,14 +36,16 @@ def _cubic_conv2(x: np.ndarray, a: float) -> np.ndarray:
 
 
 @lru_cache(maxsize=None)
-def _bicubic_matrix_np(n_out: int, n_in: int) -> np.ndarray:
+def _bicubic_matrix_np(n_out: int, n_in: int, scale: float | None = None) -> np.ndarray:
     """Row matrix replicating torch upsample_bicubic2d (align_corners=False):
-    src = (i+0.5)*(in/out)-0.5, 4 taps at floor(src)-1..+2, indices clamped to
-    the border, cubic weights with a=-0.75."""
+    src = (i+0.5)/scale-0.5 (scale = out/in, or the user's explicit
+    scale_factor — torch uses the GIVEN factor directly when one is passed),
+    4 taps at floor(src)-1..+2, indices clamped to the border, cubic weights
+    with a=-0.75."""
     a = -0.75
-    if n_out == n_in:
+    if n_out == n_in and scale is None:
         return np.eye(n_in, dtype=np.float64)
-    src = (np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5
+    src = (np.arange(n_out) + 0.5) / (scale if scale is not None else n_out / n_in) - 0.5
     i0 = np.floor(src)
     t = src - i0
     w = np.stack([
@@ -68,6 +70,83 @@ def interp_bicubic(x: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
         return x
     ay = jnp.asarray(_bicubic_matrix_np(oh, h), x.dtype)
     ax = jnp.asarray(_bicubic_matrix_np(ow, w), x.dtype)
+    return jnp.einsum("yh,bhwc,xw->byxc", ay, x, ax)
+
+
+@lru_cache(maxsize=None)
+def _bilinear_matrix_np(n_out: int, n_in: int, scale: float | None = None) -> np.ndarray:
+    """torch F.interpolate(mode='bilinear', align_corners=False): half-pixel
+    source mapping clamped at 0 (area_pixel_compute_source_index), 2 taps
+    clamped to the border.  ``scale``: explicit scale_factor (torch maps
+    coordinates with the given factor, not the out/in ratio)."""
+    if n_out == n_in and scale is None:
+        return np.eye(n_in, dtype=np.float64)
+    src = (np.arange(n_out) + 0.5) / (scale if scale is not None else n_out / n_in) - 0.5
+    src = np.clip(src, 0.0, None)
+    i0 = np.clip(np.floor(src).astype(np.int64), 0, n_in - 1)
+    i1 = np.minimum(i0 + 1, n_in - 1)
+    frac = src - i0
+    mat = np.zeros((n_out, n_in), dtype=np.float64)
+    rows = np.arange(n_out)
+    np.add.at(mat, (rows, i0), 1.0 - frac)
+    np.add.at(mat, (rows, i1), frac)
+    return mat
+
+
+@lru_cache(maxsize=None)
+def _area_matrix_np(n_out: int, n_in: int) -> np.ndarray:
+    """torch F.interpolate(mode='area') == adaptive_avg_pool: output cell i
+    averages input cells floor(i*in/out) .. ceil((i+1)*in/out)-1 uniformly."""
+    if n_out == n_in:
+        return np.eye(n_in, dtype=np.float64)
+    mat = np.zeros((n_out, n_in), dtype=np.float64)
+    for i in range(n_out):
+        lo = (i * n_in) // n_out
+        hi = -((-(i + 1) * n_in) // n_out)  # ceil
+        mat[i, lo:hi] = 1.0 / (hi - lo)
+    return mat
+
+
+_MATRIX_FNS = {"area": _area_matrix_np, "bilinear": _bilinear_matrix_np,
+               "bicubic": _bicubic_matrix_np}
+
+
+def torch_resize_np(img: np.ndarray, size: tuple[int, int], mode: str,
+                    scale: float | None = None) -> np.ndarray:
+    """Exact ``F.interpolate(img, size, mode=mode[, align_corners=False])``
+    for a single HWC numpy image (host input pipeline; float32).  Pass
+    ``scale`` when replicating a scale_factor call (coordinate mapping uses
+    the given factor; 'area' ignores it — adaptive pooling)."""
+    h, w = img.shape[:2]
+    oh, ow = size
+    if (oh, ow) == (h, w) and scale is None:
+        return img
+    fn = _MATRIX_FNS[mode]
+    if mode == "area":
+        ay, ax = fn(oh, h), fn(ow, w)
+    else:
+        ay, ax = fn(oh, h, scale), fn(ow, w, scale)
+    ay = ay.astype(np.float32)
+    ax = ax.astype(np.float32)
+    tmp = ay @ img.reshape(h, -1)                       # (oh, w*c)
+    c = img.shape[2] if img.ndim == 3 else 1
+    tmp = tmp.reshape(oh, w, c).transpose(0, 2, 1)      # (oh, c, w)
+    out = tmp @ ax.T                                    # (oh, c, ow)
+    out = out.transpose(0, 2, 1)
+    return out if img.ndim == 3 else out[..., 0]
+
+
+def interp_torch(x: jnp.ndarray, size: tuple[int, int], mode: str) -> jnp.ndarray:
+    """Exact torch-interpolate (area/bilinear/bicubic, align_corners=False,
+    no antialias) for NHWC jnp input — the device-path twin of
+    ``torch_resize_np`` (same cached matrices)."""
+    b, h, w, c = x.shape
+    oh, ow = size
+    if (oh, ow) == (h, w):
+        return x
+    fn = _MATRIX_FNS[mode]
+    ay = jnp.asarray(fn(oh, h), x.dtype)
+    ax = jnp.asarray(fn(ow, w), x.dtype)
     return jnp.einsum("yh,bhwc,xw->byxc", ay, x, ax)
 
 

@@ -93,7 +93,8 @@ def install_reference_stubs() -> None:
 
     # `from basicsr.utils import get_root_logger / bgr2ycbcr / ...` resolves
     # package-level attrs lazily from the real submodules (PEP 562)
-    _utils_sources = ("color_util", "matlab_functions", "img_util", "misc")
+    _utils_sources = ("color_util", "matlab_functions", "img_util", "misc",
+                      "diffjpeg", "img_process_util")
 
     def _utils_getattr(attr):
         if attr == "get_root_logger":
@@ -269,6 +270,26 @@ def install_reference_stubs() -> None:
             tv_utils.make_grid = _no_cuda
             tv.utils = tv_utils
             sys.modules["torchvision.utils"] = tv_utils
+            # degradations.py imports rgb_to_grayscale from the (removed in
+            # modern torchvision) functional_tensor module; faithful stub of
+            # the torchvision implementation: 0.2989 r + 0.587 g + 0.114 b
+            tv_transforms = types.ModuleType("torchvision.transforms")
+            tv_transforms.__path__ = []
+            tv_ft = types.ModuleType("torchvision.transforms.functional_tensor")
+
+            def _rgb_to_grayscale(img, num_output_channels=1):
+                r, g, b_ = img.unbind(dim=-3)
+                l_img = (0.2989 * r + 0.587 * g + 0.114 * b_).to(img.dtype)
+                l_img = l_img.unsqueeze(dim=-3)
+                if num_output_channels == 3:
+                    l_img = l_img.expand(img.shape)
+                return l_img
+
+            tv_ft.rgb_to_grayscale = _rgb_to_grayscale
+            tv_transforms.functional_tensor = tv_ft
+            tv.transforms = tv_transforms
+            sys.modules["torchvision.transforms"] = tv_transforms
+            sys.modules["torchvision.transforms.functional_tensor"] = tv_ft
             sys.modules["torchvision"] = tv
             sys.modules["torchvision.models"] = tv_models
             sys.modules["torchvision.models.vgg"] = tv_vgg
@@ -315,6 +336,10 @@ def install_reference_stubs() -> None:
         sys.modules[spec.name] = diff_util
         spec.loader.exec_module(diff_util)
         arch_util.PixelShufflePack = diff_util.PixelShufflePack
+
+    # ---- KAIR subtree (utils_blindsr as degradation oracle) ----
+    _shell_package("train_BSGRAN", f"{REF_GAN}/train_BSGRAN")
+    _shell_package("train_BSGRAN.utils", f"{REF_GAN}/train_BSGRAN/utils")
 
     # ---- GAN-tree model files as oracles (BBL / imresize / degradation) ----
     # model modules import the builders from package level (real __init__s are
