@@ -2,10 +2,13 @@
 
 Usage:
   python -m ssl_tpu.diffusion.main --train --base configs/SSL/base.yml
+  # the reference's OmegaConf `target:`/`params:` configs are DROP-IN:
+  python -m ssl_tpu.diffusion.main --train --base .../configs/SSL/base.yaml
 
 The Lightning harness (DDP, accumulate_grad_batches, callbacks) maps to:
 jitted train step + optax.MultiSteps accumulation + host degradation pipeline
-+ orbax checkpoints + an image-logger dumping sample grids."""
++ orbax checkpoints + an image-logger dumping sample grids.  Reference-schema
+files are lowered by ssl_tpu.diffusion.ref_config before building."""
 
 from __future__ import annotations
 
@@ -22,9 +25,17 @@ def build_from_config(cfg: dict):
     from ssl_tpu.diffusion import (AutoencoderKL, DiffusionSSLConfig,
                                    EncoderUNetModelWT, StableSRSSL,
                                    UNetModelDualcondV2)
+    from ssl_tpu.diffusion.ref_config import (is_reference_schema,
+                                              translate_reference_config)
     from ssl_tpu.losses.ssl_loss import SSLSetting
     from ssl_tpu.ops.ssg import SSGConfig
 
+    if is_reference_schema(cfg):
+        cfg = translate_reference_config(cfg)
+        if cfg.get("kind") == "cfw":
+            raise SystemExit(
+                "This is a CFW-decoder (AutoencoderKLResi) config — train it "
+                "with: python -m ssl_tpu.diffusion.cfw_train --base <config>")
     m = cfg.get("model", {})
     sslopt = cfg.get("sslopt", {})
     dcfg = DiffusionSSLConfig(
@@ -39,7 +50,7 @@ def build_from_config(cfg: dict):
         ssl_kl_weight=sslopt.get("kl_weight", 0.5),
         context_dim=m.get("context_dim", 1024),
     )
-    unet_cfg = m.get("unet", {})
+    unet_cfg = {k: v for k, v in m.get("unet", {}).items() if k != "context_dim"}
     vae_cfg = m.get("first_stage", {})
     ssg = SSGConfig(search=sslopt.get("kernel_size_search", 25),
                     window=sslopt.get("kernel_size_window", 9),
@@ -77,6 +88,10 @@ def train(args):
 
     with open(args.base) as f:
         cfg = yaml.safe_load(f)
+    from ssl_tpu.diffusion.ref_config import (is_reference_schema,
+                                              translate_reference_config)
+    if is_reference_schema(cfg):
+        cfg = translate_reference_config(cfg)
     model = build_from_config(cfg)
 
     data_cfg = cfg.get("data", {})

@@ -60,8 +60,9 @@ def jpeg_roundtrip(img: np.ndarray, quality: float) -> np.ndarray:
         return jpeg_np(img, quality)
     h, w = img.shape[:2]
     ph, pw = (16 - h % 16) % 16, (16 - w % 16) % 16
+    # constant-0 pad like the reference DiffJPEG (diffjpeg.py:486)
     buf = np.ascontiguousarray(
-        np.pad(img, ((0, ph), (0, pw), (0, 0)), mode="edge"), np.float32)
+        np.pad(img, ((0, ph), (0, pw), (0, 0))), np.float32)
     lib.jpeg_roundtrip(buf, h + ph, w + pw, float(quality))
     return buf[:h, :w]
 

@@ -6,6 +6,8 @@ import pytest
 
 from ssl_tpu.archs import build_network
 
+pytestmark = pytest.mark.slow
+
 
 def _init_apply(net, x, train=True):
     variables = net.init(jax.random.PRNGKey(0), x)

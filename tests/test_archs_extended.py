@@ -7,6 +7,8 @@ import pytest
 from ssl_tpu.archs import build_network
 from ssl_tpu.models import build_model
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("cfg,shape,want", [
     (dict(type="BSRGANRRDBNet", nf=8, nb=1, gc=4, sf=2), (1, 8, 8, 3), (1, 16, 16, 3)),

@@ -1,7 +1,11 @@
 """CLIP BPE tokenizer on a synthetic merges file."""
 import gzip
 
+import pytest
+
 import numpy as np
+
+pytestmark = pytest.mark.slow
 
 
 def _write_merges(path, merges):

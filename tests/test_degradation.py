@@ -10,6 +10,8 @@ from ssl_tpu.data.realesr_degradation import (
 )
 from ssl_tpu.data.realesrgan_dataset import _KernelSynth
 
+pytestmark = pytest.mark.slow
+
 
 def test_kernels_normalized():
     k = bivariate_gaussian(21, 2.0)

@@ -11,6 +11,8 @@ from ssl_tpu.diffusion import (
 from ssl_tpu.diffusion.schedules import predict_start_from_noise, q_sample
 from ssl_tpu.diffusion.color_fix import adain_color_fix, wavelet_color_fix
 
+pytestmark = pytest.mark.slow
+
 
 def test_beta_schedules_monotone():
     for s in ("linear", "cosine", "sqrt_linear", "sqrt"):

@@ -11,6 +11,8 @@ import yaml
 jax = pytest.importorskip("jax")
 import jax.numpy as jnp  # noqa: E402
 
+pytestmark = pytest.mark.slow
+
 
 def _tiny_cfg():
     return {

@@ -6,6 +6,8 @@ import numpy as np
 import pytest
 import yaml
 
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip("torch")
 jax = pytest.importorskip("jax")
 
@@ -100,3 +102,42 @@ def test_inference_cli_end_to_end(tmp_path, monkeypatch):
     mod.main()
     out = np.asarray(Image.open(os.path.join(out_dir, "x.png")))
     assert out.shape == (96, 80, 3) and np.isfinite(out).all()
+
+
+def test_eval_parity_harness_end_to_end(tmp_path):
+    """scripts/eval_parity.py: full protocol (mod-12 crop -> matlab bicubic ->
+    infer -> metric table) PLUS the reference-torch parity columns, on a tiny
+    RRDBNet exported to a torch .pth (VERDICT r2 next-#10)."""
+    import importlib.util
+    import jax.numpy as jnp
+    from ssl_tpu.archs import build_network
+    from ssl_tpu.utils.weight_port import export_rrdbnet_to_torch
+
+    net = build_network(dict(type="RRDBNet", num_feat=8, num_block=2, num_grow_ch=4))
+    v = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+    ckpt = str(tmp_path / "net_g.pth")
+    export_rrdbnet_to_torch(v["params"], ckpt)
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "eval_parity", os.path.join(root, "scripts", "eval_parity.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    result = mod.main([
+        "--ckpt", ckpt,
+        "--arch", '{"type": "RRDBNet", "num_feat": 8, "num_block": 2, "num_grow_ch": 4}',
+        "--synthetic", "2", "--synthetic-size", "48", "--param-key", "params",
+        "--out", str(tmp_path / "sr"), "--json",
+        "--ref-spec", '{"module": "basicsr.archs.rrdbnet_arch", "cls": "RRDBNet",'
+                      ' "kwargs": {"num_in_ch": 3, "num_out_ch": 3, "num_feat": 8,'
+                      ' "num_block": 2, "num_grow_ch": 4}}'])
+
+    assert result["n_images"] == 2
+    for k in ("psnr", "ssim", "psnr_y", "ssim_y", "niqe"):
+        assert k in result["ours"] and k in result["reference"]
+    # same weights through the converter -> elementwise-equal outputs
+    assert result["parity"]["max_abs_diff"] < 5e-4
+    assert result["parity"]["min_output_psnr"] > 60
+    # PNGs written
+    assert len(os.listdir(tmp_path / "sr")) == 2

@@ -1,5 +1,6 @@
 """Smoke tests for the per-arch inference CLIs (reference surface:
 GAN-Based-SR/inference/*.py)."""
+import pytest
 import importlib.util
 import os
 import pickle
@@ -11,6 +12,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
+
+pytestmark = pytest.mark.slow
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _INF = os.path.join(_ROOT, "inference")

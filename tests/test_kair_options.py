@@ -1,9 +1,12 @@
 """KAIR JSON adapter: parse a reference-style JSON and build a model from it."""
+import pytest
 import json
 import os
 
 import numpy as np
 import jax.numpy as jnp
+
+pytestmark = pytest.mark.slow
 
 
 KAIR_JSON = """{

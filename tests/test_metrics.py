@@ -7,6 +7,8 @@ import pytest
 from ssl_tpu.metrics import calculate_metric
 from ssl_tpu.metrics.psnr_ssim import calculate_psnr, calculate_ssim
 
+pytestmark = pytest.mark.slow
+
 
 def test_psnr_known_values():
     a = np.full((32, 32, 3), 100.0)

@@ -6,6 +6,8 @@ import pytest
 
 from ssl_tpu.models import build_model
 
+pytestmark = pytest.mark.slow
+
 
 def _tiny_opt(model_type="SRModel", with_d=False, with_ssl=False):
     opt = {

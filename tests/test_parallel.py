@@ -10,7 +10,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ssl_tpu.parallel.mesh import batch_sharding, create_mesh, replicate_sharding, shard_batch
 
 
-pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")]
 
 
 def test_mesh_and_batch_sharding():

@@ -7,6 +7,8 @@ import numpy as np
 import pytest
 import yaml
 
+pytestmark = pytest.mark.slow
+
 
 def _make_synthetic_dataset(root, n=4, gt=64, scale=4):
     import cv2

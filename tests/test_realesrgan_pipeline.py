@@ -1,10 +1,13 @@
 """RealESRGAN-SSL end-to-end: synthetic GT+mask -> kernels -> host degradation
 -> jitted GAN+SSL step (the full blind-SR slice, SURVEY §3.2)."""
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
 from ssl_tpu.data.realesrgan_dataset import _KernelSynth
 from ssl_tpu.models import build_model
+
+pytestmark = pytest.mark.slow
 
 
 def test_realesrgan_ssl_full_step():

@@ -4,6 +4,8 @@ STATUS.md): the reference's own torch modules from
 travel through the repo converters."""
 from __future__ import annotations
 
+import pytest
+
 import os
 import sys
 import tempfile
@@ -17,6 +19,8 @@ import jax.numpy as jnp  # noqa: E402
 import torch  # noqa: E402
 
 from ref_loader import ref_module  # noqa: E402
+
+pytestmark = pytest.mark.slow
 
 torch.manual_seed(0)
 

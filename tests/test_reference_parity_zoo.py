@@ -6,6 +6,8 @@ parity story.  These tests execute the reference's own nn.Modules
 (/root/reference/Diffusion-Based-SR/basicsr/archs/*.py) on CPU as oracles."""
 from __future__ import annotations
 
+import pytest
+
 import os
 import sys
 
@@ -18,6 +20,8 @@ import jax.numpy as jnp  # noqa: E402
 import torch  # noqa: E402
 
 from ref_loader import ref_module  # noqa: E402
+
+pytestmark = pytest.mark.slow
 
 torch.manual_seed(0)
 

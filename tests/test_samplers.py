@@ -1,4 +1,5 @@
 """Sampler tests: DDIM + spaced DDPM shapes/finiteness, tiled canvas blending."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -6,6 +7,8 @@ import jax.numpy as jnp
 from ssl_tpu.diffusion.sampler import (ddim_sample, gaussian_tile_weights,
                                        spaced_ddpm_sample, tiled_sample)
 from ssl_tpu.diffusion.schedules import build_schedule_arrays, make_beta_schedule
+
+pytestmark = pytest.mark.slow
 
 
 def _fake_model(x, t, context, z_lq):

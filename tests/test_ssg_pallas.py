@@ -1,10 +1,13 @@
 """Pallas fused SSL-loss kernel: interpret-mode parity + custom_vjp gradient."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from ssl_tpu.ops.ssg import SSGConfig, ssl_loss_dense_batched
 from ssl_tpu.ops.ssg_pallas import ssl_loss_sums_pallas
+
+pytestmark = pytest.mark.slow
 
 
 def _data(b=2, c=3, h=20, w=20, seed=0):

@@ -11,6 +11,8 @@ import jax.numpy as jnp
 from ssl_tpu.archs import build_network
 from ssl_tpu.utils.weight_port import convert_rrdbnet, load_params_auto
 
+pytestmark = pytest.mark.slow
+
 
 def _synthetic_rrdb_state_dict(nf=8, gc=4, nb=2, rng=None):
     rng = rng or np.random.RandomState(0)
