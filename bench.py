@@ -56,6 +56,11 @@ def main():
         "path": {},
         "ssl_setting": {"mask_stride": 3, "kernel_size_search": 25, "sigma": 0.004,
                         "kernel_size_window": 9, "generalization": True,
+                        # bf16 q-stack halves the SSL term's HBM streaming —
+                        # precision contract pinned by test_stored_bf16_deviation
+                        # (consistent with the bf16 MXU smap matmuls above)
+                        "q_store_dtype": os.environ.get("BENCH_SSG_STORE_DTYPE",
+                                                        "bfloat16"),
                         "impl": os.environ.get("BENCH_SSL_IMPL", "dense"),
                         "capacity": int(os.environ.get("BENCH_SSL_CAP", str(gt_size * gt_size // 4)))},
         "train": {

@@ -51,6 +51,18 @@ class _RRDBScanCell(nn.Module):
         return RRDB(self.num_feat, self.num_grow_ch)(carry), None
 
 
+def _remat_cell(cell, policy: str):
+    """Wrap a scan cell per the remat policy ('full' | 'dots' | 'none')."""
+    import jax
+    if policy == "full":
+        return nn.remat(cell)
+    if policy == "dots":
+        return nn.remat(cell, policy=jax.checkpoint_policies.checkpoint_dots)
+    if policy == "none":
+        return cell
+    raise ValueError(f"unknown remat_policy {policy!r}")
+
+
 @ARCH_REGISTRY.register()
 class RRDBNet(nn.Module):
     """ESRGAN generator (reference rrdbnet_arch.py:67-140).
@@ -69,6 +81,15 @@ class RRDBNet(nn.Module):
     num_block: int = 23
     num_grow_ch: int = 32
     scan_blocks: bool = True
+    # Rematerialization of the scanned trunk in the backward pass:
+    #   'full' — recompute each block's forward (min memory, +1 fwd of FLOPs)
+    #   'dots' — save conv/matmul outputs, recompute elementwise only
+    #   'none' — save everything (max memory, min FLOPs)
+    # Trunk activations at the shipped train config (b16, 32² feat) are a few
+    # GB — comfortably inside v5e HBM, so training recipes default to 'dots'
+    # via train.remat_policy; 'full' stays the arch default for inference-at-
+    # large-tile safety.
+    remat_policy: str = "full"
 
     @nn.compact
     def __call__(self, x):
@@ -81,8 +102,9 @@ class RRDBNet(nn.Module):
             feat = x
         feat = nn.Conv(self.num_feat, (3, 3), padding="SAME", name="conv_first")(feat)
         if self.scan_blocks:
+            cell = _remat_cell(_RRDBScanCell, self.remat_policy)
             ScanRRDB = nn.scan(
-                nn.remat(_RRDBScanCell), variable_axes={"params": 0},
+                cell, variable_axes={"params": 0},
                 split_rngs={"params": True}, length=self.num_block,
                 metadata_params={nn.meta.PARTITION_NAME: None})
             body, _ = ScanRRDB(self.num_feat, self.num_grow_ch, name="body")(feat, None)

@@ -39,11 +39,14 @@ def ssl_setting_from_opt(opt: dict, train_opt: dict | None = None, gt_size: int 
     esrganssl_model.py:164 vs train_ESRGANSSL_bicubic_x4.yml:70).  Set
     ``ssl_setting.apply_mask_stride: true`` to force it on regardless."""
     s = opt.get("ssl_setting", {})
+    import os as _os
     ssg = SSGConfig(
         search=s.get("kernel_size_search", 25),
         window=s.get("kernel_size_window", 9),
         sigma=s.get("sigma", 0.004),
         generalization=s.get("generalization", True),
+        q_store_dtype=s.get("q_store_dtype",
+                            _os.environ.get("SSG_STORE_DTYPE", "float32")),
     )
     train_opt = train_opt or opt.get("train", {}) or {}
     stride = train_opt.get("mask_stride", 0)
@@ -98,8 +101,11 @@ def ssl_loss(sr: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray, setting: SSLSe
         # recomputes (~3x -> ~1x offset sweeps) when it fits; exact fp32, so
         # value-identical to the scanned path (ops/ssg.py §stored-q)
         import os
+
+        import numpy as _np
         b, h, w = mask.shape
-        store_bytes = n2 * 2 * b * h * w * 4
+        itemsize = _np.dtype(setting.ssg.q_store_dtype).itemsize
+        store_bytes = n2 * 2 * b * h * w * itemsize
         budget = int(os.environ.get("SSG_STORE_BYTES", str(2 * 1024 ** 3)))
         dense_fn = ssl_loss_dense_stored if store_bytes <= budget \
             else ssl_loss_dense_batched

@@ -51,6 +51,14 @@ class SSGConfig(NamedTuple):
     window: int = 9           # kernel_size_window
     sigma: float = 0.004      # scaling factor in exp(-q/sigma)
     generalization: bool = True  # row-normalize each 625-vector
+    # Storage dtype of the stored-q fast path's HBM stack ('float32' |
+    # 'bfloat16').  bf16 halves the dominant HBM traffic of the SSL term;
+    # normalization denominators stay fp32-exact (accumulated pre-cast) and
+    # all arithmetic upcasts on read, so only the q values themselves carry
+    # the bf16 rounding (~2^-9 relative) — of the same order as the bf16 MXU
+    # matmuls already used for the smap in production.  Deviation is pinned
+    # by tests/test_ssg.py::test_stored_bf16_deviation.
+    q_store_dtype: str = "float32"
 
 
 def reflect_pad_2d(img: jnp.ndarray, pad: int) -> jnp.ndarray:
@@ -453,16 +461,42 @@ def _ssl_loss_dense_core(sr: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray,
 # scanned path; selection happens in losses/ssl_loss.py by memory estimate.
 
 def _q_stack(ctx, b, h, w, cfg: SSGConfig):
-    """All q maps, stacked: (n2, 2b, h, w) fp32."""
+    """All q maps, stacked: (n2, 2b, h, w) in cfg.q_store_dtype.
+
+    Also returns the fp32 offset-sums (2b, h, w), accumulated from the
+    PRE-cast q inside the same scan — so the row-normalization denominators
+    are fp32-exact even with bf16 storage.
+
+    With reduced-precision storage the second half holds the DIFFERENCE
+    ``q_sr - q_gt`` (computed fp32, then rounded) instead of ``q_gt``:
+    rounding q_sr and q_gt independently randomizes ``sign(x - y)`` wherever
+    the patches are near-identical (|x-y| below the rounding step), which is
+    exactly where the L1 subgradient lives.  Rounding the difference itself
+    keeps its sign to ~2^-9 RELATIVE error, so the subgradient direction
+    survives (test_stored_bf16_deviation)."""
     n2 = cfg.search * cfg.search
     norm = ctx[0].shape[1] * float(cfg.window) ** 2       # c * window^2
+    store = jnp.dtype(cfg.q_store_dtype)
+    delta = store != jnp.dtype(jnp.float32)
 
-    def body(_, s):
+    def body(r, s):
         q = jnp.exp(-(_dense_smap_b(ctx, s, cfg, h, w) / norm) / cfg.sigma)
-        return None, q
+        out = jnp.concatenate([q[:b], q[:b] - q[b:]], axis=0) if delta else q
+        return r + q, out.astype(store)
 
-    _, qs = lax.scan(body, None, jnp.arange(n2), unroll=_SCAN_UNROLL)
-    return qs
+    nb = ctx[0].shape[0]
+    r, qs = lax.scan(body, jnp.zeros((nb, h, w)), jnp.arange(n2),
+                     unroll=_SCAN_UNROLL)
+    return qs, r
+
+
+def _q_decode(first, second, cfg: SSGConfig):
+    """Decode stored halves -> fp32 (q_sr, q_gt) (see _q_stack): identity for
+    fp32 storage, difference reconstruction (clipped at 0) otherwise."""
+    if jnp.dtype(cfg.q_store_dtype) == jnp.dtype(jnp.float32):
+        return first, second
+    q_sr = first.astype(jnp.float32)
+    return q_sr, jnp.maximum(q_sr - second.astype(jnp.float32), 0.0)
 
 
 def _ssl_loss_dense_core_stored(sr, gt, mask, cfg: SSGConfig):
@@ -470,11 +504,11 @@ def _ssl_loss_dense_core_stored(sr, gt, mask, cfg: SSGConfig):
     ctx = _dense_context_b(jnp.concatenate([sr, jax.lax.stop_gradient(gt)], axis=0), cfg)
     mask = mask.astype(sr.dtype)
     count = jnp.sum(mask)
-    qs = _q_stack(ctx, b, h, w, cfg)                      # (n2, 2b, h, w)
-    q_sr, q_gt = qs[:, :b], qs[:, b:]
+    qs, r = _q_stack(ctx, b, h, w, cfg)                   # (n2, 2b, h, w)
+    q_sr, q_gt = _q_decode(qs[:, :b], qs[:, b:], cfg)
     if cfg.generalization:
-        inv_sr = 1.0 / (jnp.sum(q_sr, axis=0) + 1e-10)
-        inv_gt = 1.0 / (jnp.sum(q_gt, axis=0) + 1e-10)
+        inv_sr = 1.0 / (r[:b] + 1e-10)
+        inv_gt = 1.0 / (r[b:] + 1e-10)
     else:
         inv_sr = inv_gt = jnp.ones((b, h, w))
     x = q_sr * inv_sr[None]
@@ -521,7 +555,7 @@ def _ssl_dense_bwd_stored(sr, gt, mask, inv_sr, inv_gt, g_l1, g_kl, qs,
     def passB(carry, inputs):
         acc1, sumShiftA, sumG = carry
         s, q2 = inputs
-        q_sr, q_gt = q2[:b], q2[b:]
+        q_sr, q_gt = _q_decode(q2[:b], q2[b:], cfg)
         dy, dx, a_y, b_y, a_x, b_x = _shift_bounds(s, cfg)
         x = q_sr * inv_sr
         y = q_gt * inv_gt

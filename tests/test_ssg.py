@@ -147,3 +147,46 @@ def test_stored_q_path_matches_scanned():
         # on an absolute scale relative to the gradient magnitude
         tol = 2e-2 * np.abs(g1).max() + 1e-8
         assert np.abs(g1 - g2).max() < tol, (np.abs(g1 - g2).max(), tol)
+
+
+def test_stored_bf16_deviation():
+    """bf16 q-stack storage (SSGConfig.q_store_dtype='bfloat16'): the
+    documented precision contract — loss values within ~bf16 rounding of the
+    fp32 stored path (denominators stay fp32-exact, and the second stack half
+    stores the fp32-computed DIFFERENCE q_sr-q_gt so sign(x-y) survives
+    rounding — ops/ssg.py:_q_stack), gradient direction preserved.
+
+    Inputs are SMOOTH images (low-pass noise): that is the operating regime,
+    where q spans (0,1] and rows are well-normalized.  On pure iid-noise
+    images every patch SSD is huge, all q underflow, inv saturates at the
+    1e-10 clamp and gradients are ~1e-7 numerical noise — both precisions are
+    then meaningless, so that regime is excluded by construction."""
+    from scipy.ndimage import gaussian_filter
+
+    from ssl_tpu.ops.ssg import ssl_loss_dense_stored
+    rng = np.random.RandomState(3)
+    b, c, h, w = 2, 3, 20, 24
+    base = gaussian_filter(rng.rand(b, c, h, w), sigma=(0, 0, 2, 2)).astype(np.float32)
+    base = (base - base.min()) / (np.ptp(base) + 1e-9)
+    sr = jnp.asarray(base, jnp.float32)
+    gt = jnp.asarray(np.clip(base + 0.05 * rng.randn(b, c, h, w), 0, 1), jnp.float32)
+    mask = jnp.asarray(rng.rand(b, h, w) < 0.2, jnp.float32)
+    cfg32 = SSGConfig(search=9, window=5)
+    cfg16 = SSGConfig(search=9, window=5, q_store_dtype="bfloat16")
+
+    l32 = ssl_loss_dense_stored(sr, gt, mask, cfg32)
+    l16 = ssl_loss_dense_stored(sr, gt, mask, cfg16)
+    assert float(l32[2]) == float(l16[2])          # counts identical
+    for a, b_ in zip(l32[:2], l16[:2]):            # measured ~3e-4 relative
+        rel = abs(float(a) - float(b_)) / (abs(float(a)) + 1e-12)
+        assert rel < 2e-3, rel
+
+    for idx in (0, 1):                             # l1 and kl gradients
+        g32 = np.asarray(jax.grad(
+            lambda z: ssl_loss_dense_stored(z, gt, mask, cfg32)[idx])(sr))
+        g16 = np.asarray(jax.grad(
+            lambda z: ssl_loss_dense_stored(z, gt, mask, cfg16)[idx])(sr))
+        cos = float((g32 * g16).sum() /
+                    (np.linalg.norm(g32) * np.linalg.norm(g16) + 1e-12))
+        assert cos > 0.999, (idx, cos)             # measured 0.9995 / 0.9999
+        assert np.abs(g32 - g16).max() < 0.1 * np.abs(g32).max() + 1e-8
