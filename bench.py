@@ -51,7 +51,10 @@ def main():
         "name": "bench", "model_type": "ESRGANSSLModel", "scale": scale, "is_train": True,
         "manual_seed": 0,
         "datasets": {"train": {"gt_size": gt_size}},
-        "network_g": {"type": "RRDBNet", "num_feat": 64, "num_block": 23, "num_grow_ch": 32},
+        # remat 'none': trunk activations fit v5e HBM at this config and the
+        # recompute-free backward is measured fastest (48.6 vs 54.3ms 'full')
+        "network_g": {"type": "RRDBNet", "num_feat": 64, "num_block": 23, "num_grow_ch": 32,
+                      "remat_policy": os.environ.get("BENCH_REMAT", "none")},
         "network_d": {"type": "UNetDiscriminatorSN", "num_feat": 64},
         "path": {},
         "ssl_setting": {"mask_stride": 3, "kernel_size_search": 25, "sigma": 0.004,
@@ -61,6 +64,10 @@ def main():
                         # (consistent with the bf16 MXU smap matmuls above)
                         "q_store_dtype": os.environ.get("BENCH_SSG_STORE_DTYPE",
                                                         "bfloat16"),
+                        # bf16 padded-image streams: halves the 625-offset
+                        # sweeps' dominant HBM traffic (test_stream_bf16_deviation)
+                        "stream_dtype": os.environ.get("BENCH_SSG_STREAM_DTYPE",
+                                                       "bfloat16"),
                         "impl": os.environ.get("BENCH_SSL_IMPL", "dense"),
                         "capacity": int(os.environ.get("BENCH_SSL_CAP", str(gt_size * gt_size // 4)))},
         "train": {

@@ -47,6 +47,8 @@ def ssl_setting_from_opt(opt: dict, train_opt: dict | None = None, gt_size: int 
         generalization=s.get("generalization", True),
         q_store_dtype=s.get("q_store_dtype",
                             _os.environ.get("SSG_STORE_DTYPE", "float32")),
+        stream_dtype=s.get("stream_dtype",
+                           _os.environ.get("SSG_STREAM_DTYPE", "float32")),
     )
     train_opt = train_opt or opt.get("train", {}) or {}
     stride = train_opt.get("mask_stride", 0)

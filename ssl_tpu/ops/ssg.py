@@ -59,6 +59,16 @@ class SSGConfig(NamedTuple):
     # matmuls already used for the smap in production.  Deviation is pinned
     # by tests/test_ssg.py::test_stored_bf16_deviation.
     q_store_dtype: str = "float32"
+    # Streaming dtype of the padded-image slices inside the offset sweeps
+    # ('float32' | 'bfloat16').  The 625-offset scan re-reads a shifted slice
+    # of the padded image every iteration — at the shipped config that is
+    # ~11 GB of fwd HBM traffic, the single largest stream of the SSL term.
+    # bf16 halves it.  Precision: the box-sum matmuls already round their
+    # operands to bf16 on the MXU (jax_default_matmul_precision=bfloat16 in
+    # production), so rounding P itself adds one more half-ulp of the same
+    # order; squared-difference accumulation over channels stays fp32.
+    # Pinned by tests/test_ssg.py::test_stream_bf16_deviation.
+    stream_dtype: str = "float32"
 
 
 def reflect_pad_2d(img: jnp.ndarray, pad: int) -> jnp.ndarray:
@@ -238,18 +248,23 @@ def _rect_cols_b(rows: jnp.ndarray, lo, hi, p: int, out_w: int) -> jnp.ndarray:
 
 
 def _dense_context_b(img: jnp.ndarray, cfg: SSGConfig):
-    """Batched context. img: (b, c, h, w)."""
+    """Batched context. img: (b, c, h, w).
+
+    P/Pbig are stored in cfg.stream_dtype: the offset sweeps re-stream them
+    625 times, so this dtype sets the dominant HBM traffic of the SSL term.
+    center2/box_c2 are computed fp32 BEFORE the cast (exact box sums)."""
     search, window = cfg.search, cfg.window
     p, k = search // 2, window // 2
     b, c, h, w = img.shape
     P = reflect_pad_2d(img, p)                            # (b, c, hp, wp)
-    Pbig = jnp.pad(P, ((0, 0), (0, 0), (p, p), (p, p)))
     center2 = jnp.sum(P * P, axis=1)                      # (b, hp, wp)
     # full window x window box of center^2 (static band matmuls)
     By = _band_matrix(h, h + 2 * p, p, -k, k)
     Bx = _band_matrix(w, w + 2 * p, p, -k, k)
     rows = jnp.einsum("yu,buv->byv", By, center2, preferred_element_type=jnp.float32)
     box_c2 = jnp.einsum("byv,xv->byx", rows, Bx, preferred_element_type=jnp.float32)
+    P = P.astype(cfg.stream_dtype)
+    Pbig = jnp.pad(P, ((0, 0), (0, 0), (p, p), (p, p)))
     return P, Pbig, center2, box_c2
 
 
@@ -277,7 +292,7 @@ def _dense_smap_b(ctx, s, cfg: SSGConfig, h: int, w: int):
     dy = s // search - p
     dx = s % search - p
     Pshift = lax.dynamic_slice(Pbig, (0, 0, p + dy, p + dx), (b, c, hp, wp))
-    D = jnp.sum((P - Pshift) ** 2, axis=1)                # (b, hp, wp)
+    D = jnp.sum((P - Pshift) ** 2, axis=1, dtype=jnp.float32)  # (b, hp, wp)
     a_y = jnp.maximum(-k, -p - dy)
     b_y = jnp.minimum(k, p - dy)
     a_x = jnp.maximum(-k, -p - dx)
@@ -357,9 +372,12 @@ def ssl_loss_dense_bwd(sr, gt, mask, inv_sr, inv_gt, g_l1, g_kl,
         T, _ = lax.scan(jax.checkpoint(passA), jnp.zeros((b, h, w)), jnp.arange(n2),
                         unroll=_SCAN_UNROLL)
 
-    # pass B: accumulate dP (b,c,hp,wp), sum_A, sum_G
+    # pass B, FACTORED form (same identities as _ssl_dense_bwd_stored):
+    # shift_d(A_d*(P - P_d)) = shiftA_d*(P_{-d} - P), with shiftA_d itself a
+    # band-matmul product under offset bounds — no per-offset canvas, no
+    # (b,c,·,·) shifted tensor.
     def passB(carry, s):
-        dP, sumA, sumG = carry
+        acc1, sumShiftA, sumG = carry
         dy, dx, a_y, b_y, a_x, b_x = _shift_bounds(s, cfg)
         q_sr, q_gt = q_maps(s)
         g_d = g_of(q_sr, q_gt)
@@ -368,26 +386,27 @@ def ssl_loss_dense_bwd(sr, gt, mask, inv_sr, inv_gt, g_l1, g_kl,
         BxT = _band_T(w, wp, p, a_x, b_x)                            # (wp, w)
         rowsA = jnp.einsum("uy,byx->bux", ByT, G_d, preferred_element_type=jnp.float32)
         A_d = jnp.einsum("bux,vx->buv", rowsA, BxT, preferred_element_type=jnp.float32)
-        Pshift = lax.dynamic_slice(Pbig, (0, 0, p + dy, p + dx), (b, c, hp, wp))
-        M = A_d[:, None] * (P - Pshift)                              # (b,c,hp,wp)
-        # scatter shift_{+d}(M): place M into a padded canvas at offset (p+... )
-        canvas = jnp.zeros((b, c, hp + 2 * p, wp + 2 * p))
-        canvas = lax.dynamic_update_slice(canvas, M, (0, 0, p + dy, p + dx))
-        Mshift = canvas[:, :, p:p + hp, p:p + wp]
-        dP = dP + 2.0 * (M - Mshift)
-        return (dP, sumA + A_d, sumG + G_d), None
+        ByT2 = _band_T(h, hp, p, a_y + dy, b_y + dy)
+        BxT2 = _band_T(w, wp, p, a_x + dx, b_x + dx)
+        rowsS = jnp.einsum("uy,byx->bux", ByT2, G_d, preferred_element_type=jnp.float32)
+        shiftA = jnp.einsum("bux,vx->buv", rowsS, BxT2, preferred_element_type=jnp.float32)
+        P_pd = lax.dynamic_slice(Pbig, (0, 0, p + dy, p + dx), (b, c, hp, wp))
+        P_md = lax.dynamic_slice(Pbig, (0, 0, p - dy, p - dx), (b, c, hp, wp))
+        acc1 = (acc1 + A_d[:, None] * P_pd.astype(jnp.float32)
+                + shiftA[:, None] * P_md.astype(jnp.float32))
+        return (acc1, sumShiftA + shiftA, sumG + G_d), None
 
     init = (jnp.zeros((b, c, hp, wp)), jnp.zeros((b, hp, wp)), jnp.zeros((b, h, w)))
-    (dP, sumA, sumG), _ = lax.scan(jax.checkpoint(passB), init, jnp.arange(n2),
-                                   unroll=_SCAN_UNROLL)
+    (acc1, sumShiftA, sumG), _ = lax.scan(jax.checkpoint(passB), init, jnp.arange(n2),
+                                          unroll=_SCAN_UNROLL)
 
-    # C-terms (batched once): +box9^T(sum G) - sum A, times 2P
+    # epilogue: dP = 2[ P*(sum shiftA + A9) - acc1 ]  (the sumA term of the
+    # C-correction cancels against the unfactored form's -sumA)
     By9T = _band_T(h, hp, p, -k, k)
     Bx9T = _band_T(w, wp, p, -k, k)
     rows9 = jnp.einsum("uy,byx->bux", By9T, sumG, preferred_element_type=jnp.float32)
     A9 = jnp.einsum("bux,vx->buv", rows9, Bx9T, preferred_element_type=jnp.float32)
-    dC = A9 - sumA                                                   # (b,hp,wp)
-    dP = dP + 2.0 * dC[:, None] * P
+    dP = 2.0 * ((sumShiftA + A9)[:, None] * P.astype(jnp.float32) - acc1)
 
     # adjoint of reflect-pad
     _, pad_vjp = jax.vjp(lambda im: reflect_pad_2d(im, p), sr)
@@ -545,7 +564,7 @@ def _ssl_dense_bwd_stored(sr, gt, mask, inv_sr, inv_gt, g_l1, g_kl, qs,
     norm = c * float(cfg.window) ** 2
     scale = -1.0 / (norm * cfg.sigma)
     P = reflect_pad_2d(sr, p)
-    Pbig = jnp.pad(P, ((0, 0), (0, 0), (p, p), (p, p)))
+    Pbig = jnp.pad(P.astype(cfg.stream_dtype), ((0, 0), (0, 0), (p, p), (p, p)))
     hp, wp = P.shape[2], P.shape[3]
     mask = mask.astype(sr.dtype)
 
@@ -566,13 +585,21 @@ def _ssl_dense_bwd_stored(sr, gt, mask, inv_sr, inv_gt, g_l1, g_kl, qs,
         BxT = _band_T(w, wp, p, a_x, b_x)
         rowsA = jnp.einsum("uy,byx->bux", ByT, G_d, preferred_element_type=jnp.float32)
         A_d = jnp.einsum("bux,vx->buv", rowsA, BxT, preferred_element_type=jnp.float32)
-        # shiftA_d: zero-fill shift of the CHANNEL-LESS A map
-        acanvas = jnp.zeros((b, hp + 2 * p, wp + 2 * p))
-        acanvas = lax.dynamic_update_slice(acanvas, A_d, (0, p + dy, p + dx))
-        shiftA = acanvas[:, p:p + hp, p:p + wp]
+        # shiftA_d(u,v) = A_d(u-dy, v-dx) zero-filled.  A shift of a band-
+        # matmul product is the SAME product under offset band bounds:
+        #   shift_d(ByT G BxT^T) = ByT' G BxT'^T,
+        #   ByT' = band(a_y+dy, b_y+dy), BxT' = band(a_x+dx, b_x+dx)
+        # (rows/cols that would leave the canvas have empty bands, exactly
+        # reproducing the zero fill) — two more MXU matmuls instead of a
+        # (b, hp+2p, wp+2p) canvas alloc + dynamic-update + crop per offset.
+        ByT2 = _band_T(h, hp, p, a_y + dy, b_y + dy)
+        BxT2 = _band_T(w, wp, p, a_x + dx, b_x + dx)
+        rowsS = jnp.einsum("uy,byx->bux", ByT2, G_d, preferred_element_type=jnp.float32)
+        shiftA = jnp.einsum("bux,vx->buv", rowsS, BxT2, preferred_element_type=jnp.float32)
         P_pd = lax.dynamic_slice(Pbig, (0, 0, p + dy, p + dx), (b, c, hp, wp))
         P_md = lax.dynamic_slice(Pbig, (0, 0, p - dy, p - dx), (b, c, hp, wp))
-        acc1 = acc1 + A_d[:, None] * P_pd + shiftA[:, None] * P_md
+        acc1 = (acc1 + A_d[:, None] * P_pd.astype(jnp.float32)
+                + shiftA[:, None] * P_md.astype(jnp.float32))
         return (acc1, sumShiftA + shiftA, sumG + G_d), None
 
     init = (jnp.zeros((b, c, hp, wp)), jnp.zeros((b, hp, wp)), jnp.zeros((b, h, w)))

@@ -190,3 +190,40 @@ def test_stored_bf16_deviation():
                     (np.linalg.norm(g32) * np.linalg.norm(g16) + 1e-12))
         assert cos > 0.999, (idx, cos)             # measured 0.9995 / 0.9999
         assert np.abs(g32 - g16).max() < 0.1 * np.abs(g32).max() + 1e-8
+
+
+def test_stream_bf16_deviation():
+    """bf16 padded-image streaming (SSGConfig.stream_dtype='bfloat16'): same
+    smooth-image regime and contract shape as test_stored_bf16_deviation —
+    loss values within bf16-rounding relative error of the fp32 streams and
+    gradient direction preserved.  The rounding enters the SSD itself (before
+    exp), so tolerances are looser than the q-storage contract."""
+    from scipy.ndimage import gaussian_filter
+
+    from ssl_tpu.ops.ssg import ssl_loss_dense_stored
+    rng = np.random.RandomState(5)
+    b, c, h, w = 2, 3, 20, 24
+    base = gaussian_filter(rng.rand(b, c, h, w), sigma=(0, 0, 2, 2)).astype(np.float32)
+    base = (base - base.min()) / (np.ptp(base) + 1e-9)
+    sr = jnp.asarray(base, jnp.float32)
+    gt = jnp.asarray(np.clip(base + 0.05 * rng.randn(b, c, h, w), 0, 1), jnp.float32)
+    mask = jnp.asarray(rng.rand(b, h, w) < 0.2, jnp.float32)
+    cfg32 = SSGConfig(search=9, window=5)
+    cfg16 = SSGConfig(search=9, window=5, stream_dtype="bfloat16")
+
+    l32 = ssl_loss_dense_stored(sr, gt, mask, cfg32)
+    l16 = ssl_loss_dense_stored(sr, gt, mask, cfg16)
+    assert float(l32[2]) == float(l16[2])
+    for a, b_ in zip(l32[:2], l16[:2]):
+        rel = abs(float(a) - float(b_)) / (abs(float(a)) + 1e-12)
+        assert rel < 2e-2, rel
+
+    for idx in (0, 1):
+        g32 = np.asarray(jax.grad(
+            lambda z: ssl_loss_dense_stored(z, gt, mask, cfg32)[idx])(sr))
+        g16 = np.asarray(jax.grad(
+            lambda z: ssl_loss_dense_stored(z, gt, mask, cfg16)[idx])(sr))
+        cos = float((g32 * g16).sum() /
+                    (np.linalg.norm(g32) * np.linalg.norm(g16) + 1e-12))
+        assert cos > 0.99, (idx, cos)
+        assert np.abs(g32 - g16).max() < 0.15 * np.abs(g32).max() + 1e-8
