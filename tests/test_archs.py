@@ -26,6 +26,25 @@ def test_rrdbnet_x4_shape():
     assert out.shape == (1, 48, 48, 3)
 
 
+def test_rdb_split_convs_equivalence():
+    """split_convs (by-source kernel regrouping) is the same math and the
+    SAME param pytree as the reference's concat formulation: identical init
+    under one seed, outputs equal to fp32 roundoff."""
+    from ssl_tpu.archs.rrdbnet_arch import ResidualDenseBlock
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 12, 12, 16), jnp.float32)
+    split = ResidualDenseBlock(num_feat=16, num_grow_ch=8, split_convs=True)
+    naive = ResidualDenseBlock(num_feat=16, num_grow_ch=8, split_convs=False)
+    v_s = split.init(jax.random.PRNGKey(3), x)
+    v_n = naive.init(jax.random.PRNGKey(3), x)
+    # identical pytree paths AND identical values (same per-path RNG folding)
+    assert jax.tree_util.tree_structure(v_s) == jax.tree_util.tree_structure(v_n)
+    for a, b in zip(jax.tree_util.tree_leaves(v_s), jax.tree_util.tree_leaves(v_n)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    y_s = split.apply(v_s, x)
+    y_n = naive.apply(v_s, x)
+    np.testing.assert_allclose(np.asarray(y_s), np.asarray(y_n), atol=2e-6)
+
+
 def test_rrdbnet_x2_pixel_unshuffle():
     net = build_network(dict(type="RRDBNet", scale=2, num_feat=8, num_block=1, num_grow_ch=4))
     x = jnp.zeros((1, 16, 16, 3))
