@@ -37,6 +37,9 @@ class SRGANModel(SRModel):
             self.cri_gan = build_loss(train_opt["gan_opt"]) if train_opt.get("gan_opt") else None
             self.net_d_iters = train_opt.get("net_d_iters", 1)
             self.net_d_init_iters = train_opt.get("net_d_init_iters", 0)
+        # stacked real+fake D dispatch (see apply_d_pair; measured slower on
+        # v5e, default off = reference's serial two-call trajectory)
+        self.fuse_d_batch = train_opt.get("fuse_d_batch", False)
 
     # -------------------------------------------------------------- state init
     def init_state(self, lq_shape=(1, 32, 32, 3), seed: int = 0) -> TrainState:
@@ -83,6 +86,32 @@ class SRGANModel(SRModel):
             return out, new_vars.get("batch_stats", stats_d)
         return self.net_d.apply(variables, x, train), stats_d
 
+    def apply_d_pair(self, params_d, stats_d, a, b, train=True):
+        """D on two same-shape batches as ONE stacked call (TPU-native: twice
+        the matmul batch per dispatch instead of two serial chains).
+
+        Returns (pred_a, pred_b, new_stats).  The reference runs the two
+        forwards serially, so its SN power iteration advances once per
+        sub-batch (the fake pass sees the post-real-update u); stacked, both
+        share the pre-call u and the iteration advances once per call — the
+        same fixed point, one step behind.
+
+        Default OFF: on v5e at the bench config the stacked b=32 D phase
+        measured SLOWER than the two serial b=16 chains (118.7 vs 107.6
+        ms/step, reproduced twice — the wider backward schedules worse), and
+        serial is also the reference-exact trajectory.  The knob
+        (``train.fuse_d_batch: true``) stays for other shapes/hardware;
+        equivalence is pinned by test_fused_d_pair_matches_serial."""
+        if not self.fuse_d_batch:
+            pred_a, stats1 = self.apply_d(params_d, stats_d, a, train=train, mutable=True)
+            pred_b, stats2 = self.apply_d(params_d, stats1, b, train=train, mutable=True)
+            return pred_a, pred_b, stats2
+        out, stats = self.apply_d(params_d, stats_d,
+                                  jnp.concatenate([a, b], axis=0),
+                                  train=train, mutable=True)
+        n = a.shape[0]
+        return out[:n], out[n:], stats
+
     def gan_g_loss(self, fake_pred, real_pred):
         if self.relativistic:
             real_pred = jax.lax.stop_gradient(real_pred)
@@ -108,7 +137,10 @@ class SRGANModel(SRModel):
         total, logs, sr = self.g_losses(params_g, state, batch, rng)
         if self.cri_gan is not None:
             # train-mode D (batch statistics), but stat updates are discarded
-            # in the G phase — the D phase owns the stats.
+            # in the G phase — the D phase owns the stats.  Deliberately NOT
+            # a stacked pair here: only the sr half needs a backward, and a
+            # fused concat would drag the gt half through the D input-grad
+            # too (measured 148->130 imgs/s when tried).
             fake_pred, _ = self.apply_d(state.params_d, state.stats_d, sr,
                                         train=True, mutable=True)
             real_pred, _ = self.apply_d(state.params_d, state.stats_d, batch["gt"],
@@ -144,9 +176,8 @@ class SRGANModel(SRModel):
             sr_sg = jax.lax.stop_gradient(sr)
 
             def d_loss_fn(params_d):
-                real_pred, stats1 = self.apply_d(params_d, state.stats_d, batch["gt"],
-                                                 train=True, mutable=True)
-                fake_pred, stats2 = self.apply_d(params_d, stats1, sr_sg, train=True, mutable=True)
+                real_pred, fake_pred, stats2 = self.apply_d_pair(
+                    params_d, state.stats_d, batch["gt"], sr_sg, train=True)
                 loss, d_logs = self.gan_d_loss(real_pred, fake_pred)
                 d_logs["out_d_real"] = jnp.mean(real_pred)
                 d_logs["out_d_fake"] = jnp.mean(fake_pred)

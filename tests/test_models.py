@@ -80,6 +80,35 @@ def test_esrgan_model_gan_step():
         assert np.isfinite(float(logs[key])), key
 
 
+def test_fused_d_pair_matches_serial():
+    """apply_d_pair (stacked real+fake D dispatch) vs the reference's serial
+    two-call trajectory: the only divergence is which SN power-iteration u
+    the fake pass sees (pre- vs post-real-update).  At random init u is far
+    from the top singular vector and one iteration moves sigma a lot, so the
+    comparison warms u up first (5 serial steps), then takes ONE step with
+    each variant from the identical warmed state."""
+    import copy
+
+    import jax as _jax
+    opt = _tiny_opt("ESRGANModel", with_d=True)
+    batch = {k: jnp.asarray(v) for k, v in _batch().items()}
+    models = {}
+    for fused in (True, False):
+        o = copy.deepcopy(opt)
+        o["train"]["fuse_d_batch"] = fused
+        models[fused] = build_model(o)
+    state = models[False].init_state(lq_shape=(2, 8, 8, 3))
+    for _ in range(5):                      # converge the SN power iteration
+        state, _ = models[False].train_step(state, batch)
+    logs = {}
+    for fused in (True, False):             # one step each from the SAME state
+        s = _jax.tree.map(jnp.copy, state)  # train_step donates its input
+        _, logs[fused] = models[fused].train_step(s, batch)
+    for key in ("l_g_gan", "l_d_real", "l_d_fake", "out_d_real", "out_d_fake"):
+        a, b = float(logs[True][key]), float(logs[False][key])
+        assert abs(a - b) < 2e-3 * max(1.0, abs(b)), (key, a, b)
+
+
 def test_esrganssl_full_recipe():
     model = build_model(_tiny_opt("ESRGANSSLModel", with_d=True, with_ssl=True))
     state = model.init_state(lq_shape=(2, 8, 8, 3))
