@@ -20,7 +20,14 @@ class _DegradationMixin:
     """Adds blind degradation to a recipe: host-side parity path (default) or
     the fully on-device jit path (``degradation_device: true`` — the
     degradation runs INSIDE the train step on the TPU, ops/degrade_jax.py;
-    the dataset then only supplies cropped GT + mask + kernels)."""
+    the dataset then only supplies cropped GT + mask + kernels).
+
+    Device mode is the TPU-native fast path (degradation + USM measured free
+    alongside the step, vs a host-core-bound pipeline; numerics oracle-pinned
+    by tests/test_degradation_parity.py) with ONE semantic difference: the
+    reference's 180-slot training-pair shuffle pool (`queue_size`) is a
+    host-side replay buffer and does not exist inside the jit — batches keep
+    dataloader order.  Host mode remains the reference-exact default."""
 
     def _init_degrader(self, opt: dict):
         train_ds = (opt.get("datasets") or {}).get("train") or {}
@@ -65,7 +72,13 @@ class _DegradationMixin:
         if not getattr(self, "device_degrade", False):
             return base
         from ssl_tpu.ops.degrade_jax import degrade_two_stage_jax
+        from ssl_tpu.ops.img_process import usm_sharp
         cfg = self.degrade_cfg
+        # *_gt_usm targets need the sharpened GT; in device mode USM rides the
+        # same jit (oracle-pinned vs the reference's usm_sharp in
+        # tests/test_degradation_parity.py) instead of the host pipeline.
+        need_usm = any(getattr(self, f, False)
+                       for f in ("l1_gt_usm", "percep_gt_usm", "gan_gt_usm"))
 
         def step(state, batch):
             if "lq" not in batch:
@@ -76,6 +89,8 @@ class _DegradationMixin:
                 batch = {k: v for k, v in batch.items()
                          if k not in ("kernel1", "kernel2", "sinc_kernel")}
                 batch["lq"] = lq
+                if need_usm and "gt_usm" not in batch:
+                    batch["gt_usm"] = usm_sharp(batch["gt"])
             return base(state, batch)
         return step
 

@@ -110,6 +110,56 @@ def test_device_degradation_train_step():
     assert int(state.step) == 2
 
 
+def test_device_mode_usm_target():
+    """Device mode computes gt_usm INSIDE the jit (l1_gt_usm default true):
+    the step's pixel loss must equal a host-side step fed the same lq and a
+    host-sharpened gt_usm (usm parity itself is oracle-pinned elsewhere)."""
+    from ssl_tpu.data.realesr_degradation import usm_sharp_np
+    from ssl_tpu.ops.degrade_jax import degrade_two_stage_jax
+    opt = {
+        "name": "dev_usm", "model_type": "RealESRGANSSLModel", "scale": 4,
+        "is_train": True, "manual_seed": 0, "degradation_device": True,
+        "queue_size": 0, "datasets": {"train": {"gt_size": 32}},
+        "network_g": {"type": "MSRResNet", "num_feat": 8, "num_block": 1, "upscale": 4},
+        "network_d": {"type": "UNetDiscriminatorSN", "num_feat": 4},
+        "path": {},
+        "train": {
+            "ema_decay": 0.0,
+            "optim_g": {"type": "Adam", "lr": 1e-4}, "optim_d": {"type": "Adam", "lr": 1e-4},
+            "pixel_opt": {"type": "L1Loss", "loss_weight": 1.0},
+            "gan_opt": {"type": "GANLoss", "gan_type": "vanilla", "loss_weight": 1e-1},
+        },
+    }
+    model = build_model(opt)
+    rng = np.random.RandomState(7)
+    b = 2
+    synth = _KernelSynth({})
+    ks = [synth.sample() for _ in range(b)]
+    gt = rng.rand(b, 32, 32, 3).astype(np.float32)
+    batch = {
+        "gt": jnp.asarray(gt),
+        "kernel1": jnp.asarray(np.stack([k[0] for k in ks])),
+        "kernel2": jnp.asarray(np.stack([k[1] for k in ks])),
+        "sinc_kernel": jnp.asarray(np.stack([k[2] for k in ks])),
+    }
+    state = model.init_state(lq_shape=(b, 8, 8, 3))
+    # reproduce the in-step degradation to get the same lq, then feed the
+    # pre-paired batch (base path, host-sharpened target) for comparison
+    import jax as _jax
+    key = _jax.random.fold_in(state.rng, 0x5351)
+    lq = degrade_two_stage_jax(key, batch["gt"], batch["kernel1"],
+                               batch["kernel2"], batch["sinc_kernel"],
+                               model.degrade_cfg)
+    host_batch = {"gt": jnp.asarray(gt), "lq": lq,
+                  "gt_usm": jnp.asarray(np.stack([usm_sharp_np(g) for g in gt]))}
+    s1 = _jax.tree.map(jnp.copy, state)
+    _, logs_dev = model.train_step(s1, batch)
+    s2 = _jax.tree.map(jnp.copy, state)
+    _, logs_host = model.train_step(s2, host_batch)
+    a, b_ = float(logs_dev["l_pix"]), float(logs_host["l_pix"])
+    assert abs(a - b_) < 1e-4 * max(1.0, abs(b_)), (a, b_)
+
+
 def test_realesrnet_model_degrades_then_trains():
     """RealESRNetModel (reference realesrnet_model.py): blind degradation +
     pixel-only recipe — MUST degrade (VERDICT r2 missing #3)."""
