@@ -233,21 +233,27 @@ class StableSRSSL:
                     x0_pred = model_out
                 l_simple = jnp.mean((model_out - target) ** 2)
 
-                # decoded-x0 losses (decode stays differentiable; remat bounds memory)
-                decode_ckpt = jax.checkpoint(lambda z: self.decode(vae_params, z))
-                img_pred = decode_ckpt(x0_pred)
-                img01 = jnp.clip((img_pred + 1.0) / 2.0, 0.0, 1.0)
-                gt01 = batch["gt"]
-                l_pixel = cfg.pixel_weight * jnp.mean(jnp.abs(img01 - gt01))
-
-                logs = {"l_simple": l_simple, "l_pixel": l_pixel}
-                total = l_simple + l_pixel
-                if "gt_mask" in batch and (self.ssl_setting.l1_weight > 0 or
-                                           self.ssl_setting.kl_weight > 0):
-                    l_ss, l_kl = ssl_loss(img01, gt01, batch["gt_mask"], self.ssl_setting)
-                    total += l_ss + l_kl
-                    logs["l_selfsim"] = l_ss
-                    logs["l_selfsim_kl"] = l_kl
+                # decoded-x0 losses (decode stays differentiable; remat bounds
+                # memory).  Skipped entirely when nothing consumes the decoded
+                # image (pixel_weight 0 and SSL off) — XLA cannot DCE the
+                # decode through `0.0 * mean(...)` itself.
+                use_ssl = "gt_mask" in batch and (self.ssl_setting.l1_weight > 0 or
+                                                  self.ssl_setting.kl_weight > 0)
+                logs = {"l_simple": l_simple}
+                total = l_simple
+                if cfg.pixel_weight > 0 or use_ssl:
+                    decode_ckpt = jax.checkpoint(lambda z: self.decode(vae_params, z))
+                    img_pred = decode_ckpt(x0_pred)
+                    img01 = jnp.clip((img_pred + 1.0) / 2.0, 0.0, 1.0)
+                    gt01 = batch["gt"]
+                    l_pixel = cfg.pixel_weight * jnp.mean(jnp.abs(img01 - gt01))
+                    logs["l_pixel"] = l_pixel
+                    total = total + l_pixel
+                    if use_ssl:
+                        l_ss, l_kl = ssl_loss(img01, gt01, batch["gt_mask"], self.ssl_setting)
+                        total += l_ss + l_kl
+                        logs["l_selfsim"] = l_ss
+                        logs["l_selfsim_kl"] = l_kl
                 logs["l_total"] = total
                 return total, logs
 
