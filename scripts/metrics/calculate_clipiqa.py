@@ -2,7 +2,8 @@
 
 No-reference metric: scores the restored folder only.  Needs CLIP_RN50_PTH
 (OpenAI CLIP RN50 checkpoint) and CLIP_BPE_PATH (BPE vocab) or --prompt_tokens
-(precomputed (2,77) token ids for 'Good photo.' / 'Bad photo.')."""
+(precomputed (2k,77) token ids for the k antonym pairs; the default is the
+reference CLIPIQA's 5 pairs, ssl_tpu.metrics.clipiqa.ANTONYM_PROMPTS)."""
 import argparse
 import os
 import sys

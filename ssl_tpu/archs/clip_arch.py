@@ -52,28 +52,33 @@ class Bottleneck(nn.Module):
 
 
 class AttentionPool2d(nn.Module):
-    """CLIP attention pooling: mean-token query over flattened feature map
-    with a learned positional embedding (resized bilinearly for non-224
-    inputs, matching clipiqa's clip_model.py)."""
+    """CLIP attention pooling: mean-token query over the flattened feature
+    map.  ``use_pos`` mirrors the vendored clip_model.py's ``pos_embedding``
+    flag (clipiqa_pyiqa/clip_model.py:221-227): False (CLIPIQA's default —
+    clipiqa_arch.py:101 ``pos_embedding=False``) adds NO positional
+    embedding, which is what makes arbitrary input sizes work; True resizes
+    the whole (tokens, C) embedding matrix with 2-D torch bicubic to
+    (HW+1, C) — since C is unchanged that is an exact 1-D bicubic along the
+    token axis (including the cls row, faithfully odd as the reference)."""
     embed_dim: int
     num_heads: int
     output_dim: int
     spacial_dim: int = 7
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, use_pos: bool = False):
+        from ssl_tpu.ops.torch_resize import interp_bicubic
         b, h, w, c = x.shape
         seq = x.reshape(b, h * w, c)
         seq = jnp.concatenate([seq.mean(axis=1, keepdims=True), seq], axis=1)
         pos = self.param("positional_embedding",
                          nn.initializers.normal(c ** -0.5),
                          (self.spacial_dim ** 2 + 1, c))
-        if h * w != self.spacial_dim ** 2:  # resize for non-224 inputs
-            cls_pos, grid = pos[:1], pos[1:]
-            grid = grid.reshape(self.spacial_dim, self.spacial_dim, c)
-            grid = jax.image.resize(grid, (h, w, c), method="bilinear")
-            pos = jnp.concatenate([cls_pos, grid.reshape(h * w, c)], axis=0)
-        seq = seq + pos[None]
+        if use_pos:
+            if h * w != self.spacial_dim ** 2:
+                pos = interp_bicubic(pos[None, :, :, None],
+                                     (h * w + 1, c))[0, :, :, 0]
+            seq = seq + pos[None]
         q = nn.Dense(c, name="q_proj")(seq[:, :1])
         k = nn.Dense(c, name="k_proj")(seq)
         v = nn.Dense(c, name="v_proj")(seq)
@@ -93,9 +98,10 @@ class ModifiedResNet(nn.Module):
     width: int = 64
     output_dim: int = 1024
     heads: int = 32
+    attn_spacial_dim: int = 7  # input_resolution // 32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, use_pos: bool = False):
         bn = lambda name: nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                        epsilon=1e-5, name=name)
         # 3-conv stem, stride 2 then avgpool
@@ -112,7 +118,8 @@ class ModifiedResNet(nn.Module):
                 stride = 2 if (j == 0 and i > 0) else 1
                 x = Bottleneck(planes, stride, name=f"layer{i+1}_{j}")(x, train)
         return AttentionPool2d(self.width * 32, self.heads, self.output_dim,
-                               name="attnpool")(x)
+                               spacial_dim=self.attn_spacial_dim,
+                               name="attnpool")(x, use_pos=use_pos)
 
 
 class _TextBlock(nn.Module):
@@ -122,7 +129,7 @@ class _TextBlock(nn.Module):
     @nn.compact
     def __call__(self, x, mask):
         b, n, c = x.shape
-        y = nn.LayerNorm(name="ln_1")(x)
+        y = nn.LayerNorm(epsilon=1e-5, name="ln_1")(x)
         qkv = nn.Dense(c * 3, name="in_proj")(y)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         hd = c // self.heads
@@ -132,7 +139,7 @@ class _TextBlock(nn.Module):
         o = jnp.einsum("bhnm,bhmd->bhnd", attn, rs(v))
         o = o.transpose(0, 2, 1, 3).reshape(b, n, c)
         x = x + nn.Dense(c, name="out_proj")(o)
-        y = nn.LayerNorm(name="ln_2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, name="ln_2")(x)
         y = nn.Dense(c * 4, name="c_fc")(y)
         y = y * jax.nn.sigmoid(1.702 * y)  # QuickGELU
         return x + nn.Dense(c, name="c_proj")(y)
@@ -157,7 +164,7 @@ class CLIPTextEncoder(nn.Module):
             (self.context_length, self.width))
         self.blocks = [_TextBlock(self.width, self.heads, name=f"resblock_{i}")
                        for i in range(self.layers)]
-        self.ln_final = nn.LayerNorm(name="ln_final")
+        self.ln_final = nn.LayerNorm(epsilon=1e-5, name="ln_final")
         self.text_projection = self.param(
             "text_projection", nn.initializers.normal(self.width ** -0.5),
             (self.width, self.embed_dim))

@@ -88,11 +88,11 @@ class GMSA(nn.Module):
         b, h, w, c = x.shape
         if self.calc_attn:
             y = nn.Conv(c * 2, (1, 1))(x)
-            y = nn.LayerNorm()(y)
+            y = nn.LayerNorm(epsilon=1e-5)(y)
             split = [c * 2 // 3] * 3
         else:
             y = nn.Conv(c, (1, 1))(x)
-            y = nn.LayerNorm()(y)
+            y = nn.LayerNorm(epsilon=1e-5)(y)
             split = [c // 3] * 3
         xs = jnp.split(y, [split[0], split[0] + split[1]], axis=-1)
         ys, atns = [], []

@@ -86,7 +86,7 @@ class SwinBlock(nn.Module):
         b, h, w, c = x.shape
         win = self.window
         shortcut = x
-        y = nn.LayerNorm()(x)
+        y = nn.LayerNorm(epsilon=1e-5)(x)
         if self.shift > 0:
             y = jnp.roll(y, (-self.shift, -self.shift), axis=(1, 2))
             mask = jnp.asarray(_attn_mask(h, w, win, self.shift))
@@ -101,7 +101,7 @@ class SwinBlock(nn.Module):
             y = jnp.roll(y, (self.shift, self.shift), axis=(1, 2))
         x = shortcut + y
         # MLP
-        y = nn.LayerNorm()(x)
+        y = nn.LayerNorm(epsilon=1e-5)(x)
         y = nn.Dense(int(c * self.mlp_ratio))(y)
         y = nn.gelu(y)
         y = nn.Dense(c)(y)
@@ -191,10 +191,10 @@ class SwinIR(nn.Module):
         feat = nn.Conv(self.embed_dim, (3, 3), padding="SAME", name="conv_first")(x)
         body = feat
         if self.patch_norm:
-            body = nn.LayerNorm(name="patch_embed_norm")(body)
+            body = nn.LayerNorm(epsilon=1e-5, name="patch_embed_norm")(body)
         for i, (d, nh) in enumerate(zip(self.depths, self.num_heads)):
             body = RSTB(self.embed_dim, d, nh, win, self.mlp_ratio, name=f"layer_{i}")(body)
-        body = nn.LayerNorm(name="norm")(body)
+        body = nn.LayerNorm(epsilon=1e-5, name="norm")(body)
         body = nn.Conv(self.embed_dim, (3, 3), padding="SAME", name="conv_after_body")(body)
         feat = feat + body
 

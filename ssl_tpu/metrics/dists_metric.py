@@ -63,8 +63,10 @@ class DISTS(nn.Module):
         mean = jnp.asarray([0.485, 0.456, 0.406])
         std = jnp.asarray([0.229, 0.224, 0.225])
         net = VGG16Stages(name="vgg16")
-        fx = net((x - mean) / std)
-        fy = net((y - mean) / std)
+        # stage-0 features are the RAW input (DISTS_pytorch forward_once
+        # returns [x, relu1_2, ...] with only the VGG path normalized)
+        fx = [x] + net((x - mean) / std)[1:]
+        fy = [y] + net((y - mean) / std)[1:]
         chans = [3] + [c for c, _ in _VGG16_STAGES]
         total_c = sum(chans)
         alpha = self.param("alpha", nn.initializers.constant(0.1), (total_c,))

@@ -82,7 +82,8 @@ class _InceptionA(nn.Module):
         b3 = _BasicConv(64, (1, 1))(x)
         b3 = _BasicConv(96, (3, 3))(b3)
         b3 = _BasicConv(96, (3, 3))(b3)
-        bp = nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME")
+        bp = nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME",
+                         count_include_pad=False)  # FIDInceptionA patch
         bp = _BasicConv(self.pool_features, (1, 1))(bp)
         return jnp.concatenate([b1, b5, b3, bp], axis=-1)
 
@@ -112,7 +113,8 @@ class _InceptionC(nn.Module):
         bd = _BasicConv(self.c7, (1, 7))(bd)
         bd = _BasicConv(self.c7, (7, 1))(bd)
         bd = _BasicConv(192, (1, 7))(bd)
-        bp = nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME")
+        bp = nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME",
+                         count_include_pad=False)  # FIDInceptionC patch
         bp = _BasicConv(192, (1, 1))(bp)
         return jnp.concatenate([b1, b7, bd, bp], axis=-1)
 
@@ -146,7 +148,8 @@ class _InceptionE(nn.Module):
         bdb = _BasicConv(384, (3, 1))(bd)
         bd = jnp.concatenate([bda, bdb], axis=-1)
         if self.pool_type == "avg":
-            bp = nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME")
+            bp = nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME",
+                             count_include_pad=False)  # FIDInceptionE_1 patch
         else:  # FID variant: max pool in the last block
             bp = nn.max_pool(x, (3, 3), strides=(1, 1), padding="SAME")
         bp = _BasicConv(192, (1, 1))(bp)
@@ -161,8 +164,11 @@ class InceptionV3FID(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        b = x.shape[0]
-        x = jax.image.resize(x, (b, 299, 299, 3), method="bilinear")
+        if x.shape[1:3] != (299, 299):
+            # torch-exact F.interpolate bilinear (the reference wrapper,
+            # inception.py:139) — jax.image.resize antialiases on downsample
+            from ssl_tpu.ops.torch_resize import interp_torch
+            x = interp_torch(x, (299, 299), "bilinear")
         x = x * 2.0 - 1.0
         x = _BasicConv(32, (3, 3), strides=2, padding="VALID")(x)
         x = _BasicConv(32, (3, 3), padding="VALID")(x)
@@ -186,14 +192,15 @@ class InceptionV3FID(nn.Module):
 
 
 def load_inception(weights_path: str | None = None, seed: int = 0):
-    """Build the extractor; load FID weights from .pth if provided/available."""
+    """Build the extractor; load FID weights from .pth if provided/available
+    (pt_inception-2015-12-05 layout via convert_fid_inception)."""
     model = InceptionV3FID()
     variables = jax.jit(model.init)(jax.random.PRNGKey(seed), jnp.zeros((1, 64, 64, 3)))
     path = weights_path or os.environ.get("FID_INCEPTION_PTH")
     if path and os.path.exists(path):
-        from ssl_tpu.utils.weight_port import load_torch_state_dict
-        # full key mapping is arch-specific; left as a follow-up converter
-        import logging
-        logging.getLogger("ssl_tpu").warning(
-            "FID inception .pth conversion not yet wired; using random init")
+        from ssl_tpu.utils.weight_port import (convert_fid_inception,
+                                               load_torch_state_dict)
+        params, stats = convert_fid_inception(load_torch_state_dict(path))
+        variables = {"params": jax.tree_util.tree_map(jnp.asarray, params),
+                     "batch_stats": jax.tree_util.tree_map(jnp.asarray, stats)}
     return model, variables

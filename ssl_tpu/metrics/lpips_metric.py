@@ -52,8 +52,10 @@ class LPIPSAlex(nn.Module):
             a = a / (jnp.linalg.norm(a, axis=-1, keepdims=True) + 1e-10)
             b = b / (jnp.linalg.norm(b, axis=-1, keepdims=True) + 1e-10)
             d = (a - b) ** 2
+            # 1x1-conv lin head exactly as the lpips package (no abs — the
+            # official heads are trained non-negative; we apply them verbatim)
             w = self.param(f"lin{i}", nn.initializers.ones, (d.shape[-1],))
-            total = total + jnp.mean(jnp.sum(d * jnp.abs(w), axis=-1), axis=(1, 2))
+            total = total + jnp.mean(jnp.sum(d * w, axis=-1), axis=(1, 2))
         return total
 
 

@@ -1638,6 +1638,82 @@ def convert_clip_rn50(sd: dict):
     return vis, vstats, text
 
 
+# torchvision inception_v3 branch orders, matched to metrics/fid.py's
+# @nn.compact call order (flax auto-names _BasicConv_{i} inside each block)
+_FID_STEM = ["Conv2d_1a_3x3", "Conv2d_2a_3x3", "Conv2d_2b_3x3",
+             "Conv2d_3b_1x1", "Conv2d_4a_3x3"]
+_FID_BLOCKS = [
+    ("Mixed_5b", "_InceptionA_0", ["branch1x1", "branch5x5_1", "branch5x5_2",
+                                   "branch3x3dbl_1", "branch3x3dbl_2",
+                                   "branch3x3dbl_3", "branch_pool"]),
+    ("Mixed_5c", "_InceptionA_1", None),
+    ("Mixed_5d", "_InceptionA_2", None),
+    ("Mixed_6a", "_InceptionB_0", ["branch3x3", "branch3x3dbl_1",
+                                   "branch3x3dbl_2", "branch3x3dbl_3"]),
+    ("Mixed_6b", "_InceptionC_0", ["branch1x1", "branch7x7_1", "branch7x7_2",
+                                   "branch7x7_3", "branch7x7dbl_1",
+                                   "branch7x7dbl_2", "branch7x7dbl_3",
+                                   "branch7x7dbl_4", "branch7x7dbl_5",
+                                   "branch_pool"]),
+    ("Mixed_6c", "_InceptionC_1", None),
+    ("Mixed_6d", "_InceptionC_2", None),
+    ("Mixed_6e", "_InceptionC_3", None),
+    ("Mixed_7a", "_InceptionD_0", ["branch3x3_1", "branch3x3_2",
+                                   "branch7x7x3_1", "branch7x7x3_2",
+                                   "branch7x7x3_3", "branch7x7x3_4"]),
+    ("Mixed_7b", "_InceptionE_0", ["branch1x1", "branch3x3_1", "branch3x3_2a",
+                                   "branch3x3_2b", "branch3x3dbl_1",
+                                   "branch3x3dbl_2", "branch3x3dbl_3a",
+                                   "branch3x3dbl_3b", "branch_pool"]),
+    ("Mixed_7c", "_InceptionE_1", None),
+]
+
+
+def convert_fid_inception(sd: dict):
+    """FID InceptionV3 .pth (pytorch-fid / reference archs/inception.py
+    layout: torchvision inception keys `Mixed_5b.branch1x1.conv.weight`,
+    BasicConv2d = conv(bias-free)+BN(eps 1e-3)) -> metrics/fid.py
+    InceptionV3FID (params, batch_stats).  The classifier `fc.*` is unused
+    by the pool3 feature extractor and skipped."""
+    params: dict = {}
+    stats: dict = {}
+
+    def put_basic(flax_name: str, torch_name: str):
+        params[flax_name] = {
+            "Conv_0": {"kernel": _conv_w(sd[f"{torch_name}.conv.weight"])},
+            "BatchNorm_0": {"scale": _to_np(sd[f"{torch_name}.bn.weight"]),
+                            "bias": _to_np(sd[f"{torch_name}.bn.bias"])},
+        }
+        stats[flax_name] = {
+            "BatchNorm_0": {"mean": _to_np(sd[f"{torch_name}.bn.running_mean"]),
+                            "var": _to_np(sd[f"{torch_name}.bn.running_var"])},
+        }
+
+    for i, name in enumerate(_FID_STEM):
+        put_basic(f"_BasicConv_{i}", name)
+    branch_cache: dict = {}
+    for torch_block, flax_block, branches in _FID_BLOCKS:
+        kind = flax_block.rsplit("_", 1)[0]
+        if branches is not None:
+            branch_cache[kind] = branches
+        node_p: dict = {}
+        node_s: dict = {}
+        for bi, branch in enumerate(branch_cache[kind]):
+            base = f"{torch_block}.{branch}"
+            node_p[f"_BasicConv_{bi}"] = {
+                "Conv_0": {"kernel": _conv_w(sd[f"{base}.conv.weight"])},
+                "BatchNorm_0": {"scale": _to_np(sd[f"{base}.bn.weight"]),
+                                "bias": _to_np(sd[f"{base}.bn.bias"])},
+            }
+            node_s[f"_BasicConv_{bi}"] = {
+                "BatchNorm_0": {"mean": _to_np(sd[f"{base}.bn.running_mean"]),
+                                "var": _to_np(sd[f"{base}.bn.running_var"])},
+            }
+        params[flax_block] = node_p
+        stats[flax_block] = node_s
+    return params, stats
+
+
 def export_unet_disc_sn_to_torch(params: dict, path: str, param_key: str = "params") -> None:
     """Inverse port: our UNetDiscriminatorSN tree -> reference torch
     spectral_norm layout (conv{N}.weight_orig + power-iterated weight_u/v

@@ -249,6 +249,14 @@ def install_reference_stubs() -> None:
             tv_vgg.VGG19_Weights = type("VGG19_Weights", (), {"DEFAULT": None})
             tv_vgg.VGG16_Weights = type("VGG16_Weights", (), {"DEFAULT": None})
             tv_models.vgg = tv_vgg
+            # inception: faithful torch re-implementation of the canonical
+            # inception_v3 architecture (random weights) so the reference's
+            # archs/inception.py (fid_inception_v3 subclasses
+            # models.inception.InceptionA/C/E) executes for real
+            import _tv_inception_stub as _inc
+            sys.modules["torchvision.models.inception"] = _inc
+            tv_models.inception = _inc
+            tv_models.inception_v3 = _inc.inception_v3
             tv.models = tv_models
             # torchvision.ops.deform_conv2d (used by basicvsrpp's
             # SecondOrderDeformableAlignment) shares the mmcv offset layout;
@@ -353,6 +361,49 @@ def install_reference_stubs() -> None:
         pkg = sys.modules[pkg_name]
         if not hasattr(pkg, attr):
             setattr(pkg, attr, _no_cuda)
+
+    # ---- vendored CLIP + clipiqa (CLIPIQA oracle) ----
+    # clip/clip.py imports pkg_resources.packaging and ftfy at module level;
+    # neither is in this image.  packaging itself IS available; ftfy's
+    # fix_text is identity on the clean ASCII prompt strings the oracles use.
+    if "pkg_resources" not in sys.modules:
+        try:
+            import pkg_resources  # noqa: F401
+        except ImportError:
+            import packaging as _packaging
+            pr = types.ModuleType("pkg_resources")
+            pr.packaging = _packaging
+            if not hasattr(_packaging, "version"):
+                import packaging.version  # noqa: F401
+            sys.modules["pkg_resources"] = pr
+    if "ftfy" not in sys.modules:
+        try:
+            import ftfy  # noqa: F401
+        except ImportError:
+            ftfy_stub = types.ModuleType("ftfy")
+            ftfy_stub.fix_text = lambda s: s
+            sys.modules["ftfy"] = ftfy_stub
+    # clip/clip.py's preprocessing imports (never exercised by the oracles —
+    # CLIPIQA feeds tensors directly)
+    tv_transforms = sys.modules.get("torchvision.transforms")
+    if tv_transforms is not None:
+        for _n in ("Compose", "Resize", "CenterCrop", "ToTensor", "Normalize"):
+            if not hasattr(tv_transforms, _n):
+                setattr(tv_transforms, _n, _no_cuda)
+        if not hasattr(tv_transforms, "InterpolationMode"):
+            tv_transforms.InterpolationMode = type(
+                "InterpolationMode", (), {"BICUBIC": "bicubic"})
+    clip_pkg = _shell_package("clip", f"{REF_GAN}/clip")
+    _shell_package("clipiqa_pyiqa", f"{REF_GAN}/clipiqa_pyiqa")
+    # expose clip.tokenize (the shell package skips clip/__init__.py's
+    # `from .clip import *`); the submodule builds the tokenizer from the
+    # vendored bpe_simple_vocab_16e6.txt.gz at import time
+    try:
+        clip_impl = importlib.import_module("clip.clip")
+        clip_pkg.tokenize = clip_impl.tokenize
+    except Exception as e:  # pragma: no cover - keep other oracles usable
+        clip_pkg.tokenize = _no_cuda
+        logging.getLogger(__name__).warning("vendored clip unavailable: %s", e)
 
     _installed = True
 
