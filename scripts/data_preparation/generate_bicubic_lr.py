@@ -23,6 +23,11 @@ def main():
     parser.add_argument("--mod", type=int, default=12, help="mod-crop GT first (0=off)")
     parser.add_argument("--gt_output", default=None, help="save mod-cropped GT here")
     parser.add_argument("--mode", choices=["bicubic", "realesrgan", "bsrgan"], default="bicubic")
+    parser.add_argument("--list", dest="list_file", default=None,
+                        help="meta list of relative sub-dirs/files (e.g. Vimeo90K "
+                             "sep_trainlist.txt '00001/0001' septuplets, the "
+                             "generate_LR_Vimeo90K.m workflow); structure is "
+                             "mirrored under --output")
     args = parser.parse_args()
 
     os.makedirs(args.output, exist_ok=True)
@@ -37,10 +42,27 @@ def main():
         degrader = RealESRGANDegrader({}, scale=args.scale, queue_size=0)
         degrader.pool = None
 
-    for i, name in enumerate(sorted(os.listdir(args.input))):
+    if args.list_file:
+        names = []
+        with open(args.list_file) as f:
+            for rel in (ln.strip() for ln in f if ln.strip()):
+                full = os.path.join(args.input, rel)
+                if os.path.isdir(full):
+                    names.extend(os.path.join(rel, fn) for fn in sorted(os.listdir(full)))
+                else:
+                    names.append(rel)
+    else:
+        names = sorted(os.listdir(args.input))
+
+    for i, name in enumerate(names):
         img = cv2.imread(os.path.join(args.input, name), cv2.IMREAD_COLOR)
         if img is None:
             continue
+        os.makedirs(os.path.dirname(os.path.join(args.output, name)) or ".",
+                    exist_ok=True)
+        if args.gt_output:
+            os.makedirs(os.path.dirname(os.path.join(args.gt_output, name)) or ".",
+                        exist_ok=True)
         if args.mod:
             h, w = img.shape[:2]
             img = img[: h - h % args.mod, : w - w % args.mod]

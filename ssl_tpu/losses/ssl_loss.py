@@ -49,6 +49,8 @@ def ssl_setting_from_opt(opt: dict, train_opt: dict | None = None, gt_size: int 
                             _os.environ.get("SSG_STORE_DTYPE", "float32")),
         stream_dtype=s.get("stream_dtype",
                            _os.environ.get("SSG_STREAM_DTYPE", "float32")),
+        pair_offsets=s.get("pair_offsets",
+                           _os.environ.get("SSG_PAIR_OFFSETS", "1") != "0"),
     )
     train_opt = train_opt or opt.get("train", {}) or {}
     stride = train_opt.get("mask_stride", 0)

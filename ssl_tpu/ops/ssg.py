@@ -69,6 +69,14 @@ class SSGConfig(NamedTuple):
     # order; squared-difference accumulation over channels stays fp32.
     # Pinned by tests/test_ssg.py::test_stream_bf16_deviation.
     stream_dtype: str = "float32"
+    # Offset pairing in the stored-q fast path: the raw SSD map of offset -d
+    # is a pure shift of offset +d's (D_{-d}(u,v) = D_d(u-dy, v-dx)), and a
+    # shift of a banded box-sum is the same box-sum under offset band bounds
+    # (DESIGN_SSG §9) — so the forward computes ONE squared-difference map
+    # per (+d, -d) pair, and the backward streams each Pbig slice pair once
+    # per pair instead of twice (P_pd(-d) = P_md(+d)).  Exact, no
+    # approximation; knob kept for on-chip A/B.
+    pair_offsets: bool = True
 
 
 def reflect_pad_2d(img: jnp.ndarray, pad: int) -> jnp.ndarray:
@@ -518,13 +526,89 @@ def _q_decode(first, second, cfg: SSGConfig):
     return q_sr, jnp.maximum(q_sr - second.astype(jnp.float32), 0.0)
 
 
+def _paired_bounds(s, cfg: SSGConfig):
+    """Window bounds for offset index s (= +d) AND its mirror -d.
+
+    Returns (dy, dx, bounds(+d), bounds(-d)).  The mirror of flat index s is
+    n2-1-s (search is odd), whose offset is exactly -d."""
+    p, k = cfg.search // 2, cfg.window // 2
+    dy = s // cfg.search - p
+    dx = s % cfg.search - p
+    bp = (jnp.maximum(-k, -p - dy), jnp.minimum(k, p - dy),
+          jnp.maximum(-k, -p - dx), jnp.minimum(k, p - dx))
+    bm = (jnp.maximum(-k, -p + dy), jnp.minimum(k, p + dy),
+          jnp.maximum(-k, -p + dx), jnp.minimum(k, p + dx))
+    return dy, dx, bp, bm
+
+
+def _q_stack_paired(ctx, b, h, w, cfg: SSGConfig):
+    """Offset-PAIRED q stack: (n2//2, 2, 2b, h, w) for offsets (+d, -d),
+    plus the fp32 offset-sums r INCLUDING the analytic center offset (d=0,
+    where the windowed SSD is identically 0 so q ≡ 1 — bit-equal to what the
+    scan would compute since P - P = 0 exactly in any dtype).
+
+    One squared-difference map D per pair: D_{-d}(u,v) = D_{+d}(u-dy, v-dx),
+    and a shift of a banded box-sum is the same box-sum under offset band
+    bounds, so the mirror's rect rides two more small matmuls instead of a
+    second Pbig slice + (2b, c, hp, wp) squared-difference stream.  center2
+    is offset-independent, hence its own (-d)-banded rect."""
+    search = cfg.search
+    p = search // 2
+    n2 = search * search
+    half = n2 // 2
+    norm = ctx[0].shape[1] * float(cfg.window) ** 2       # c * window^2
+    store = jnp.dtype(cfg.q_store_dtype)
+    delta = store != jnp.dtype(jnp.float32)
+    P, Pbig, center2, box_c2 = ctx
+    nb, c, hp, wp = P.shape
+
+    def enc(q):
+        out = jnp.concatenate([q[:b], q[:b] - q[b:]], axis=0) if delta else q
+        return out.astype(store)
+
+    def body(r, s):
+        dy, dx, (a_y, b_y, a_x, b_x), (m_y, n_y, m_x, n_x) = _paired_bounds(s, cfg)
+        Pshift = lax.dynamic_slice(Pbig, (0, 0, p + dy, p + dx), (nb, c, hp, wp))
+        D = jnp.sum((P - Pshift) ** 2, axis=1, dtype=jnp.float32)
+        # +d: fold center2 into the same banded box-sum (as _dense_smap_b)
+        By = _band_matrix(h, hp, p, a_y, b_y)
+        Bx = _band_matrix(w, wp, p, a_x, b_x)
+        rows = jnp.einsum("yu,buv->byv", By, D - center2,
+                          preferred_element_type=jnp.float32)
+        rect_p = jnp.einsum("byv,xv->byx", rows, Bx,
+                            preferred_element_type=jnp.float32) + box_c2
+        # -d: box-sum of the SHIFTED D under offset band bounds, minus the
+        # (-d)-banded box of the unshifted center2
+        By2 = _band_matrix(h, hp, p, m_y - dy, n_y - dy)
+        Bx2 = _band_matrix(w, wp, p, m_x - dx, n_x - dx)
+        rowsD = jnp.einsum("yu,buv->byv", By2, D, preferred_element_type=jnp.float32)
+        rectD = jnp.einsum("byv,xv->byx", rowsD, Bx2, preferred_element_type=jnp.float32)
+        ByC = _band_matrix(h, hp, p, m_y, n_y)
+        BxC = _band_matrix(w, wp, p, m_x, n_x)
+        rowsC = jnp.einsum("yu,buv->byv", ByC, center2, preferred_element_type=jnp.float32)
+        rectC = jnp.einsum("byv,xv->byx", rowsC, BxC, preferred_element_type=jnp.float32)
+        rect_m = rectD - rectC + box_c2
+        q_p = jnp.exp(-(rect_p / norm) / cfg.sigma)
+        q_m = jnp.exp(-(rect_m / norm) / cfg.sigma)
+        return r + q_p + q_m, jnp.stack([enc(q_p), enc(q_m)])
+
+    r, qs = lax.scan(body, jnp.zeros((nb, h, w)), jnp.arange(half),
+                     unroll=_SCAN_UNROLL)
+    return qs, r + 1.0  # center offset: q ≡ 1
+
+
 def _ssl_loss_dense_core_stored(sr, gt, mask, cfg: SSGConfig):
     b, c, h, w = sr.shape
     ctx = _dense_context_b(jnp.concatenate([sr, jax.lax.stop_gradient(gt)], axis=0), cfg)
     mask = mask.astype(sr.dtype)
     count = jnp.sum(mask)
-    qs, r = _q_stack(ctx, b, h, w, cfg)                   # (n2, 2b, h, w)
-    q_sr, q_gt = _q_decode(qs[:, :b], qs[:, b:], cfg)
+    if cfg.pair_offsets:
+        qs, r = _q_stack_paired(ctx, b, h, w, cfg)        # (n2//2, 2, 2b, h, w)
+        q_flat = qs.reshape((-1,) + qs.shape[2:])
+    else:
+        qs, r = _q_stack(ctx, b, h, w, cfg)               # (n2, 2b, h, w)
+        q_flat = qs
+    q_sr, q_gt = _q_decode(q_flat[:, :b], q_flat[:, b:], cfg)
     if cfg.generalization:
         inv_sr = 1.0 / (r[:b] + 1e-10)
         inv_gt = 1.0 / (r[b:] + 1e-10)
@@ -538,6 +622,15 @@ def _ssl_loss_dense_core_stored(sr, gt, mask, cfg: SSGConfig):
     kl_sum = jnp.sum(mask[None] * (ys_ * (jnp.log(ys_) - jnp.log(xs_))))
     a_map = jnp.sum(jnp.sign(x - y) * x, axis=0)
     b_map = jnp.sum(y * (x > 1e-10), axis=0)
+    if cfg.pair_offsets:
+        # center offset (q ≡ 1): x = inv_sr, y = inv_gt, analytically
+        xc, yc = inv_sr, inv_gt
+        l1_sum = l1_sum + jnp.sum(mask * jnp.abs(xc - yc))
+        xs_c = jnp.clip(xc, min=1e-10)
+        ys_c = jnp.clip(yc, min=1e-10)
+        kl_sum = kl_sum + jnp.sum(mask * (ys_c * (jnp.log(ys_c) - jnp.log(xs_c))))
+        a_map = a_map + jnp.sign(xc - yc) * xc
+        b_map = b_map + yc * (xc > 1e-10)
     return l1_sum, kl_sum, count, inv_sr, inv_gt, a_map, b_map, qs
 
 
@@ -617,6 +710,86 @@ def _ssl_dense_bwd_stored(sr, gt, mask, inv_sr, inv_gt, g_l1, g_kl, qs,
     return d_sr
 
 
+def _ssl_dense_bwd_stored_paired(sr, gt, mask, inv_sr, inv_gt, g_l1, g_kl, qs,
+                                 cfg: SSGConfig, a_map, b_map):
+    """Offset-PAIRED twin of _ssl_dense_bwd_stored.
+
+    Per (+d, -d) pair the two Pbig slices are swaps of each other
+    (P_{+e}|_{e=-d} = P_{-d-slice}), so each slice is streamed ONCE and the
+    pair's four A/shiftA maps fold into the same two channel-broadcast
+    accumulations:
+
+      acc1 += (A_{+d} + shiftA_{-d})·P_{+d} + (A_{-d} + shiftA_{+d})·P_{-d}
+
+    The center offset (d = 0, q ≡ 1) is added analytically after the scan
+    with the full-window band (its A = shiftA and both slices are P)."""
+    b, c, h, w = sr.shape
+    search = cfg.search
+    p, k = search // 2, cfg.window // 2
+    norm = c * float(cfg.window) ** 2
+    scale = -1.0 / (norm * cfg.sigma)
+    P = reflect_pad_2d(sr, p)
+    Pbig = jnp.pad(P.astype(cfg.stream_dtype), ((0, 0), (0, 0), (p, p), (p, p)))
+    hp, wp = P.shape[2], P.shape[3]
+    mask = mask.astype(sr.dtype)
+
+    T = ((1.0 / inv_sr) * mask * (g_l1 * a_map - g_kl * b_map)
+         if cfg.generalization else jnp.zeros((b, h, w)))
+
+    def g_map(q_sr, q_gt):
+        x = q_sr * inv_sr
+        y = q_gt * inv_gt
+        g_d = mask * (g_l1 * jnp.sign(x - y) +
+                      g_kl * jnp.where(x > 1e-10, -y / jnp.clip(x, min=1e-10), 0.0))
+        return (inv_sr * g_d - inv_sr * inv_sr * T) * q_sr * scale
+
+    def band_box(G, lo_y, hi_y, lo_x, hi_x):
+        ByT = _band_T(h, hp, p, lo_y, hi_y)
+        BxT = _band_T(w, wp, p, lo_x, hi_x)
+        rows = jnp.einsum("uy,byx->bux", ByT, G, preferred_element_type=jnp.float32)
+        return jnp.einsum("bux,vx->buv", rows, BxT, preferred_element_type=jnp.float32)
+
+    def passB(carry, inputs):
+        acc1, sumShiftA, sumG = carry
+        s, qpair = inputs
+        dy, dx, (a_y, b_y, a_x, b_x), (m_y, n_y, m_x, n_x) = _paired_bounds(s, cfg)
+        G_p = g_map(*_q_decode(qpair[0, :b], qpair[0, b:], cfg))
+        G_m = g_map(*_q_decode(qpair[1, :b], qpair[1, b:], cfg))
+        A_p = band_box(G_p, a_y, b_y, a_x, b_x)
+        S_p = band_box(G_p, a_y + dy, b_y + dy, a_x + dx, b_x + dx)
+        A_m = band_box(G_m, m_y, n_y, m_x, n_x)
+        S_m = band_box(G_m, m_y - dy, n_y - dy, m_x - dx, n_x - dx)
+        P_pd = lax.dynamic_slice(Pbig, (0, 0, p + dy, p + dx), (b, c, hp, wp))
+        P_md = lax.dynamic_slice(Pbig, (0, 0, p - dy, p - dx), (b, c, hp, wp))
+        acc1 = (acc1 + (A_p + S_m)[:, None] * P_pd.astype(jnp.float32)
+                + (A_m + S_p)[:, None] * P_md.astype(jnp.float32))
+        return (acc1, sumShiftA + S_p + S_m, sumG + G_p + G_m), None
+
+    half = (search * search) // 2
+    init = (jnp.zeros((b, c, hp, wp)), jnp.zeros((b, hp, wp)), jnp.zeros((b, h, w)))
+    (acc1, sumShiftA, sumG), _ = lax.scan(passB, init, (jnp.arange(half), qs),
+                                          unroll=_SCAN_UNROLL)
+
+    # center offset: q ≡ 1 so x = inv_sr, y = inv_gt; d = 0 → shiftA = A and
+    # both slices are P itself (through the same stream-dtype round trip)
+    G_c = g_map(jnp.ones((b, h, w)), jnp.ones((b, h, w)))
+    A_c = band_box(G_c, -k, k, -k, k)
+    P0 = P.astype(cfg.stream_dtype).astype(jnp.float32)
+    acc1 = acc1 + (2.0 * A_c)[:, None] * P0
+    sumShiftA = sumShiftA + A_c
+    sumG = sumG + G_c
+
+    By9T = _band_T(h, hp, p, -k, k)
+    Bx9T = _band_T(w, wp, p, -k, k)
+    rows9 = jnp.einsum("uy,byx->bux", By9T, sumG, preferred_element_type=jnp.float32)
+    A9 = jnp.einsum("bux,vx->buv", rows9, Bx9T, preferred_element_type=jnp.float32)
+    dP = 2.0 * ((sumShiftA + A9)[:, None] * P - acc1)
+
+    _, pad_vjp = jax.vjp(lambda im: reflect_pad_2d(im, p), sr)
+    (d_sr,) = pad_vjp(dP)
+    return d_sr
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def ssl_loss_dense_stored(sr: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray,
                           cfg: SSGConfig = SSGConfig()):
@@ -635,8 +808,8 @@ def _ssl_stored_fwd(sr, gt, mask, cfg):
 def _ssl_stored_bwd(cfg, res, g):
     sr, gt, mask, inv_sr, inv_gt, a_map, b_map, qs = res
     g_l1, g_kl, _ = g
-    d_sr = _ssl_dense_bwd_stored(sr, gt, mask, inv_sr, inv_gt, g_l1, g_kl, qs,
-                                 cfg, a_map, b_map)
+    bwd = _ssl_dense_bwd_stored_paired if cfg.pair_offsets else _ssl_dense_bwd_stored
+    d_sr = bwd(sr, gt, mask, inv_sr, inv_gt, g_l1, g_kl, qs, cfg, a_map, b_map)
     return d_sr, jnp.zeros_like(gt), jnp.zeros_like(mask)
 
 

@@ -149,6 +149,40 @@ def test_stored_q_path_matches_scanned():
         assert np.abs(g1 - g2).max() < tol, (np.abs(g1 - g2).max(), tol)
 
 
+def test_pair_offsets_knob_equivalence():
+    """pair_offsets=True (one SSD map + banded-shift rect per (+d,-d) pair,
+    analytic center offset) must match the unpaired stored path in values and
+    gradients — the pairing is algebraically exact (DESIGN_SSG §10)."""
+    from ssl_tpu.ops.ssg import ssl_loss_dense_stored
+    rng = np.random.RandomState(1)
+    b, c, h, w = 2, 3, 20, 17
+    sr = jnp.asarray(rng.rand(b, c, h, w), jnp.float32)
+    gt = jnp.asarray(rng.rand(b, c, h, w), jnp.float32)
+    mask = jnp.asarray(rng.rand(b, h, w) < 0.2, jnp.float32)
+    for base in (SSGConfig(search=9, window=5),
+                 SSGConfig(search=7, window=3, generalization=False),
+                 SSGConfig(search=9, window=5, q_store_dtype="bfloat16",
+                           stream_dtype="bfloat16")):
+        on = base._replace(pair_offsets=True)
+        off = base._replace(pair_offsets=False)
+        bf16 = base.q_store_dtype != "float32"
+        a = ssl_loss_dense_stored(sr, gt, mask, on)
+        u = ssl_loss_dense_stored(sr, gt, mask, off)
+        for x, y in zip(a, u):
+            # atol floor: the KL sum is a near-zero difference of large
+            # accumulations, so fp32 summation ORDER shows up as ~1e-7 abs
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=2e-3 if bf16 else 1e-5,
+                                       atol=1e-5 if bf16 else 5e-7)
+        g1 = np.asarray(jax.grad(
+            lambda z: sum(ssl_loss_dense_stored(z, gt, mask, on)[:2]))(sr))
+        g2 = np.asarray(jax.grad(
+            lambda z: sum(ssl_loss_dense_stored(z, gt, mask, off)[:2]))(sr))
+        # same accumulation-order budget as test_stored_q_path_matches_scanned
+        tol = (5e-2 if bf16 else 2e-2) * np.abs(g2).max() + 1e-8
+        assert np.abs(g1 - g2).max() < tol, (np.abs(g1 - g2).max(), tol)
+
+
 def test_stored_bf16_deviation():
     """bf16 q-stack storage (SSGConfig.q_store_dtype='bfloat16'): the
     documented precision contract — loss values within ~bf16 rounding of the
