@@ -276,3 +276,44 @@ class StableSRSSL:
         if self._train_step is None:
             self._train_step = jax.jit(self.make_train_step(), donate_argnums=(0,))
         return self._train_step(state, batch)
+
+    # ---------------------------------------------------------------- preview
+    def make_preview(self):
+        """Training-time image preview (the Lightning ImageLogger surface,
+        reference main.py:300-404 log_img): inputs, GT, VAE reconstruction
+        and the single-step decoded x0 prediction at t = T/2, all in [0,1].
+        Deterministic (fixed key) so successive dumps are comparable."""
+        cfg, sched = self.cfg, self.sched
+
+        def preview_fn(state: DiffusionTrainState, batch: dict):
+            r_noise, r_enc = jax.random.split(jax.random.PRNGKey(0))
+            gt = batch["gt"] * 2.0 - 1.0
+            lq = batch["lq"] * 2.0 - 1.0
+            b = gt.shape[0]
+            vae_params = state.frozen["vae"]
+            params = self.infer_params(state)
+            z0 = self.encode(vae_params, gt, r_enc)
+            z_lq = self.encode(vae_params, lq, r_enc)
+            t = jnp.full((b,), sched.num_timesteps // 2, jnp.int32)
+            noise = jax.random.normal(r_noise, z0.shape)
+            z_noisy = q_sample(sched, z0, t, noise)
+            context = jnp.broadcast_to(params["null_context"],
+                                       (b,) + params["null_context"].shape)
+            model_out = self.apply_model(params, z_noisy, t, context, z_lq)
+            if cfg.parameterization == "eps":
+                x0_pred = predict_start_from_noise(sched, z_noisy, t, model_out)
+            elif cfg.parameterization == "v":
+                x0_pred = predict_start_from_v(sched, z_noisy, t, model_out)
+            else:
+                x0_pred = model_out
+            to01 = lambda x: jnp.clip((x + 1.0) / 2.0, 0.0, 1.0)
+            return {"inputs": batch["lq"], "gt": batch["gt"],
+                    "reconstruction": to01(self.decode(vae_params, z0)),
+                    "pred_x0": to01(self.decode(vae_params, x0_pred))}
+
+        return preview_fn
+
+    def preview(self, state, batch):
+        if getattr(self, "_preview", None) is None:
+            self._preview = jax.jit(self.make_preview())
+        return self._preview(state, batch)

@@ -113,8 +113,20 @@ def train(args):
     total_steps = cfg.get("train", {}).get("max_steps", 800000)
     log_every = cfg.get("train", {}).get("log_every", 100)
     save_every = cfg.get("train", {}).get("save_every", 1000)
+    # Lightning ImageLogger parity (reference main.py:300-404, default
+    # batch_frequency 1000): dump inputs/gt/reconstruction/pred_x0 grids
+    image_every = cfg.get("train", {}).get("image_every", save_every)
     out_dir = args.logdir
     os.makedirs(out_dir, exist_ok=True)
+
+    def _dump_images(step, batch):
+        imgs = model.preview(state, batch)
+        img_dir = os.path.join(out_dir, "images", "train")
+        os.makedirs(img_dir, exist_ok=True)
+        for key, val in imgs.items():
+            grid = np.concatenate(list(np.asarray(val)), axis=1)  # row of b
+            bgr = (np.clip(grid, 0, 1)[..., ::-1] * 255.0).round().astype(np.uint8)
+            cv2.imwrite(os.path.join(img_dir, f"{key}_gs-{step:06d}.png"), bgr)
 
     step = 0
     t0 = time.time()
@@ -138,6 +150,8 @@ def train(args):
                 host = {k: float(v) for k, v in logs.items()}
                 print(f"step {step} ({(time.time()-t0)/log_every:.2f}s/it): {host}", flush=True)
                 t0 = time.time()
+            if image_every and step % image_every == 0:
+                _dump_images(step, device_batch)
             if step % save_every == 0:
                 import pickle
                 with open(os.path.join(out_dir, f"ckpt_{step}.pkl"), "wb") as f:
