@@ -16,7 +16,17 @@ import os
 import pickle
 import sys
 
+# offline host-side conversion never needs an accelerator — force CPU (the
+# image's site hook pins JAX_PLATFORMS=axon, so both the env var and the
+# post-import config update are needed) so the tool works, and the test stays
+# hermetic, even when the TPU tunnel is unreachable
+os.environ["JAX_PLATFORMS"] = "cpu"
+
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 
 def main():

@@ -90,6 +90,18 @@ def test_stablesr_ssl_train_step():
         assert np.isfinite(float(logs[k])), k
     assert int(state.step) == 1
 
+    # ImageLogger-parity preview (main.py image dumps): 4 image stacks in
+    # [0,1] at GT resolution, deterministic across calls (fixed key)
+    imgs = model.preview(state, batch)
+    assert set(imgs) == {"inputs", "gt", "reconstruction", "pred_x0"}
+    for k, v in imgs.items():
+        v = np.asarray(v)
+        assert v.shape == (1, 32, 32, 3), k
+        assert np.isfinite(v).all() and v.min() >= 0.0 and v.max() <= 1.0, k
+    again = model.preview(state, batch)
+    np.testing.assert_array_equal(np.asarray(imgs["pred_x0"]),
+                                  np.asarray(again["pred_x0"]))
+
 
 def test_color_fix():
     rng = np.random.RandomState(0)
