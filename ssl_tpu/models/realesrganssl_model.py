@@ -16,6 +16,59 @@ from ssl_tpu.models.sr_model import SRModel
 from ssl_tpu.utils.registry import MODEL_REGISTRY
 
 
+def _queue_shuffle_jit(state, batch, qsize: int, rng):
+    """The reference's training-pair pool `_dequeue_and_enqueue`
+    (realesrganssl_model.py:326-367) INSIDE the jit: buffers live in
+    ``TrainState.extra``.  Until the pool is full, batches pass through while
+    filling it; once full, the pool is permuted, its first b slots are
+    dequeued as the training batch and the incoming batch takes their place.
+    lq/gt(/gt_usm/gt_mask) are pooled together so pairs never decohere."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    qkeys = [k for k in ("lq", "gt", "gt_usm", "gt_mask") if k in batch]
+    b = batch["lq"].shape[0]
+    assert qsize % b == 0, (
+        f"queue_size {qsize} must be divisible by batch size {b} "
+        "(reference realesrganssl_model.py:334)")
+    extra = dict(state.extra) if isinstance(state.extra, dict) else {}
+    if "queue_ptr" not in extra:
+        extra["queue_ptr"] = jnp.zeros((), jnp.int32)
+        for k in qkeys:
+            extra[f"queue_{k}"] = jnp.zeros((qsize,) + batch[k].shape[1:],
+                                            batch[k].dtype)
+    ptr = extra["queue_ptr"]
+    perm = jax.random.permutation(rng, qsize)
+    bufs = [extra[f"queue_{k}"] for k in qkeys]
+    cur = [batch[k] for k in qkeys]
+
+    def when_full(args):
+        bufs, cur = args
+        newbufs, out = [], []
+        for buf, c in zip(bufs, cur):
+            sbuf = jnp.take(buf, perm, axis=0)
+            out.append(sbuf[:b])
+            newbufs.append(lax.dynamic_update_slice(sbuf, c, (0,) * buf.ndim))
+        return newbufs, out, ptr
+
+    def when_filling(args):
+        bufs, cur = args
+        newbufs = [lax.dynamic_update_slice(buf, c, (ptr,) + (0,) * (buf.ndim - 1))
+                   for buf, c in zip(bufs, cur)]
+        return newbufs, list(cur), ptr + b
+
+    newbufs, out, new_ptr = lax.cond(ptr >= qsize, when_full, when_filling,
+                                     (bufs, cur))
+    extra["queue_ptr"] = new_ptr
+    for k, nb in zip(qkeys, newbufs):
+        extra[f"queue_{k}"] = nb
+    batch = dict(batch)
+    for k, o in zip(qkeys, out):
+        batch[k] = o
+    return state.replace(extra=extra), batch
+
+
 class _DegradationMixin:
     """Adds blind degradation to a recipe: host-side parity path (default) or
     the fully on-device jit path (``degradation_device: true`` — the
@@ -24,10 +77,12 @@ class _DegradationMixin:
 
     Device mode is the TPU-native fast path (degradation + USM measured free
     alongside the step, vs a host-core-bound pipeline; numerics oracle-pinned
-    by tests/test_degradation_parity.py) with ONE semantic difference: the
-    reference's 180-slot training-pair shuffle pool (`queue_size`) is a
-    host-side replay buffer and does not exist inside the jit — batches keep
-    dataloader order.  Host mode remains the reference-exact default."""
+    by tests/test_degradation_parity.py).  The reference's training-pair
+    shuffle pool (`queue_size`, realesrganssl_model.py:326-367) lives INSIDE
+    the jit in this mode: queue buffers ride ``TrainState.extra`` and the
+    dequeue/enqueue (shuffle-when-full, then swap the first b slots) is
+    lax.cond'd on the fill pointer — same semantics as the reference's
+    host-side pool, keyed PRNG instead of torch randperm."""
 
     def _init_degrader(self, opt: dict):
         train_ds = (opt.get("datasets") or {}).get("train") or {}
@@ -80,6 +135,8 @@ class _DegradationMixin:
         need_usm = any(getattr(self, f, False)
                        for f in ("l1_gt_usm", "percep_gt_usm", "gan_gt_usm"))
 
+        qsize = int(self.opt.get("queue_size", 180) or 0)
+
         def step(state, batch):
             if "lq" not in batch:
                 import jax
@@ -91,6 +148,9 @@ class _DegradationMixin:
                 batch["lq"] = lq
                 if need_usm and "gt_usm" not in batch:
                     batch["gt_usm"] = usm_sharp(batch["gt"])
+                if qsize > 0:
+                    state, batch = _queue_shuffle_jit(
+                        state, batch, qsize, jax.random.fold_in(state.rng, 0x51))
             return base(state, batch)
         return step
 

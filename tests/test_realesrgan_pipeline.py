@@ -110,6 +110,63 @@ def test_device_degradation_train_step():
     assert int(state.step) == 2
 
 
+def test_device_mode_in_jit_queue():
+    """queue_size > 0 in device mode: the reference's training-pair pool
+    rides TrainState.extra inside the jit — fills for qsize/b steps (batches
+    pass through), then permutes and swaps the first b slots."""
+    opt = {
+        "name": "dev_q", "model_type": "RealESRGANSSLModel", "scale": 4,
+        "is_train": True, "manual_seed": 0, "degradation_device": True,
+        "queue_size": 4, "datasets": {"train": {"gt_size": 32}},
+        "network_g": {"type": "MSRResNet", "num_feat": 8, "num_block": 1, "upscale": 4},
+        "network_d": {"type": "UNetDiscriminatorSN", "num_feat": 4},
+        "path": {},
+        "ssl_setting": {"impl": "dense", "kernel_size_search": 9,
+                        "sigma": 0.004, "kernel_size_window": 5, "generalization": True},
+        "train": {
+            "optim_g": {"type": "Adam", "lr": 1e-4}, "optim_d": {"type": "Adam", "lr": 1e-4},
+            "pixel_opt": {"type": "L1Loss", "loss_weight": 1.0},
+            "selfsim_opt": {"type": "L1Loss", "loss_weight": 1e3},
+            "gan_opt": {"type": "GANLoss", "gan_type": "vanilla", "loss_weight": 1e-1},
+        },
+    }
+    model = build_model(opt)
+    rng = np.random.RandomState(1)
+    b = 2
+    synth = _KernelSynth({})
+    ks = [synth.sample() for _ in range(b)]
+
+    def mk_batch(seed):
+        r = np.random.RandomState(seed)
+        return {
+            "gt": jnp.asarray(r.rand(b, 32, 32, 3), jnp.float32),
+            "gt_mask": jnp.asarray(r.rand(b, 32, 32, 1) < 0.25, jnp.float32),
+            "kernel1": jnp.asarray(np.stack([k[0] for k in ks])),
+            "kernel2": jnp.asarray(np.stack([k[1] for k in ks])),
+            "sinc_kernel": jnp.asarray(np.stack([k[2] for k in ks])),
+        }
+
+    state = model.init_state(lq_shape=(b, 8, 8, 3))
+    gts = []
+    for step in range(4):
+        batch = mk_batch(step)
+        gts.append(np.asarray(batch["gt"]))
+        state, logs = model.train_step(state, batch)
+        assert np.isfinite(float(logs["l_pix"]))
+    # fill phase ran 2 steps (qsize=4, b=2), then the pointer pins at qsize
+    assert int(state.extra["queue_ptr"]) == 4
+    qgt = np.asarray(state.extra["queue_gt"])
+    # every pooled GT row is one of the fed GT images (pairs pooled verbatim)
+    fed = np.concatenate(gts, axis=0).reshape(4 * b, -1)
+    pooled = qgt.reshape(4, -1)
+    for row in pooled:
+        assert np.min(np.abs(fed - row).max(axis=1)) < 1e-6
+    # pool actually swaps: after the full phase the buffer is not just the
+    # first two batches in order
+    first_two = np.concatenate(gts[:2], axis=0)
+    assert not np.allclose(qgt, first_two)
+
+
 def test_device_mode_usm_target():
     """Device mode computes gt_usm INSIDE the jit (l1_gt_usm default true):
     the step's pixel loss must equal a host-side step fed the same lq and a
