@@ -110,6 +110,25 @@ def train(args):
                                   queue_size=cfg.get("degradation", {}).get("queue_size", 0))
 
     state = model.init_state(gt_shape=(batch_size, gt_size, gt_size, 3))
+    # resume (reference main.py --resume / Lightning resume_from_checkpoint):
+    # restores the FULL train state — params, EMA, optimizer, rng, step
+    if getattr(args, "resume", None):
+        import glob
+        import pickle
+        path = args.resume
+        if path == "auto":
+            cands = glob.glob(os.path.join(args.logdir, "train_state_*.pkl"))
+            path = max(cands, key=lambda p: int(p.rsplit("_", 1)[1][:-4])) \
+                if cands else None
+        if path:
+            import jax
+            with open(path, "rb") as f:
+                restored = pickle.load(f)
+            state = jax.tree_util.tree_map(lambda _, r: jnp.asarray(r),
+                                           state, restored)
+            print(f"resumed from {path} at step {int(state.step)}", flush=True)
+        elif args.resume != "auto":
+            raise FileNotFoundError(args.resume)
     total_steps = cfg.get("train", {}).get("max_steps", 800000)
     log_every = cfg.get("train", {}).get("log_every", 100)
     save_every = cfg.get("train", {}).get("save_every", 1000)
@@ -128,7 +147,7 @@ def train(args):
             bgr = (np.clip(grid, 0, 1)[..., ::-1] * 255.0).round().astype(np.uint8)
             cv2.imwrite(os.path.join(img_dir, f"{key}_gs-{step:06d}.png"), bgr)
 
-    step = 0
+    step = int(state.step)
     t0 = time.time()
     while step < total_steps:
         for batch in loader:
@@ -154,8 +173,12 @@ def train(args):
                 _dump_images(step, device_batch)
             if step % save_every == 0:
                 import pickle
+                # params-only ckpt (what test_cli consumes) + full train
+                # state for --resume
                 with open(os.path.join(out_dir, f"ckpt_{step}.pkl"), "wb") as f:
                     pickle.dump(jax.device_get(state.params), f)
+                with open(os.path.join(out_dir, f"train_state_{step}.pkl"), "wb") as f:
+                    pickle.dump(jax.device_get(state), f)
     return state
 
 
@@ -164,6 +187,9 @@ def main():
     parser.add_argument("--train", action="store_true")
     parser.add_argument("--base", type=str, required=True)
     parser.add_argument("--logdir", type=str, default="logs/diffusion_ssl")
+    parser.add_argument("--resume", type=str, default=None,
+                        help="'auto' (latest train_state_*.pkl in --logdir) "
+                             "or an explicit train-state path")
     args = parser.parse_args()
     if args.train:
         train(args)
