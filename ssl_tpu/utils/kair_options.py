@@ -51,9 +51,14 @@ def kair_to_opt(k: dict) -> dict:
         network_g.update(num_feat=netg.get("nf", 64), num_block=netg.get("nb", 16),
                          upscale=scale)
 
+    # KAIR model key -> recipe: "SSL" (main_train_SSL.py, every shipped
+    # config), "gan" (main_train_gan.py ModelGAN = BSRGAN recipe without the
+    # SSL terms) and "plain" (main_train_psnr.py ModelPlain = G-only PSNR)
+    model_map = {"SSL": "BSRGANSSLModel", "gan": "SRGANModel",
+                 "plain": "SRModel"}
     opt = {
         "name": k.get("task", "kair_ssl"),
-        "model_type": "BSRGANSSLModel",
+        "model_type": model_map.get(k.get("model", "SSL"), "BSRGANSSLModel"),
         "scale": scale,
         "manual_seed": k.get("seed", 0),
         "tile_process": k.get("tile_process", False),

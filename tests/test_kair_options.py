@@ -66,3 +66,29 @@ def test_kair_json_to_model(tmp_path):
              "gt_mask": jnp.asarray(rng.rand(1, 32, 32, 1) < 0.3, jnp.float32)}
     state, logs = model.train_step(state, batch)
     assert np.isfinite(float(logs["l_selfsim"]))
+
+
+def test_kair_gan_and_plain_model_keys(tmp_path):
+    """KAIR's non-SSL entry points (main_train_gan.py / main_train_psnr.py)
+    use "model": "gan" / "plain" — the adapter maps them to the SRGAN / SR
+    recipes and a step runs."""
+    for key, expect in (("gan", "SRGANModel"), ("plain", "SRModel")):
+        path = str(tmp_path / f"opt_{key}.json")
+        with open(path, "w") as f:
+            f.write(KAIR_JSON.replace('"model": "SSL"', f'"model": "{key}"'))
+        from ssl_tpu.utils.options import parse_json_options
+        from ssl_tpu.utils.kair_options import kair_to_opt
+        opt = kair_to_opt(parse_json_options(path))
+        assert opt["model_type"] == expect
+        from ssl_tpu.models import build_model
+        opt["is_train"] = True
+        opt["path"] = {}
+        model = build_model(opt)
+        state = model.init_state(lq_shape=(1, 8, 8, 3))
+        rng = np.random.RandomState(0)
+        batch = {"lq": jnp.asarray(rng.rand(1, 8, 8, 3), jnp.float32),
+                 "gt": jnp.asarray(rng.rand(1, 32, 32, 3), jnp.float32)}
+        state, logs = model.train_step(state, batch)
+        assert int(state.step) == 1 and np.isfinite(float(logs["l_g_total"]
+                                                          if "l_g_total" in logs
+                                                          else logs["l_pix"]))
