@@ -38,6 +38,20 @@ def build_from_config(cfg: dict):
                 "with: python -m ssl_tpu.diffusion.cfw_train --base <config>")
     m = cfg.get("model", {})
     sslopt = cfg.get("sslopt", {})
+
+    def _zoo_strategy(s):
+        # any non-default simself_strategy routes through the full zoo
+        # (losses/simself_strategies.py); the shipped default stays on the
+        # fast fused path
+        strat = s.get("simself_strategy", "")
+        return "" if strat in ("areaarea_mask_nonlocalavg_cuda_v1", "ssl_cuda") else strat
+
+    def _zoo_opts(s):
+        keys = ("simself_dh", "simself_dw", "kernel_size", "scaling_factor",
+                "softmax_sr", "softmax_gt", "temperature", "crossentropy",
+                "rearrange_back", "kernel_size_center", "mean", "var",
+                "gene_type", "largest_k")
+        return tuple((k, s[k]) for k in keys if k in s)
     dcfg = DiffusionSSLConfig(
         timesteps=m.get("timesteps", 1000),
         beta_schedule=m.get("beta_schedule", "linear"),
@@ -69,7 +83,9 @@ def build_from_config(cfg: dict):
         ssl_setting=SSLSetting(ssg=ssg, mask_stride=sslopt.get("mask_stride", 3),
                                capacity=sslopt.get("capacity", 2048),
                                l1_weight=dcfg.ssl_l1_weight, kl_weight=dcfg.ssl_kl_weight,
-                               impl=sslopt.get("impl", "dense")),
+                               impl=sslopt.get("impl", "dense"),
+                               strategy=_zoo_strategy(sslopt),
+                               strategy_opts=_zoo_opts(sslopt)),
         lr=cfg.get("train", {}).get("lr", 5e-5),
         accumulate=cfg.get("train", {}).get("accumulate_grad_batches", 1),
         vae_ckpt=m.get("vae_ckpt"),

@@ -126,6 +126,14 @@ def translate_reference_config(cfg: dict) -> dict:
             "generalization": bool(sslopt_ref.get("softmax_sr", True)),
             "l1_weight": (issl.get("selfsim_opt") or {}).get("loss_weight", 0.5),
             "kl_weight": (issl.get("selfsim1_opt") or {}).get("loss_weight", 0.5),
+            # strategy-zoo passthrough: non-default strategies route through
+            # losses/simself_strategies.py (exact issl composition)
+            "simself_strategy": sslopt_ref.get("simself_strategy", ""),
+            **{k: sslopt_ref[k] for k in
+               ("simself_dh", "simself_dw", "kernel_size", "scaling_factor",
+                "softmax_sr", "softmax_gt", "temperature", "crossentropy",
+                "rearrange_back", "kernel_size_center", "mean", "var",
+                "gene_type", "largest_k") if k in sslopt_ref},
         },
         "degradation": dict(cfg.get("degradation") or {}),
         "train": {

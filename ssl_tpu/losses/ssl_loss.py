@@ -28,6 +28,11 @@ class SSLSetting(NamedTuple):
     kl_weight: float = 1e3      # selfsim1_opt loss_weight
     kl_softmax: bool = False
     impl: str = "dense"         # 'dense' (fused, exact) | 'scan' (gather) | 'pallas'
+    # experimental diffusion-tree strategy zoo (losses/simself_strategies.py):
+    # '' = the shipped fast path (areaarea_mask_nonlocalavg_cuda_v1 semantics);
+    # any other reference strategy name routes through simself_strategy_loss.
+    strategy: str = ""
+    strategy_opts: tuple = ()   # frozen (key, value) pairs (sslopt zoo knobs)
 
 
 def ssl_setting_from_opt(opt: dict, train_opt: dict | None = None, gt_size: int | None = None) -> SSLSetting:
@@ -69,9 +74,20 @@ def ssl_setting_from_opt(opt: dict, train_opt: dict | None = None, gt_size: int 
     impl = s.get("impl")
     if impl is None:
         impl = {"cuda": "dense", "pytorch": "dense"}.get(s.get("ssl_mode"), "dense")
+    # diffusion-tree strategy zoo: any non-default simself_strategy routes
+    # through losses/simself_strategies.py (the shipped default — both trees'
+    # configs — is the fast fused path below)
+    strategy = s.get("simself_strategy", "")
+    if strategy in ("areaarea_mask_nonlocalavg_cuda_v1", "ssl_cuda"):
+        strategy = ""
+    zoo_keys = ("simself_dh", "simself_dw", "kernel_size", "scaling_factor",
+                "softmax_sr", "softmax_gt", "temperature", "crossentropy",
+                "rearrange_back", "kernel_size_center", "mean", "var",
+                "gene_type", "largest_k")
+    strategy_opts = tuple((k, s[k]) for k in zoo_keys if k in s)
     return SSLSetting(ssg=ssg, mask_stride=int(stride), capacity=int(cap),
                       l1_weight=float(l1_w), kl_weight=float(kl_w), kl_softmax=kl_sm,
-                      impl=impl)
+                      impl=impl, strategy=strategy, strategy_opts=strategy_opts)
 
 
 def ssl_loss(sr: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray, setting: SSLSetting):
@@ -80,6 +96,10 @@ def ssl_loss(sr: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray, setting: SSLSe
     sr, gt: NHWC (b,h,w,c) float32; mask: (b,h,w,1) or (b,h,w) binary edge masks.
     GT's SSG is a constant target (stop_gradient), matching the reference where
     the graph of the GT branch is never back-propagated in practice."""
+    if setting.strategy:
+        # experimental diffusion-tree strategies (exact issl composition)
+        from ssl_tpu.losses.simself_strategies import simself_strategy_loss
+        return simself_strategy_loss(sr, gt, mask, setting)
     if mask.ndim == 4:
         mask = mask[..., 0]
     mask = apply_mask_stride(mask, setting.mask_stride)

@@ -125,10 +125,17 @@ def test_reference_ssl_base_yaml_drop_in():
     # reference values survived the lowering
     assert t["model"]["unet"]["model_channels"] == 320
     assert t["model"]["structcond"]["model_channels"] == 256
-    assert t["sslopt"] == {"mask_stride": 3, "kernel_size_search": 25,
-                           "sigma": 0.004, "kernel_size_window": 9,
-                           "generalization": True, "l1_weight": 0.5,
-                           "kl_weight": 0.5}
+    expected = {"mask_stride": 3, "kernel_size_search": 25, "sigma": 0.004,
+                "kernel_size_window": 9, "generalization": True,
+                "l1_weight": 0.5, "kl_weight": 0.5,
+                # strategy-zoo passthrough (base.yaml:30-39); the shipped
+                # default strategy resolves to the fast fused path in the
+                # builder (main.py:_zoo_strategy)
+                "simself_strategy": "areaarea_mask_nonlocalavg_cuda_v1",
+                "kernel_size": 25, "scaling_factor": 0.004,
+                "kernel_size_center": 9, "softmax_sr": True,
+                "softmax_gt": True, "simself_dh": 64, "simself_dw": 64}
+    assert t["sslopt"] == expected
     assert t["degradation"]["jpeg_range"] == [60, 95]
     assert t["degradation"]["queue_size"] == 64
     assert t["train"]["accumulate_grad_batches"] == 12
