@@ -10,22 +10,46 @@ from __future__ import annotations
 
 _NETG_MAP = {
     "rrdbnet": "BSRGANRRDBNet",
-    "srresnet0": "MSRResNet",
-    "srresnet1": "MSRResNet",
-    "msrresnet0": "MSRResNet",
+    # net_type 'rrdb' (network_rrdb.py) is the classic flat ESRGAN graph —
+    # forward-equal to BSRGANRRDBNet through convert_old_rrdbnet
+    # (test_kair_extra.py); gc hardcoded 32 there (network_rrdb.py:29)
+    "rrdb": "BSRGANRRDBNet",
+    "srresnet0": "KAIRMSRResNet0",
+    "srresnet1": "MSRResNet",       # MSRResNet1 == basicsr MSRResNet
+    "msrresnet0": "KAIRMSRResNet0",
     "msrresnet1": "MSRResNet",
     "elan": "ELAN",
     "swinir": "SwinIR",
 }
+# select_network.py also lists dncnn/fdncnn/ffdnet/srmd/dpsr/imdn/usrnet/
+# drunet/vrt/rvrt, but their models/network_*.py files are ABSENT from the
+# reference checkout — selecting them raises ImportError there; N/A here.
 
 _NETD_MAP = {
-    "discriminator_unet": "UNetDiscriminatorSN",
-    "discriminator_vgg_192": "Discriminator_VGG_192",
-    "discriminator_vgg_128": "VGGStyleDiscriminator",
+    "discriminator_unet": "UNetDiscriminatorSN",   # same rosinality design
+    "discriminator_vgg_192": "KAIRDiscriminatorVGG192",
+    "discriminator_vgg_128": "KAIRDiscriminatorVGG128",
+    "discriminator_vgg_96": "KAIRDiscriminatorVGG96",
+    "discriminator_vgg_128_SN": "KAIRDiscriminatorVGG128SN",
+    "discriminator_patchgan": "KAIRDiscriminatorPatchGAN",
 }
 
 _GAN_TYPE_MAP = {"gan": "vanilla", "ragan": "vanilla", "lsgan": "lsgan",
                  "wgan": "wgan", "softplusgan": "wgan_softplus"}
+
+
+def _make_network_d(netd: dict) -> dict:
+    d_type = _NETD_MAP.get(netd.get("net_type", "discriminator_unet"),
+                           "UNetDiscriminatorSN")
+    if d_type == "KAIRDiscriminatorPatchGAN":
+        return {"type": d_type, "ndf": netd.get("base_nc", 64),
+                "n_layers": netd.get("n_layers", 3),
+                "norm_type": netd.get("norm_type", "spectral")}
+    if d_type.startswith("KAIRDiscriminatorVGG") and not d_type.endswith("SN"):
+        return {"type": d_type, "base_nc": netd.get("base_nc", 64)}
+    if d_type == "KAIRDiscriminatorVGG128SN":
+        return {"type": d_type}
+    return {"type": d_type, "num_feat": netd.get("base_nc", 64)}
 
 
 def is_kair_options(opt: dict) -> bool:
@@ -43,13 +67,21 @@ def kair_to_opt(k: dict) -> dict:
 
     g_type = _NETG_MAP.get(netg.get("net_type", "rrdbnet"), "BSRGANRRDBNet")
     network_g = {"type": g_type}
-    if g_type == "BSRGANRRDBNet":
+    if netg.get("net_type") == "rrdb":
+        # network_rrdb.py:29 hardcodes gc=32 in the body regardless of config
+        network_g.update(in_nc=netg.get("in_nc", 3), out_nc=netg.get("out_nc", 3),
+                         nf=netg.get("nc", netg.get("nf", 64)),
+                         nb=netg.get("nb", 23), gc=32, sf=scale)
+    elif g_type == "BSRGANRRDBNet":
         network_g.update(in_nc=netg.get("in_nc", 3), out_nc=netg.get("out_nc", 3),
                          nf=netg.get("nf", 64), nb=netg.get("nb", 23),
                          gc=netg.get("gc", 32), sf=scale)
     elif g_type == "MSRResNet":
         network_g.update(num_feat=netg.get("nf", 64), num_block=netg.get("nb", 16),
                          upscale=scale)
+    elif g_type == "KAIRMSRResNet0":
+        network_g.update(nc=netg.get("nc", netg.get("nf", 64)),
+                         nb=netg.get("nb", 16), upscale=scale)
 
     # KAIR model key -> recipe: "SSL" (main_train_SSL.py, every shipped
     # config), "gan" (main_train_gan.py ModelGAN = BSRGAN recipe without the
@@ -83,9 +115,7 @@ def kair_to_opt(k: dict) -> dict:
             },
         },
         "network_g": network_g,
-        "network_d": {"type": _NETD_MAP.get(netd.get("net_type", "discriminator_unet"),
-                                            "UNetDiscriminatorSN"),
-                      "num_feat": netd.get("base_nc", 64)},
+        "network_d": _make_network_d(netd),
         "path": {
             "pretrain_network_g": (k.get("path") or {}).get("pretrained_netG"),
             "pretrain_network_d": (k.get("path") or {}).get("pretrained_netD"),

@@ -984,7 +984,9 @@ def sn_stats_tree(sd: dict, ref_stats, to_torch_key):
             w = sd.get(f"{tk}.weight_orig") if tk else None
             if w is None:
                 return node
-            a = _conv_w(w).reshape(-1, w.shape[0])
+            # conv OIHW -> flax (HWI, O); torch Linear (out,in) -> flax (in,out)
+            a = (_to_np(w).T if w.ndim == 2
+                 else _conv_w(w).reshape(-1, w.shape[0]))
             _, sigma, v_right = top_singular_pair(a)
             inner = dict(node["SpectralNorm_0"])
             for k in inner:
@@ -1943,3 +1945,117 @@ def _as_jnp(tree):
     import jax
     import jax.numpy as jnp
     return jax.tree_util.tree_map(jnp.asarray, tree)
+
+
+# ---------------------------------------------------------------------------
+# KAIR net_type surface (train_BSGRAN/models/network_discriminator.py +
+# network_msrresnet.py MSRResNet0) — see archs/kair_extra_arch.py
+# ---------------------------------------------------------------------------
+
+def convert_kair_vgg_d(sd: dict) -> dict:
+    """KAIR Discriminator_VGG_96/128/192 (flat B.sequential 'features.N' +
+    'classifier.{0,2}') -> _KAIRVGGD params.  BN scale/bias land in params;
+    running stats via kair_vgg_d_batch_stats."""
+    conv_idx = sorted({int(k.split(".")[1]) for k in sd
+                       if k.startswith("features.") and k.endswith(".weight")
+                       and f"{k[:-7]}.running_mean" not in sd})
+    feats: dict = {}
+    for j, ti in enumerate(conv_idx):
+        feats[f"Conv_{j}"] = _convp(sd, f"features.{ti}")
+        if j > 0:
+            bn = f"features.{ti + 1}"
+            feats[f"BatchNorm_{j - 1}"] = {"scale": _to_np(sd[f"{bn}.weight"]),
+                                           "bias": _to_np(sd[f"{bn}.bias"])}
+    return {"_KAIRVGGFeatures_0": feats,
+            "Dense_0": {"kernel": _to_np(sd["classifier.0.weight"]).T,
+                        "bias": _to_np(sd["classifier.0.bias"])},
+            "Dense_1": {"kernel": _to_np(sd["classifier.2.weight"]).T,
+                        "bias": _to_np(sd["classifier.2.bias"])}}
+
+
+def kair_vgg_d_batch_stats(sd: dict) -> dict:
+    conv_idx = sorted({int(k.split(".")[1]) for k in sd
+                       if k.startswith("features.") and k.endswith(".weight")
+                       and f"{k[:-7]}.running_mean" not in sd})
+    stats: dict = {}
+    for j, ti in enumerate(conv_idx[1:]):
+        bn = f"features.{ti + 1}"
+        stats[f"BatchNorm_{j}"] = {"mean": _to_np(sd[f"{bn}.running_mean"]),
+                                   "var": _to_np(sd[f"{bn}.running_var"])}
+    return {"_KAIRVGGFeatures_0": stats}
+
+
+def convert_kair_vgg128_sn(sd: dict) -> dict:
+    """KAIR Discriminator_VGG_128_SN: SN convs conv0..conv9 + SN linears."""
+    params: dict = {}
+    for i in range(10):
+        params[f"conv{i}"] = _sn_convp(sd, f"conv{i}")
+    for i in range(2):
+        params[f"linear{i}"] = {"Dense_0": {
+            "kernel": _to_np(sd[f"linear{i}.weight_orig"]).T,
+            "bias": _to_np(sd[f"linear{i}.bias"])}}
+    return params
+
+
+def kair_vgg128_sn_stats(sd: dict, ref_stats) -> dict:
+    return sn_stats_tree(sd, ref_stats, lambda path: path[0])
+
+
+def convert_kair_patchgan(sd: dict, norm_type: str = "spectral") -> dict:
+    """KAIR Discriminator_PatchGAN ('model.childN.0' convs; SN when
+    'spectral' in norm_type, BN params at 'model.childN.1' when 'batch')."""
+    n = len({k.split(".")[1] for k in sd if k.startswith("model.child")})
+    params: dict = {}
+    bn_j = 0
+    for i in range(n):
+        base = f"model.child{i}.0"
+        if "spectral" in norm_type:
+            params[f"child{i}"] = _sn_convp(sd, base)
+        else:
+            params[f"child{i}"] = _convp(sd, base)
+        if "batch" in norm_type and 0 < i < n - 1:
+            bn = f"model.child{i}.1"
+            params[f"BatchNorm_{bn_j}"] = {"scale": _to_np(sd[f"{bn}.weight"]),
+                                           "bias": _to_np(sd[f"{bn}.bias"])}
+            bn_j += 1
+    return params
+
+
+def kair_patchgan_batch_stats(sd: dict, ref_stats, norm_type: str = "spectral"):
+    """SN power-iterate stats (+ BN running stats for 'batchspectral')."""
+    stats = sn_stats_tree(sd, ref_stats,
+                          lambda path: f"model.{path[0]}.0")
+    if "batch" in norm_type:
+        n = len({k.split(".")[1] for k in sd if k.startswith("model.child")})
+        bn_j = 0
+        for i in range(1, n - 1):
+            bn = f"model.child{i}.1"
+            if f"{bn}.running_mean" in sd:
+                stats[f"BatchNorm_{bn_j}"] = {
+                    "mean": _to_np(sd[f"{bn}.running_mean"]),
+                    "var": _to_np(sd[f"{bn}.running_var"])}
+                bn_j += 1
+    return stats
+
+
+def convert_kair_msrresnet0(sd: dict) -> dict:
+    """KAIR MSRResNet0 (network_msrresnet.py:38-77, flat 'model.*' layout,
+    act R): head model.0, ResBlocks model.1.sub.{i}.res.{0,2}, body-out
+    conv model.1.sub.{nb}, upsample convs, HR tail."""
+    params: dict = {"head": _convp(sd, "model.0")}
+    blocks = sorted({int(k.split(".")[3]) for k in sd
+                     if k.startswith("model.1.sub.") and ".res." in k})
+    for i in blocks:
+        params[f"b{i}_conv0"] = _convp(sd, f"model.1.sub.{i}.res.0")
+        params[f"b{i}_conv1"] = _convp(sd, f"model.1.sub.{i}.res.2")
+    params["body_out"] = _convp(sd, f"model.1.sub.{max(blocks) + 1}")
+    # remaining flat conv indices after the shortcut block, in order:
+    # x4: up convs at 3, 6; HR at 8; tail at 10.  x2/x3: up 3; HR 5; tail 7.
+    rest = sorted({int(k.split(".")[1]) for k in sd
+                   if k.split(".")[1].isdigit() and int(k.split(".")[1]) > 1})
+    ups, hr, tail = rest[:-2], rest[-2], rest[-1]
+    for j, ti in enumerate(ups):
+        params[f"up{j}"] = _convp(sd, f"model.{ti}")
+    params["hr"] = _convp(sd, f"model.{hr}")
+    params["tail"] = {"kernel": _conv_w(sd[f"model.{tail}.weight"])}
+    return params

@@ -412,3 +412,13 @@ def ref_module(name: str):
     """Import a reference module (e.g. 'basicsr.losses.loss_util')."""
     install_reference_stubs()
     return importlib.import_module(name)
+
+
+def kair_models_module(name: str):
+    """Import a KAIR arch module (train_BSGRAN/models/<name>.py) — they use
+    absolute 'import models.basicblock' so a top-level 'models' shell points
+    at the KAIR models dir (test-process-scoped)."""
+    install_reference_stubs()
+    if "models" not in sys.modules:
+        _shell_package("models", f"{REF_GAN}/train_BSGRAN/models")
+    return importlib.import_module(f"models.{name}")
