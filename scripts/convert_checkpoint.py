@@ -9,6 +9,15 @@ reference-consumable .pth
   python scripts/convert_checkpoint.py import net_g.pth out.pkl [--key params_ema]
   python scripts/convert_checkpoint.py export-rrdb ours.pkl net_g.pth
   python scripts/convert_checkpoint.py export-swinir ours.pkl net_g.pth
+
+Generic export (any family with an import converter whose weight transforms
+are conv/matrix/identity — ELAN, SPSR, BSRGAN/BebyGAN RRDB, RankSRGAN, ...):
+inverts the import converter mechanically against a reference-layout template
+(a reference checkpoint, or a state_dict saved from the reference module —
+fixed buffers like ELAN's shift kernels are copied from it):
+
+  python scripts/convert_checkpoint.py export-auto ours.pkl net_g.pth \
+      --template reference_net_g.pth --converter elan
 """
 
 import argparse
@@ -33,10 +42,15 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("mode", choices=["import", "import-sd-unet", "import-sd-structcond",
                                  "export-rrdb", "export-swinir",
-                                 "export-msrresnet", "export-srvgg", "export-unet-sn"])
+                                 "export-msrresnet", "export-srvgg", "export-unet-sn",
+                                 "export-auto"])
     ap.add_argument("src")
     ap.add_argument("dst")
     ap.add_argument("--key", default="params", help="param key inside the .pth/.pkl")
+    ap.add_argument("--template", help="export-auto: reference-layout .pth "
+                                       "providing key names/shapes/constants")
+    ap.add_argument("--converter", help="export-auto: import-converter name "
+                                        "(weight_port.convert_<name>)")
     args = ap.parse_args()
 
     if args.mode.startswith("import"):
@@ -69,6 +83,17 @@ def main():
         payload = pickle.load(f)
     tree = payload.get(args.key, payload) if isinstance(payload, dict) else payload
     from ssl_tpu.utils import weight_port as wp
+    if args.mode == "export-auto":
+        if not (args.template and args.converter):
+            raise SystemExit("export-auto requires --template and --converter")
+        convert_fn = getattr(wp, f"convert_{args.converter}", None)
+        if convert_fn is None:
+            raise SystemExit(f"unknown converter: convert_{args.converter}")
+        template = wp.load_torch_state_dict(args.template, args.key)
+        wp.export_to_torch_via(convert_fn, tree, template, args.dst,
+                               param_key=args.key)
+        print(f"wrote {args.dst}")
+        return
     exporter = {"export-rrdb": wp.export_rrdbnet_to_torch,
                 "export-swinir": wp.export_swinir_to_torch,
                 "export-msrresnet": wp.export_msrresnet_to_torch,

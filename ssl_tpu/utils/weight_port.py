@@ -2059,3 +2059,99 @@ def convert_kair_msrresnet0(sd: dict) -> dict:
     params["hr"] = _convp(sd, f"model.{hr}")
     params["tail"] = {"kernel": _conv_w(sd[f"model.{tail}.weight"])}
     return params
+
+
+# ---------------------------------------------------------------------------
+# Generic torch-export via import-converter inversion
+# ---------------------------------------------------------------------------
+
+def _tree_leaves(tree, path=()):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _tree_leaves(v, path + (k,))
+    else:
+        yield path, np.asarray(tree)
+
+
+def _tree_get(tree, path):
+    for p in path:
+        tree = tree[p]
+    return np.asarray(tree)
+
+
+def discover_export_map(convert_fn, template: dict):
+    """Invert an import converter mechanically.
+
+    For each torch key in ``template`` (a reference-layout state dict — a
+    real checkpoint or a torch module's state_dict; only shapes and the
+    values of non-learned constant buffers matter), probe ``convert_fn`` with
+    that key randomized and all others zero, find which output leaf changed,
+    and record the (leaf path, transform) pair.  Supported transforms:
+    conv OIHW->HWIO, matrix transpose, identity.  Keys that no simple
+    transform explains (fixed buffers like ELAN's shift kernels or SPSR's
+    Sobel stencils, or converter-synthesized values) are classified
+    'constant' and exported verbatim from the template.
+
+    Returns {torch_key: (leaf_path, transform_name) | ('__const__', None)}.
+    """
+    rng = np.random.default_rng(0)
+    zeros = {k: np.zeros(np.shape(v), np.float32) for k, v in
+             ((k, _to_np(v)) for k, v in template.items())}
+    base = dict(_tree_leaves(convert_fn(dict(zeros))))
+    mapping: dict = {}
+    for key in template:
+        shape = zeros[key].shape
+        probe = rng.standard_normal(shape).astype(np.float32) if shape \
+            else np.float32(rng.standard_normal())
+        sd = dict(zeros)
+        sd[key] = probe
+        out = dict(_tree_leaves(convert_fn(sd)))
+        changed = [p for p, v in out.items()
+                   if p not in base or not np.array_equal(v, base[p])]
+        tf = None
+        for p in changed:
+            v = out[p]
+            if probe.ndim == 4 and v.shape == tuple(np.array(probe.shape)[[2, 3, 1, 0]]) \
+                    and np.array_equal(v, probe.transpose(2, 3, 1, 0)):
+                tf = (p, "conv")
+            elif probe.ndim == 2 and v.shape == probe.shape[::-1] \
+                    and np.array_equal(v, probe.T):
+                tf = (p, "t")
+            elif np.array_equal(v, probe):
+                tf = (p, "id")
+            if tf:
+                break
+        mapping[key] = tf if tf else ("__const__", None)
+    return mapping
+
+
+def export_to_torch_via(convert_fn, params, template: dict, path: str,
+                        param_key: str = "params",
+                        also_ema=None, mapping=None) -> dict:
+    """Export our flax tree to a reference-layout .pth by inverting
+    ``convert_fn`` (see discover_export_map).  Constant buffers are copied
+    from ``template`` — pass a reference checkpoint or a freshly constructed
+    reference module's state_dict.  Returns the exported state dict."""
+    import torch
+    mapping = mapping or discover_export_map(convert_fn, template)
+
+    def tree_to_sd(tree):
+        sd = {}
+        for key, (leaf, tf) in mapping.items():
+            if leaf == "__const__":
+                sd[key] = torch.as_tensor(_to_np(template[key]))
+                continue
+            v = _tree_get(tree, leaf)
+            if tf == "conv":
+                v = v.transpose(3, 2, 0, 1)
+            elif tf == "t":
+                v = v.T
+            sd[key] = torch.from_numpy(np.ascontiguousarray(v))
+        return sd
+
+    payload = {param_key: tree_to_sd(params)}
+    if also_ema is not None:
+        payload["params_ema"] = tree_to_sd(also_ema)
+    if path:
+        torch.save(payload, path)
+    return payload[param_key]
