@@ -2114,6 +2114,10 @@ def discover_export_map(convert_fn, template: dict):
             if probe.ndim == 4 and v.shape == tuple(np.array(probe.shape)[[2, 3, 1, 0]]) \
                     and np.array_equal(v, probe.transpose(2, 3, 1, 0)):
                 tf = (p, "conv")
+            elif probe.ndim == 3 and probe.shape[2] == 1 \
+                    and v.shape == (probe.shape[1], probe.shape[0]) \
+                    and np.array_equal(v, probe[:, :, 0].T):
+                tf = (p, "conv1d")   # torch Conv1d k=1 -> flax Dense kernel
             elif probe.ndim == 2 and v.shape == probe.shape[::-1] \
                     and np.array_equal(v, probe.T):
                 tf = (p, "t")
@@ -2144,6 +2148,8 @@ def export_to_torch_via(convert_fn, params, template: dict, path: str,
             v = _tree_get(tree, leaf)
             if tf == "conv":
                 v = v.transpose(3, 2, 0, 1)
+            elif tf == "conv1d":
+                v = v.T[:, :, None]
             elif tf == "t":
                 v = v.T
             sd[key] = torch.from_numpy(np.ascontiguousarray(v))

@@ -78,6 +78,27 @@ def test_spsr_export_roundtrip():
     assert n_const >= 0
 
 
+def test_sd_unet_export_roundtrip():
+    """The StableSR dual-cond UNet + struct encoder export losslessly too —
+    closing VERDICT r2 item 10's '+ the SD UNet' (rank-mapped leaves:
+    conv / conv1d-k1 / linear / norm scale)."""
+    om = ref_module("ldm.modules.diffusionmodules.openaimodel")
+    torch.manual_seed(0)
+    ref_unet = om.UNetModelDualcondV2(
+        image_size=8, in_channels=4, model_channels=32, out_channels=4,
+        num_res_blocks=1, attention_resolutions=(1, 2), channel_mult=(1, 2),
+        num_head_channels=16, use_spatial_transformer=True,
+        use_linear_in_transformer=True, transformer_depth=1, context_dim=48,
+        legacy=False, semb_channels=32)
+    assert _roundtrip(ref_unet, wp.convert_sd_unet) == 0
+
+    ref_enc = om.EncoderUNetModelWT(
+        image_size=8, in_channels=4, model_channels=32, out_channels=32,
+        num_res_blocks=1, attention_resolutions=(4, 2, 1),
+        channel_mult=(1, 2), num_heads=4)
+    assert _roundtrip(ref_enc, wp.convert_sd_structcond) == 0
+
+
 def test_export_cli_generic(tmp_path):
     """scripts/convert_checkpoint.py export-auto inverts any registered
     import converter given a reference-layout template."""
