@@ -24,6 +24,9 @@ _NETG_MAP = {
 # select_network.py also lists dncnn/fdncnn/ffdnet/srmd/dpsr/imdn/usrnet/
 # drunet/vrt/rvrt, but their models/network_*.py files are ABSENT from the
 # reference checkout — selecting them raises ImportError there; N/A here.
+# Likewise the KAIR model keys 'plain2'/'plain4'/'vrt' (select_model.py:15-25)
+# exist only to feed those absent nets (L+C / L+k+sf+sigma inputs); the
+# reachable keys 'SSL'/'gan'/'plain' are mapped below.
 
 _NETD_MAP = {
     "discriminator_unet": "UNetDiscriminatorSN",   # same rosinality design
