@@ -55,6 +55,30 @@ def paired_paths_from_meta_info_file(folders, keys, meta_info_file, filename_tmp
     return paths
 
 
+def paired_paths_from_lmdb(folders, keys):
+    """Reference data_util.py paired_paths_from_lmdb: both roots are .lmdb
+    directories; item keys come from each meta_info.txt (lines
+    '<name>.png (h,w,c) <compress_level>'), stored without extension."""
+    input_folder, gt_folder = folders
+    input_key, gt_key = keys
+    if not (str(input_folder).endswith(".lmdb") and str(gt_folder).endswith(".lmdb")):
+        raise ValueError(
+            f"{input_key} folder and {gt_key} folder should both in lmdb "
+            f"formats. But received {input_key}: {input_folder}; "
+            f"{gt_key}: {gt_folder}")
+
+    def read_keys(folder):
+        with open(os.path.join(folder, "meta_info.txt")) as f:
+            return {line.split(".")[0] for line in f if line.strip()}
+
+    input_set, gt_set = read_keys(input_folder), read_keys(gt_folder)
+    if input_set != gt_set:
+        raise ValueError(f"Keys in {input_key}_folder and {gt_key}_folder "
+                         "are different.")
+    return [{f"{input_key}_path": k, f"{gt_key}_path": k}
+            for k in sorted(gt_set)]
+
+
 def paths_from_folder(folder):
     return [os.path.join(folder, p) for p in scandir(folder)]
 

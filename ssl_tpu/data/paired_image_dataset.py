@@ -48,7 +48,17 @@ class PairedImageDataset(BaseDataset):
         self.scale = opt.get("scale", 4)
         gt_folder, lq_folder = opt["dataroot_gt"], opt["dataroot_lq"]
         tmpl = opt.get("filename_tmpl", "{}")
-        if opt.get("meta_info_file"):
+        # io_backend (reference paired_image_dataset.py:56-66): 'disk'
+        # (default) reads files; 'lmdb' treats the dataroots as .lmdb dirs
+        # with meta_info.txt key lists and fetches encoded bytes by key.
+        self.io_backend_opt = dict(opt.get("io_backend") or {"type": "disk"})
+        self.file_client = None   # built lazily (per dataloader worker)
+        if self.io_backend_opt.get("type") == "lmdb":
+            from ssl_tpu.data.data_util import paired_paths_from_lmdb
+            self.io_backend_opt["db_paths"] = [lq_folder, gt_folder]
+            self.io_backend_opt["client_keys"] = ["lq", "gt"]
+            self.paths = paired_paths_from_lmdb([lq_folder, gt_folder], ["lq", "gt"])
+        elif opt.get("meta_info_file"):
             self.paths = paired_paths_from_meta_info_file(
                 [lq_folder, gt_folder], ["lq", "gt"], opt["meta_info_file"], tmpl)
         else:
@@ -58,10 +68,18 @@ class PairedImageDataset(BaseDataset):
         self.use_hflip = opt.get("use_hflip", False)
         self.use_rot = opt.get("use_rot", False)
 
+    def _read(self, path: str, client_key: str) -> "np.ndarray":
+        from ssl_tpu.data.file_client import FileClient
+        from ssl_tpu.utils.img_util import imfrombytes
+        if self.file_client is None:
+            kw = dict(self.io_backend_opt)
+            self.file_client = FileClient(kw.pop("type"), **kw)
+        return imfrombytes(self.file_client.get(path, client_key), float32=True)
+
     def __getitem__(self, index):
         d = self.paths[index]
-        img_gt = img2array(imread(d["gt_path"]))
-        img_lq = img2array(imread(d["lq_path"]))
+        img_gt = img2array(self._read(d["gt_path"], "gt"))
+        img_lq = img2array(self._read(d["lq_path"], "lq"))
         if self.phase == "train":
             img_gt, img_lq = paired_random_crop(img_gt, img_lq, self.gt_size, self.scale)
             img_gt, img_lq = augment([img_gt, img_lq], self.use_hflip, self.use_rot)
