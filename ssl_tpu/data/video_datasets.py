@@ -26,6 +26,14 @@ class REDSDataset(BaseDataset):
         self.opt = opt
         self.gt_root = opt["dataroot_gt"]
         self.lq_root = opt["dataroot_lq"]
+        # io_backend 'lmdb' (reference reds_dataset.py:73-82): dataroots are
+        # .lmdb dirs, frames fetched by '<clip>/<frame:08d>' key
+        self.io_backend_opt = dict(opt.get("io_backend") or {"type": "disk"})
+        self.is_lmdb = self.io_backend_opt.get("type") == "lmdb"
+        self.file_client = None
+        if self.is_lmdb:
+            self.io_backend_opt["db_paths"] = [self.lq_root, self.gt_root]
+            self.io_backend_opt["client_keys"] = ["lq", "gt"]
         self.num_frame = opt.get("num_frame", 5)
         self.scale = opt.get("scale", 4)
         self.gt_size = opt.get("gt_size", 256)
@@ -59,10 +67,19 @@ class REDSDataset(BaseDataset):
         neighbors = list(range(start, end + 1, interval))
         if self.random_reverse and random.random() < 0.5:
             neighbors.reverse()
-        lqs, gts = [], []
-        for n in neighbors:
-            lqs.append(img2array(imread(os.path.join(self.lq_root, clip, f"{n:08d}.png"))))
-        gt = img2array(imread(os.path.join(self.gt_root, clip, f"{center:08d}.png")))
+        def read(root, name, client_key):
+            if not self.is_lmdb:
+                return img2array(imread(os.path.join(root, clip, name + ".png")))
+            from ssl_tpu.data.file_client import FileClient
+            from ssl_tpu.utils.img_util import imfrombytes
+            if self.file_client is None:
+                kw = dict(self.io_backend_opt)
+                self.file_client = FileClient(kw.pop("type"), **kw)
+            return img2array(imfrombytes(
+                self.file_client.get(f"{clip}/{name}", client_key), float32=True))
+
+        lqs = [read(self.lq_root, f"{n:08d}", "lq") for n in neighbors]
+        gt = read(self.gt_root, f"{center:08d}", "gt")
         gt, lqs = paired_random_crop(gt, lqs, self.gt_size, self.scale)
         out = augment(lqs + [gt], self.opt.get("use_hflip", True), self.opt.get("use_rot", True))
         lqs, gt = out[:-1], out[-1]

@@ -80,6 +80,47 @@ def test_paired_dataset_memory_backend(tmp_path):
     assert item["gt"].shape == (32, 32, 3) and item["lq"].shape == (8, 8, 3)
 
 
+def test_reds_dataset_disk_and_lmdb_key_path(tmp_path):
+    """REDS window sampling reads through the io_backend: disk end-to-end;
+    the lmdb branch addresses frames by '<clip>/<frame:08d>' keys (gate when
+    the optional package is absent, real round trip when present)."""
+    from ssl_tpu.data.video_datasets import REDSDataset
+
+    gt_root, lq_root = str(tmp_path / "gt"), str(tmp_path / "lq")
+    for i in range(100):
+        _write_pngs(os.path.join(gt_root, "000"), [f"{i:08d}"], 32, seed=i)
+        _write_pngs(os.path.join(lq_root, "000"), [f"{i:08d}"], 8, seed=100 + i)
+    meta = str(tmp_path / "meta.txt")
+    with open(meta, "w") as f:
+        f.write("000 100 (32,32,3)\n")
+    opt = {"dataroot_gt": gt_root, "dataroot_lq": lq_root,
+           "meta_info_file": meta, "num_frame": 3, "scale": 4, "gt_size": 16,
+           "val_partition": [], "use_hflip": False, "use_rot": False}
+    ds = REDSDataset(opt)
+    item = ds[50]
+    assert item["lq"].shape == (3, 4, 4, 3) and item["gt"].shape == (16, 16, 3)
+
+    try:
+        import lmdb  # noqa: F401
+    except ImportError:
+        ds2 = REDSDataset({**opt, "dataroot_gt": gt_root + ".lmdb",
+                           "dataroot_lq": lq_root + ".lmdb",
+                           "io_backend": {"type": "lmdb"}})
+        with pytest.raises(ImportError, match="lmdb"):
+            ds2[50]
+        return
+    from ssl_tpu.utils.lmdb_util import make_lmdb_from_imgs
+    for root, size in ((gt_root, 32), (lq_root, 8)):
+        names = [f"000/{i:08d}" for i in range(100)]
+        make_lmdb_from_imgs(root, root + ".lmdb",
+                            [f"000/{i:08d}.png" for i in range(100)], names)
+    ds2 = REDSDataset({**opt, "dataroot_gt": gt_root + ".lmdb",
+                       "dataroot_lq": lq_root + ".lmdb",
+                       "io_backend": {"type": "lmdb"}})
+    item2 = ds2[50]
+    assert item2["gt"].shape == (16, 16, 3)
+
+
 def test_lmdb_backend_roundtrip_or_gate(tmp_path):
     names = ["a", "b"]
     gt_dir, lq_dir = str(tmp_path / "gt"), str(tmp_path / "lq")
