@@ -139,6 +139,14 @@ class SRModel(BaseModel):
             lq = lq[None]
         if self.opt.get("tile_process"):
             return self.tile_process(params, lq)
+        if self.opt.get("spatial_infer"):
+            # multi-chip halo-exchange sharding (parallel/spatial.py) — the
+            # TPU-native big-image path; halo plays tile_pad's role
+            from ssl_tpu.parallel.spatial import spatial_infer
+            apply_fn = lambda p, x: self.net_g.apply({"params": p}, x)
+            return np.asarray(spatial_infer(
+                apply_fn, params, jnp.asarray(lq), self.scale,
+                halo=int(self.opt.get("spatial_halo", 32))))
         mult = 16
         b, h, w, c = lq.shape
         ph = (mult - h % mult) % mult

@@ -79,10 +79,6 @@ def _run_ref(simmod, strat, img, mask=None, sr=None, **kw):
 
 
 def _run_ours(strat, img, mask=None, sr=None, **kw):
-    kw = dict(kw)
-    # our entry uses the inner-class names for a couple of reference-init args
-    if "dh" in kw or "dw" in kw:
-        pass
     return S.similarity_map(jnp.asarray(img),
                             mask=None if mask is None else jnp.asarray(mask),
                             img_sr=None if sr is None else jnp.asarray(sr),
