@@ -171,9 +171,17 @@ def gaussian_tile_weights(tile_size: int, sigma_frac: float = 0.25) -> np.ndarra
 
 
 def tiled_sample(sample_fn: Callable, z_lq: jnp.ndarray, tile: int, overlap: int,
-                 latent_channels: int = 4):
+                 latent_channels: int = 4, data_parallel: bool = False):
     """Canvas-tiled sampling: run sample_fn on overlapping z_lq tiles and blend
-    with Gaussian weights (reference p_sample_loop_canvas :2908-2981)."""
+    with Gaussian weights (reference p_sample_loop_canvas :2908-2981).
+
+    ``data_parallel=True`` (beyond-parity, TPU-native): tiles are stacked
+    along the batch axis in device-count-sized groups and sharded over a
+    1-D mesh, so every chip diffuses a different canvas tile concurrently —
+    the reference processes tiles serially on one GPU.  sample_fn must be
+    batch-size-agnostic (all our samplers are).  Identical output to the
+    serial path for deterministic sample_fns.
+    """
     b, h, w, _ = z_lq.shape
     stride = tile - overlap
     weights = gaussian_tile_weights(tile)[None, :, :, None]
@@ -185,10 +193,32 @@ def tiled_sample(sample_fn: Callable, z_lq: jnp.ndarray, tile: int, overlap: int
         ys.append(h - tile)
     if xs[-1] + tile < w:
         xs.append(w - tile)
-    for y0 in ys:
-        for x0 in xs:
-            z_tile = z_lq[:, y0:y0 + tile, x0:x0 + tile, :]
-            out = np.asarray(sample_fn(z_tile))
-            canvas[:, y0:y0 + tile, x0:x0 + tile, :] += out * weights
-            acc[:, y0:y0 + tile, x0:x0 + tile, :] += weights
+    coords = [(y0, x0) for y0 in ys for x0 in xs]
+
+    if data_parallel:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ssl_tpu.parallel.mesh import create_mesh
+        mesh = create_mesh()
+        n = int(mesh.shape["data"])
+        sharding = NamedSharding(mesh, P("data"))
+        for c0 in range(0, len(coords), n):
+            group = coords[c0:c0 + n]
+            k = len(group)
+            stack = jnp.concatenate(
+                [z_lq[:, y0:y0 + tile, x0:x0 + tile, :] for y0, x0 in group]
+                + [z_lq[:, ys[0]:ys[0] + tile, xs[0]:xs[0] + tile, :]] * (n - k),
+                axis=0)
+            stack = jax.device_put(stack, sharding)
+            outs = np.asarray(sample_fn(stack))
+            for j, (y0, x0) in enumerate(group):
+                canvas[:, y0:y0 + tile, x0:x0 + tile, :] += outs[j * b:(j + 1) * b] * weights
+                acc[:, y0:y0 + tile, x0:x0 + tile, :] += weights
+        return jnp.asarray(canvas / np.maximum(acc, 1e-8))
+
+    for y0, x0 in coords:
+        z_tile = z_lq[:, y0:y0 + tile, x0:x0 + tile, :]
+        out = np.asarray(sample_fn(z_tile))
+        canvas[:, y0:y0 + tile, x0:x0 + tile, :] += out * weights
+        acc[:, y0:y0 + tile, x0:x0 + tile, :] += weights
     return jnp.asarray(canvas / np.maximum(acc, 1e-8))

@@ -29,6 +29,9 @@ def main():
                              "save_cfw_params); decodes with LQ-feature fusion "
                              "like reference test.py's separate VQGAN ckpt")
     parser.add_argument("--tile_latent", type=int, default=0, help="latent tile size (0=off)")
+    parser.add_argument("--tile_parallel", action="store_true",
+                        help="diffuse canvas tiles concurrently, one per device "
+                             "(1-D data mesh; reference processes tiles serially)")
     parser.add_argument("--sampler", choices=["ddpm", "ddim", "plms"],
                         default="ddpm",
                         help="spaced ancestral DDPM (reference test.py "
@@ -84,7 +87,10 @@ def main():
                                (1,) + infer_p["null_context"].shape)
 
         def sample_tile(z_tile):
-            kw = dict(rng=r_samp, context=ctx, z_lq=z_tile, steps=args.ddpm_steps)
+            # batch-agnostic: --tile_parallel stacks tiles along batch
+            c = ctx if ctx is None or ctx.shape[0] == z_tile.shape[0] else \
+                jnp.concatenate([ctx] * (z_tile.shape[0] // ctx.shape[0]), axis=0)
+            kw = dict(rng=r_samp, context=c, z_lq=z_tile, steps=args.ddpm_steps)
             if args.sampler == "ddim":
                 return ddim_sample(apply_fn, model.sched, z_tile.shape, **kw)
             if args.sampler == "plms":
@@ -93,7 +99,9 @@ def main():
 
         if args.tile_latent and (z_lq.shape[1] > args.tile_latent or
                                  z_lq.shape[2] > args.tile_latent):
-            z = tiled_sample(sample_tile, z_lq, args.tile_latent, args.tile_latent // 4)
+            z = tiled_sample(sample_tile, z_lq, args.tile_latent,
+                             args.tile_latent // 4,
+                             data_parallel=args.tile_parallel)
         else:
             z = sample_tile(z_lq)
         if cfw is not None:

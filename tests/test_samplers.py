@@ -45,6 +45,19 @@ def test_tiled_sample_blending():
     np.testing.assert_allclose(np.asarray(out), np.asarray(z_lq) * 2.0, rtol=1e-5)
 
 
+def test_tiled_sample_data_parallel_matches_serial():
+    """data_parallel=True (tiles sharded one-per-device over the 8-CPU mesh)
+    equals the serial canvas for a deterministic sample_fn."""
+    z_lq = jnp.asarray(np.random.RandomState(1).rand(2, 24, 24, 4), np.float32)
+
+    def sample_fn(z_tile):
+        return z_tile * 3.0 - 0.5
+
+    serial = tiled_sample(sample_fn, z_lq, tile=8, overlap=4)
+    par = tiled_sample(sample_fn, z_lq, tile=8, overlap=4, data_parallel=True)
+    np.testing.assert_allclose(np.asarray(par), np.asarray(serial), rtol=1e-6)
+
+
 def test_plms_matches_ddim_ode_limit():
     """PLMS (4th-order multistep on eps) and DDIM (1st order) integrate the
     same probability-flow ODE: PLMS at 30 steps should land near DDIM at 400
