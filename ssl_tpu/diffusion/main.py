@@ -108,6 +108,8 @@ def train(args):
                                               translate_reference_config)
     if is_reference_schema(cfg):
         cfg = translate_reference_config(cfg)
+    if getattr(args, "overrides", None):
+        cfg = apply_dotlist(cfg, args.overrides)
     model = build_from_config(cfg)
 
     data_cfg = cfg.get("data", {})
@@ -198,6 +200,31 @@ def train(args):
     return state
 
 
+def apply_dotlist(cfg: dict, dotlist: list[str]) -> dict:
+    """OmegaConf-from_dotlist-style overrides (reference main.py:482,535:
+    unknown CLI args ``a.b.c=value`` are merged over the config)."""
+    for item in dotlist:
+        if "=" not in item:
+            raise SystemExit(f"override '{item}' is not of the form key=value")
+        key, _, raw = item.partition("=")
+        try:
+            val = yaml.safe_load(raw)
+        except yaml.YAMLError:
+            val = raw
+        if isinstance(val, str):
+            # YAML 1.1 rejects '2e-4' style floats OmegaConf accepts
+            try:
+                val = float(val)
+            except ValueError:
+                pass
+        node = cfg
+        parts = key.strip().split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+    return cfg
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--train", action="store_true")
@@ -206,7 +233,8 @@ def main():
     parser.add_argument("--resume", type=str, default=None,
                         help="'auto' (latest train_state_*.pkl in --logdir) "
                              "or an explicit train-state path")
-    args = parser.parse_args()
+    args, unknown = parser.parse_known_args()
+    args.overrides = unknown
     if args.train:
         train(args)
 

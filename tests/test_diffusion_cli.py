@@ -72,3 +72,19 @@ def test_diffusion_test_cli_end_to_end(tmp_path, monkeypatch):
         assert os.path.exists(os.path.join(out_dir, "a.png"))
         out = np.asarray(Image.open(os.path.join(out_dir, "a.png")))
         assert out.shape[0] == 64 and np.isfinite(out).all()
+
+
+def test_apply_dotlist_overrides():
+    """OmegaConf-style key=value CLI overrides (reference main.py:482,535)."""
+    from ssl_tpu.diffusion.main import apply_dotlist
+
+    cfg = {"train": {"lr": 1e-4}, "sslopt": {"mask_stride": 3}}
+    out = apply_dotlist(cfg, ["train.max_steps=5", "train.lr=2e-4",
+                              "sslopt.simself_strategy=areaarea",
+                              "model.unet.model_channels=32",
+                              "degradation.jpeg_range=[60, 95]"])
+    assert out["train"]["max_steps"] == 5
+    assert out["train"]["lr"] == 2e-4
+    assert out["sslopt"]["simself_strategy"] == "areaarea"
+    assert out["model"]["unet"]["model_channels"] == 32
+    assert out["degradation"]["jpeg_range"] == [60, 95]
