@@ -29,6 +29,10 @@ def main():
                         help='extra network_g options as JSON, e.g. \'{"num_grow_ch": 32}\'')
     parser.add_argument("--tile_size", type=int, default=0, help="0 = no tiling")
     parser.add_argument("--tile_pad", type=int, default=32)
+    parser.add_argument("--spatial", action="store_true",
+                        help="shard the image height across all devices "
+                             "(halo exchange over ICI; parallel/spatial.py)")
+    parser.add_argument("--spatial_halo", type=int, default=32)
     args = parser.parse_args()
 
     from ssl_tpu.models import build_model
@@ -44,6 +48,7 @@ def main():
         "path": {},
         "tile_process": args.tile_size > 0,
         "tile_size": args.tile_size, "tile_pad": args.tile_pad,
+        "spatial_infer": args.spatial, "spatial_halo": args.spatial_halo,
     }
     model = build_model(opt)
     state = model.init_state(lq_shape=(1, 64, 64, 3))
