@@ -56,6 +56,8 @@ def spatial_infer(apply_fn, params, img: jnp.ndarray, scale: int,
     n = int(mesh.shape[axis])
     if n == 1:
         return apply_fn(params, img)
+    halo = int(halo)
+    assert halo >= 1, "spatial_infer needs halo >= 1 (x[:, -2*halo:] slicing)"
     b, h_img, w_img, c = img.shape
     s = int(math.ceil(h_img / n))
     # each device donates its outer 2*halo rows to the neighbor
