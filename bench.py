@@ -68,6 +68,10 @@ def main():
                         # sweeps' dominant HBM traffic (test_stream_bf16_deviation)
                         "stream_dtype": os.environ.get("BENCH_SSG_STREAM_DTYPE",
                                                        "bfloat16"),
+                        # offset pairing (DESIGN_SSG §10): one SSD map +
+                        # paired streams per (+d,-d) mirror pair — exact;
+                        # knob for on-chip A/B vs the unpaired sweeps
+                        "pair_offsets": os.environ.get("BENCH_SSG_PAIR", "1") == "1",
                         "impl": os.environ.get("BENCH_SSL_IMPL", "dense"),
                         "capacity": int(os.environ.get("BENCH_SSL_CAP", str(gt_size * gt_size // 4)))},
         "train": {

@@ -74,8 +74,14 @@ class StableSRSSL:
                  vae_ckpt: str | None = None,
                  clip_text_ckpt: str | None = None,
                  unet_ckpt: str | None = None,
-                 use_ema: bool = True, ema_decay: float = 0.9999):
+                 use_ema: bool = True, ema_decay: float = 0.9999,
+                 mesh=None):
         self.cfg = cfg
+        # optional 2-D (data, model) jax.sharding.Mesh: batch shards over
+        # 'data', the UNet/structcond weights get Megatron-style tensor
+        # sharding over 'model' (parallel/tensor.py) — XLA SPMD inserts the
+        # all-reduces.  None = single-device (the reference's per-GPU step).
+        self.mesh = mesh
         self.unet = unet or UNetModelDualcondV2(context_dim=cfg.context_dim)
         # StableSR's struct encoder has its OWN config (256ch, mult 1,1,2,2 —
         # configs/SSL/base.yaml:92-107), independent of the UNet's
@@ -177,6 +183,22 @@ class StableSRSSL:
         return DiffusionTrainState(step=jnp.asarray(0, jnp.int32), rng=rng,
                                    params=params, frozen={"vae": vae_vars["params"]},
                                    opt_state=self.tx.init(params), ema_params=ema)
+
+    def place_state(self, state: DiffusionTrainState) -> DiffusionTrainState:
+        """Pin the train state to the mesh: tensor-parallel shardings on the
+        UNet/structcond params (+ their EMA and optimizer moments, matched by
+        path name), everything else replicated.  No-op without a mesh."""
+        if self.mesh is None or self.mesh.size == 1:
+            return state
+        from ssl_tpu.parallel.tensor import state_tp_shardings
+        return jax.device_put(state, state_tp_shardings(state, self.mesh))
+
+    def shard_batch(self, batch: dict) -> dict:
+        """Batch leaves sharded over the 'data' axis (no-op without a mesh)."""
+        if self.mesh is None or self.mesh.size == 1:
+            return {k: jnp.asarray(v) for k, v in batch.items()}
+        from ssl_tpu.parallel.tensor import shard_batch_dp
+        return shard_batch_dp(batch, self.mesh)
 
     def infer_params(self, state: DiffusionTrainState):
         """Sampling-time params: EMA weights when tracked (the reference

@@ -39,6 +39,18 @@ def build_from_config(cfg: dict):
     m = cfg.get("model", {})
     sslopt = cfg.get("sslopt", {})
 
+    # optional multi-chip mesh: `parallel: {data: D, tp: T}` — batch shards
+    # over 'data', the UNet weights get tensor-parallel shardings over
+    # 'model' (parallel/tensor.py).  Replaces the reference's Lightning DDP.
+    par = cfg.get("parallel") or {}
+    mesh = None
+    if par:
+        from ssl_tpu.parallel.tensor import create_dp_tp_mesh
+        n_tp = int(par.get("tp", 1))
+        n_data = int(par.get("data", max(1, len(jax.devices()) // n_tp)))
+        if n_data * n_tp > 1:
+            mesh = create_dp_tp_mesh(n_data, n_tp)
+
     def _zoo_strategy(s):
         # any non-default simself_strategy routes through the full zoo
         # (losses/simself_strategies.py); the shipped default stays on the
@@ -90,7 +102,8 @@ def build_from_config(cfg: dict):
         accumulate=cfg.get("train", {}).get("accumulate_grad_batches", 1),
         vae_ckpt=m.get("vae_ckpt"),
         clip_text_ckpt=m.get("clip_text_ckpt"),
-        unet_ckpt=m.get("ckpt_path") or m.get("unet_ckpt"))
+        unet_ckpt=m.get("ckpt_path") or m.get("unet_ckpt"),
+        mesh=mesh)
     return model
 
 
@@ -147,6 +160,8 @@ def train(args):
             print(f"resumed from {path} at step {int(state.step)}", flush=True)
         elif args.resume != "auto":
             raise FileNotFoundError(args.resume)
+    # pin the (possibly resumed) state to the mesh layout before stepping
+    state = model.place_state(state)
     total_steps = cfg.get("train", {}).get("max_steps", 800000)
     log_every = cfg.get("train", {}).get("log_every", 100)
     save_every = cfg.get("train", {}).get("save_every", 1000)
@@ -180,7 +195,7 @@ def train(args):
             ndp = cfg.get("degradation", {}).get("no_degradation_prob", 0.0)
             if (ndp and np.random.rand() < ndp) or np.isnan(proc["lq"]).any():
                 proc = {**proc, "lq": proc["gt"]}
-            device_batch = {k: jnp.asarray(v) for k, v in proc.items()}
+            device_batch = model.shard_batch(proc)
             state, logs = model.train_step(state, device_batch)
             step += 1
             if step % log_every == 0:
