@@ -78,7 +78,9 @@ def test_patchgan_parity(norm_type):
         stats = _as_jnp(kair_patchgan_batch_stats(sd, stats, norm_type))
     out = net.apply({"params": params, "batch_stats": dict(stats)}, _nhwc(x),
                     train=False)
-    _cmp(out, y_ref, rtol=5e-3 if sn else 1e-4, atol=5e-4 if sn else 1e-5)
+    # atol 5e-5: near-zero outputs flip the last ulp depending on XLA CPU
+    # fusion order (seen 1/49 at 1.8e-5 under xdist); values are O(0.1-1)
+    _cmp(out, y_ref, rtol=5e-3 if sn else 1e-4, atol=5e-4 if sn else 5e-5)
 
 
 @pytest.mark.parametrize("size,cls_name", [(96, "Discriminator_VGG_96"),
