@@ -75,8 +75,13 @@ class StableSRSSL:
                  clip_text_ckpt: str | None = None,
                  unet_ckpt: str | None = None,
                  use_ema: bool = True, ema_decay: float = 0.9999,
-                 mesh=None):
+                 mesh=None, zero: bool = False, zero_min_size: int = 2 ** 14):
         self.cfg = cfg
+        # ZeRO-1 option: shard optimizer moments + EMA of the leaves the
+        # tensor rules left replicated over the 'model' axis (memory only;
+        # values unchanged)
+        self.zero = zero
+        self.zero_min_size = zero_min_size
         # optional 2-D (data, model) jax.sharding.Mesh: batch shards over
         # 'data', the UNet/structcond weights get Megatron-style tensor
         # sharding over 'model' (parallel/tensor.py) — XLA SPMD inserts the
@@ -191,7 +196,9 @@ class StableSRSSL:
         if self.mesh is None or self.mesh.size == 1:
             return state
         from ssl_tpu.parallel.tensor import state_tp_shardings
-        return jax.device_put(state, state_tp_shardings(state, self.mesh))
+        return jax.device_put(
+            state, state_tp_shardings(state, self.mesh, zero=self.zero,
+                                      zero_min_size=self.zero_min_size))
 
     def shard_batch(self, batch: dict) -> dict:
         """Batch leaves sharded over the 'data' axis (no-op without a mesh)."""

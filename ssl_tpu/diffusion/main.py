@@ -103,7 +103,8 @@ def build_from_config(cfg: dict):
         vae_ckpt=m.get("vae_ckpt"),
         clip_text_ckpt=m.get("clip_text_ckpt"),
         unet_ckpt=m.get("ckpt_path") or m.get("unet_ckpt"),
-        mesh=mesh)
+        mesh=mesh, zero=bool(par.get("zero", False)),
+        zero_min_size=int(par.get("zero_min_size", 2 ** 14)))
     return model
 
 

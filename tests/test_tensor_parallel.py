@@ -138,3 +138,42 @@ def test_tp_train_step_matches_single_device():
     for a, b in zip(p1[::7], p2[::7]):          # every 7th leaf: cheap + broad
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_zero1_moment_sharding_matches_single_device():
+    """parallel.zero=true: optimizer moments + EMA of tp-replicated leaves
+    shard their largest dim over 'model'; values stay identical."""
+    mesh = create_dp_tp_mesh(2, 4)
+    single = _tiny_trainer(None)
+    sharded = _tiny_trainer(mesh)
+    sharded.zero, sharded.zero_min_size = True, 128
+
+    state = single.init_state(gt_shape=(2, 32, 32, 3))
+    state_tp = sharded.place_state(sharded.init_state(gt_shape=(2, 32, 32, 3)))
+
+    # a leaf the tp rules leave replicated (time_embed Dense) has its Adam
+    # moment sharded under zero; the param itself stays replicated
+    mu = state_tp.opt_state[0].mu["unet"]["time_embed_0"]["kernel"]
+    assert not mu.sharding.is_fully_replicated
+    assert "model" in str(mu.sharding.spec)
+    p = state_tp.params["unet"]["time_embed_0"]["kernel"]
+    assert p.sharding.is_fully_replicated
+    ema = state_tp.ema_params["unet"]["time_embed_0"]["kernel"]
+    assert not ema.sharding.is_fully_replicated
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "gt": rng.rand(2, 32, 32, 3).astype(np.float32),
+        "lq": rng.rand(2, 32, 32, 3).astype(np.float32),
+        "gt_mask": (rng.rand(2, 32, 32, 1) < 0.2).astype(np.float32),
+    }
+    s1, logs1 = single.train_step(state, {k: jnp.asarray(v)
+                                          for k, v in batch.items()})
+    s2, logs2 = sharded.train_step(state_tp, shard_batch_dp(batch, mesh))
+    np.testing.assert_allclose(float(logs1["l_total"]), float(logs2["l_total"]),
+                               rtol=2e-4, atol=1e-6)
+    a = s1.opt_state[0].mu["unet"]["time_embed_0"]["kernel"]
+    b = s2.opt_state[0].mu["unet"]["time_embed_0"]["kernel"]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=5e-4, atol=1e-7)
