@@ -32,6 +32,11 @@ def main():
     parser.add_argument("--tile_parallel", action="store_true",
                         help="diffuse canvas tiles concurrently, one per device "
                              "(1-D data mesh; reference processes tiles serially)")
+    parser.add_argument("--tp", type=int, default=0,
+                        help="tensor-parallel sampling: shard the UNet "
+                             "weights over an N-device 'model' mesh "
+                             "(parallel/tensor.py Megatron rules); the "
+                             "sampler jits as one SPMD program")
     parser.add_argument("--sampler", choices=["ddpm", "ddim", "plms"],
                         default="ddpm",
                         help="spaced ancestral DDPM (reference test.py "
@@ -69,6 +74,21 @@ def main():
     rng = jax.random.PRNGKey(42)
     infer_p = model.infer_params(state)  # EMA at sampling time (LitEma)
 
+    tp_mesh = None
+    if args.tp and args.tp > 1:
+        # tensor-parallel sampling: UNet/structcond weights Megatron-sharded
+        # over a 1 x tp (data, model) mesh; everything else replicated on the
+        # same mesh so eager ops never mix device sets
+        from ssl_tpu.parallel.tensor import (create_dp_tp_mesh,
+                                             state_tp_shardings)
+        tp_mesh = create_dp_tp_mesh(1, args.tp)
+        infer_p = jax.device_put(infer_p, state_tp_shardings(infer_p, tp_mesh))
+        vae_params = jax.device_put(
+            vae_params, state_tp_shardings(vae_params, tp_mesh))
+        if cfw is not None:
+            cfw = (cfw[0], jax.device_put(
+                cfw[1], state_tp_shardings(cfw[1], tp_mesh)))
+
     def apply_fn(x, t, ctx, z_lq):
         return model.apply_model(infer_p, x, t, ctx, z_lq)
 
@@ -96,6 +116,11 @@ def main():
             if args.sampler == "plms":
                 return plms_sample(apply_fn, model.sched, z_tile.shape, **kw)
             return spaced_ddpm_sample(apply_fn, model.sched, z_tile.shape, **kw)
+
+        if tp_mesh is not None:
+            # one SPMD program: GSPMD partitions every UNet matmul over
+            # 'model' per the weight shardings
+            sample_tile = jax.jit(sample_tile)
 
         if args.tile_latent and (z_lq.shape[1] > args.tile_latent or
                                  z_lq.shape[2] > args.tile_latent):

@@ -88,3 +88,43 @@ def test_apply_dotlist_overrides():
     assert out["sslopt"]["simself_strategy"] == "areaarea"
     assert out["model"]["unet"]["model_channels"] == 32
     assert out["degradation"]["jpeg_range"] == [60, 95]
+
+
+def test_diffusion_test_cli_tensor_parallel(tmp_path, monkeypatch):
+    """--tp 4: UNet weights Megatron-sharded for sampling; output matches the
+    single-device CLI run up to reduction-order rounding."""
+    from PIL import Image
+    from ssl_tpu.diffusion.main import build_from_config
+    from ssl_tpu.diffusion import test_cli
+
+    assert len(jax.devices()) >= 4
+    cfg = _tiny_cfg()
+    cfg["model"]["unet"]["num_head_channels"] = 8
+    cfg["model"]["unet"].pop("num_heads", None)
+    cfg_path = str(tmp_path / "cfg.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    model = build_from_config(cfg)
+    state = model.init_state(gt_shape=(1, 32, 32, 3))
+    ckpt = str(tmp_path / "state.pkl")
+    with open(ckpt, "wb") as f:
+        pickle.dump(jax.tree_util.tree_map(np.asarray, state.params), f)
+
+    lq_dir = tmp_path / "lq"
+    os.makedirs(lq_dir)
+    rng = np.random.RandomState(0)
+    Image.fromarray((rng.rand(16, 16, 3) * 255).astype(np.uint8)).save(lq_dir / "a.png")
+
+    outs = {}
+    for label, extra in {"single": [], "tp": ["--tp", "4"]}.items():
+        out_dir = str(tmp_path / f"out_{label}")
+        argv = ["test_cli", "--config", cfg_path, "--ckpt", ckpt,
+                "--init-img", str(lq_dir), "--outdir", out_dir,
+                "--ddpm_steps", "3", "--upscale", "4",
+                "--colorfix_type", "nofix"] + extra
+        monkeypatch.setattr(sys, "argv", argv)
+        test_cli.main()
+        outs[label] = np.asarray(Image.open(os.path.join(out_dir, "a.png"))
+                                 ).astype(np.int16)
+    assert outs["single"].shape == outs["tp"].shape == (64, 64, 3)
+    assert np.abs(outs["single"] - outs["tp"]).max() <= 2
