@@ -3,8 +3,13 @@
 configs/GT_input_output/).
 
 For each GT image: synthesize the degraded input, run the diffusion sampler,
-and save gt/inputs/outputs folders; the CFW decoder (AutoencoderKLResi) is
-then trained on these triplets."""
+and save the reference SingleImageNPDataset layout —
+``outdir/{gts,inputs,latents,samples}`` (basicsr/data/
+single_image_dataset.py:76-121): the stage-1 LATENT as .npy (what the CFW
+decoder actually consumes, descaled at train time like the reference's
+``latent / 0.18215``) plus the decoded sample image for verification.  The
+CFW trainer (``python -m ssl_tpu.diffusion.cfw_train``) reads this root
+directly."""
 
 import argparse
 import os
@@ -29,6 +34,11 @@ def main():
 
     import cv2
     import jax
+    # honor an explicit JAX_PLATFORMS env: the image's site hook imports jax
+    # pinned to its own platform BEFORE this script runs, so the env var alone
+    # is ignored — the config update is what actually switches the backend
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
     from ssl_tpu.data.realesr_degradation import RealESRGANDegrader
     from ssl_tpu.data.realesrgan_dataset import _KernelSynth
@@ -45,7 +55,7 @@ def main():
     state = state.replace(params=jax.tree_util.tree_map(jnp.asarray, params))
     vae_params = state.frozen["vae"]
 
-    for sub in ("gts", "inputs", "outputs"):
+    for sub in ("gts", "inputs", "latents", "samples"):
         os.makedirs(os.path.join(args.outdir, sub), exist_ok=True)
 
     synth = _KernelSynth({})
@@ -80,7 +90,10 @@ def main():
 
         imwrite(array2img(gt), os.path.join(args.outdir, "gts", name))
         imwrite(array2img(lq_up), os.path.join(args.outdir, "inputs", name))
-        imwrite(array2img(out), os.path.join(args.outdir, "outputs", name))
+        stem = os.path.splitext(name)[0]
+        np.save(os.path.join(args.outdir, "latents", stem + ".npy"),
+                np.asarray(z)[0])
+        imwrite(array2img(out), os.path.join(args.outdir, "samples", name))
         print(name)
 
 

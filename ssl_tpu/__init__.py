@@ -18,3 +18,17 @@ Layout
 """
 
 __version__ = "0.1.0"
+
+# Honor an explicit JAX_PLATFORMS env var at import time.  Site hooks (e.g.
+# a TPU image's) may import jax and pin jax_platforms BEFORE any CLI runs,
+# after which the env var alone is silently ignored — a user running
+# `JAX_PLATFORMS=cpu python -m ssl_tpu...` would instead hang on an
+# unreachable accelerator.  Updating the config here (before any backend
+# initializes) restores env-var semantics for every CLI in the package.
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    import jax as _jax
+
+    if str(_jax.config.jax_platforms or "") != _os.environ["JAX_PLATFORMS"]:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])

@@ -11,8 +11,15 @@ TPU-native re-design: ONE jitted train step over a functional TrainState.
 The frozen encoder/quant_conv params live in `state.extra` and are merged
 into the apply-tree inside the loss, so gradients flow only to the decoder,
 post_quant_conv, and the zero-initialized CFW fusion convs; the latent is the
-(stop-gradient) encoder mean of the stage-1 output image, and the fusion
-features come from encoding the (bicubically upscaled) model input.
+dumped stage-1 sampler latent when the batch carries one (reference
+get_input, autoencoder.py:650-665 — descaled by scale_factor), falling back
+to the (stop-gradient) frozen-encoder mean of the stage-1 output image; the
+fusion features come from encoding the (bicubically upscaled) model input.
+
+CLI: ``python -m ssl_tpu.diffusion.cfw_train --base <cfg> --logdir <dir>``
+— accepts the reference's configs/autoencoder/*_resi.yaml OmegaConf schema
+drop-in, reads the gt_input_output dump root, supports
+``parallel: {data: N}`` data-parallel meshes and key=value overrides.
 """
 
 from __future__ import annotations
@@ -62,6 +69,9 @@ class CFWTrainModel:
             self.cri_gan = build_loss(train_opt.get("gan_opt", {
                 "type": "GANLoss", "gan_type": "vanilla", "loss_weight": 0.1}))
         self.ema_decay = float(train_opt.get("ema_decay", 0.999))
+        # latent descale at get_input (reference autoencoder.py:661:
+        # `latent / 0.18215`) when the batch carries the dumped stage-1 latent
+        self.scale_factor = float(opt.get("scale_factor", 0.18215))
         self._train_step = None
 
     # ------------------------------------------------------------------ state
@@ -100,18 +110,25 @@ class CFWTrainModel:
         return state
 
     # ------------------------------------------------------------------ apply
-    def _decode_cfw(self, trainable, frozen, sr_img, lq_img):
-        """z = frozen-encoder mean of the stage-1 output; feas from the LQ."""
+    def _decode_cfw(self, trainable, frozen, sr_img, lq_img, latent=None):
+        """Reference forward (autoencoder.py:590-593): decode the stage-1
+        latent with LQ-encoder fusion features.  When the dumped latent is in
+        the batch it is used directly (descaled by scale_factor, reference
+        get_input :661); otherwise z falls back to the frozen-encoder mean of
+        the stage-1 output image."""
         params = {**frozen, **trainable}
 
         def enc(x):
             return self.net.apply({"params": params}, x, method=AutoencoderKLResi.encode)
 
-        z_mean, _, _ = enc(sr_img)
+        if latent is None:
+            z, _, _ = enc(sr_img)
+        else:
+            z = latent / self.scale_factor
         _, _, feas = enc(lq_img)
-        z_mean = jax.lax.stop_gradient(z_mean)
+        z = jax.lax.stop_gradient(z)
         feas = [jax.lax.stop_gradient(f) for f in feas]
-        return self.net.apply({"params": params}, z_mean, feas,
+        return self.net.apply({"params": params}, z, feas,
                               method=AutoencoderKLResi.decode)
 
     def apply_d(self, params_d, stats_d, x, mutable=False):
@@ -128,7 +145,8 @@ class CFWTrainModel:
 
         def g_loss_fn(trainable, state: TrainState, batch: dict):
             dec = self._decode_cfw(trainable, state.extra["frozen"],
-                                   batch["sr"], batch["lq"])
+                                   batch["sr"], batch["lq"],
+                                   latent=batch.get("latent"))
             logs = {}
             l_pix = self.pixel_weight * jnp.mean(jnp.abs(dec - batch["gt"]))
             total = l_pix
@@ -199,27 +217,43 @@ def save_cfw_params(state: TrainState, path: str, use_ema: bool = True) -> None:
 
 
 class CFWTripletDataset:
-    """Aligned (gt, inputs, outputs) folder triplets as dumped by
-    scripts/gt_input_output.py (reference scripts/gt_input_output.py:1-335).
-    `inputs` are upscaled to gt resolution if smaller (bicubic), matching the
-    reference's CFW data convention."""
+    """Aligned (gt, inputs, samples[, latents]) folders as dumped by
+    scripts/gt_input_output.py — the reference SingleImageNPDataset layout
+    (Diffusion-Based-SR basicsr/data/single_image_dataset.py:76-121:
+    ``<root>/{gts,inputs,latents,samples}``).  `inputs` are upscaled to gt
+    resolution if smaller (bicubic).  With latents present, random crops are
+    8-aligned so the /8-resolution latent crops stay pixel-aligned."""
 
     def __init__(self, gt_dir: str, input_dir: str, output_dir: str,
-                 crop_size: int = 0, seed: int = 0):
+                 crop_size: int = 0, seed: int = 0, latent_dir: str | None = None):
         import os
-        from ssl_tpu.utils.img_util import imfrombytes
 
-        def listing(d):
+        def listing(d, exts=(".png", ".jpg", ".jpeg", ".bmp")):
             return sorted(os.path.join(d, f) for f in os.listdir(d)
-                          if f.lower().endswith((".png", ".jpg", ".jpeg", ".bmp")))
+                          if f.lower().endswith(exts))
 
         self.gt_paths = listing(gt_dir)
         self.in_paths = listing(input_dir)
         self.out_paths = listing(output_dir)
         assert len(self.gt_paths) == len(self.in_paths) == len(self.out_paths), \
             "gt/inputs/outputs folders must have matching file counts"
+        self.np_paths = None
+        if latent_dir:
+            self.np_paths = listing(latent_dir, exts=(".npy",))
+            assert len(self.np_paths) == len(self.gt_paths), \
+                "latents folder must match gt count"
         self.crop = crop_size
         self.rng = np.random.RandomState(seed)
+
+    @classmethod
+    def from_root(cls, root: str, crop_size: int = 0, seed: int = 0):
+        """Reference layout: root/{gts,inputs,samples[,latents]}."""
+        import os
+        latent_dir = os.path.join(root, "latents")
+        return cls(os.path.join(root, "gts"), os.path.join(root, "inputs"),
+                   os.path.join(root, "samples"), crop_size=crop_size,
+                   seed=seed,
+                   latent_dir=latent_dir if os.path.isdir(latent_dir) else None)
 
     def __len__(self):
         return len(self.gt_paths)
@@ -234,6 +268,7 @@ class CFWTripletDataset:
         gt = self._read(self.gt_paths[idx])
         lq = self._read(self.in_paths[idx])
         sr = self._read(self.out_paths[idx])
+        latent = np.load(self.np_paths[idx]) if self.np_paths else None
         if lq.shape[:2] != gt.shape[:2]:
             from ssl_tpu.utils.matlab_resize import imresize
             lq = imresize(lq, gt.shape[0] / lq.shape[0])
@@ -241,8 +276,131 @@ class CFWTripletDataset:
             h, w = gt.shape[:2]
             top = self.rng.randint(0, max(1, h - self.crop + 1))
             left = self.rng.randint(0, max(1, w - self.crop + 1))
+            if latent is not None:       # keep the /8 latent crop aligned
+                top, left = top // 8 * 8, left // 8 * 8
+                latent = latent[top // 8:(top + self.crop) // 8,
+                                left // 8:(left + self.crop) // 8]
             sl = np.s_[top:top + self.crop, left:left + self.crop]
             gt, lq, sr = gt[sl], lq[sl], sr[sl]
-        # [-1, 1] — the VAE's (and test_cli's) working range
+        # [-1, 1] — the VAE's (and test_cli's) working range; the latent stays
+        # in the sampler's scaled space (descaled inside _decode_cfw, matching
+        # the reference's get_input `latent / 0.18215`)
         to_range = lambda a: a.astype(np.float32) * 2.0 - 1.0
-        return {"gt": to_range(gt), "lq": to_range(lq), "sr": to_range(sr)}
+        out = {"gt": to_range(gt), "lq": to_range(lq), "sr": to_range(sr)}
+        if latent is not None:
+            out["latent"] = latent.astype(np.float32)
+        return out
+
+
+def train(args):
+    """CFW stage-2 training CLI (the reference trains AutoencoderKLResi via
+    main.py with configs/autoencoder/autoencoder_kl_64x64x4_resi.yaml; that
+    OmegaConf schema is drop-in here via ref_config).  Data is the
+    gt_input_output dump root ({gts,inputs,samples[,latents]})."""
+    import os
+    import pickle
+    import time
+
+    import yaml
+
+    from ssl_tpu.diffusion.ref_config import (is_reference_schema,
+                                              translate_reference_config)
+
+    with open(args.base) as f:
+        cfg = yaml.safe_load(f)
+    if is_reference_schema(cfg):
+        cfg = translate_reference_config(cfg)
+        assert cfg.get("kind") == "cfw", \
+            "not a CFW/autoencoder config — train it with ssl_tpu.diffusion.main"
+    if getattr(args, "overrides", None):
+        from ssl_tpu.diffusion.main import apply_dotlist
+        cfg = apply_dotlist(cfg, args.overrides)
+
+    model = CFWTrainModel(cfg)
+    data_cfg = cfg.get("data", {}) or {}
+    tr = data_cfg.get("train", {}) or {}
+    root = args.data_root or tr.get("gt_path") or tr.get("root")
+    if isinstance(root, (list, tuple)):
+        root = root[0]
+    crop = int(data_cfg.get("crop_size", tr.get("crop_size", 0) or 0))
+    ds = CFWTripletDataset.from_root(root, crop_size=crop)
+    assert len(ds) > 0, f"no triplets under {root}"
+    batch_size = int(data_cfg.get("batch_size", 1))
+
+    # optional data-parallel mesh (`parallel: {data: N}`): replicated state,
+    # batch sharded over 'data' — the Lightning-DDP analogue
+    import jax
+    import jax.numpy as jnp
+    mesh = None
+    par = cfg.get("parallel") or {}
+    n_data = int(par.get("data", 0))
+    if n_data > 1:
+        from ssl_tpu.parallel.mesh import (batch_sharding, create_mesh,
+                                           replicate_sharding)
+        mesh = create_mesh(jax.devices()[:n_data])
+        assert batch_size % n_data == 0, \
+            f"batch_size {batch_size} must divide over data={n_data}"
+
+    probe = ds[0]
+    gt_hw = probe["gt"].shape[:2]
+    state = model.init_state(gt_shape=(batch_size,) + gt_hw + (3,))
+    if getattr(args, "resume", None):
+        with open(args.resume, "rb") as f:
+            restored = pickle.load(f)
+        state = jax.tree_util.tree_map(lambda _, r: jnp.asarray(r),
+                                       state, restored)
+        print(f"resumed from {args.resume} at step {int(state.step)}", flush=True)
+    if mesh is not None:
+        state = jax.device_put(state, replicate_sharding(mesh))
+
+    total_steps = int(cfg.get("train", {}).get("max_steps", 100000))
+    log_every = int(cfg.get("train", {}).get("log_every", 100))
+    save_every = int(cfg.get("train", {}).get("save_every", 1500))
+    os.makedirs(args.logdir, exist_ok=True)
+
+    rng = np.random.RandomState(0)
+    step = int(state.step)
+    t0 = time.time()
+    while step < total_steps:
+        idx = rng.randint(0, len(ds), size=batch_size)
+        items = [ds[int(i)] for i in idx]
+        batch = {k: np.stack([it[k] for it in items]) for k in items[0]}
+        if mesh is not None:
+            from ssl_tpu.parallel.mesh import batch_sharding
+            sh = batch_sharding(mesh)
+            batch = {k: jax.device_put(jnp.asarray(v), sh)
+                     for k, v in batch.items()}
+        else:
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        state, logs = model.make_train_step()(state, batch)
+        step += 1
+        if step % log_every == 0:
+            host = {k: float(v) for k, v in logs.items()}
+            print(f"step {step} ({(time.time()-t0)/log_every:.2f}s/it): {host}",
+                  flush=True)
+            t0 = time.time()
+        if step % save_every == 0 or step >= total_steps:
+            save_cfw_params(state, os.path.join(args.logdir, f"cfw_{step}.pkl"))
+            with open(os.path.join(args.logdir,
+                                   f"cfw_state_{step}.pkl"), "wb") as f:
+                pickle.dump(jax.device_get(state), f)
+    return state
+
+
+def main():
+    import argparse
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--base", required=True,
+                        help="CFW config (native or the reference's "
+                             "configs/autoencoder/*_resi.yaml)")
+    parser.add_argument("--logdir", default="logs/cfw")
+    parser.add_argument("--data_root", default=None,
+                        help="override the config's triplet dump root")
+    parser.add_argument("--resume", default=None, help="cfw_state_*.pkl")
+    args, unknown = parser.parse_known_args()
+    args.overrides = unknown
+    return train(args)
+
+
+if __name__ == "__main__":
+    main()
