@@ -171,6 +171,12 @@ def train(args):
     image_every = cfg.get("train", {}).get("image_every", save_every)
     out_dir = args.logdir
     os.makedirs(out_dir, exist_ok=True)
+    # Lightning tb logger parity (reference main.py trainer loggers): scalars
+    # under losses/* at each log_every
+    tb = None
+    if cfg.get("train", {}).get("use_tb_logger"):
+        from ssl_tpu.utils.logger import init_tb_logger
+        tb = init_tb_logger(os.path.join(out_dir, "tb_logger"))
 
     def _dump_images(step, batch):
         imgs = model.preview(state, batch)
@@ -203,6 +209,9 @@ def train(args):
                 host = {k: float(v) for k, v in logs.items()}
                 print(f"step {step} ({(time.time()-t0)/log_every:.2f}s/it): {host}", flush=True)
                 t0 = time.time()
+                if tb is not None:
+                    for k, v in host.items():
+                        tb.add_scalar(f"losses/{k}", v, step)
             if image_every and step % image_every == 0:
                 _dump_images(step, device_batch)
             if step % save_every == 0:
