@@ -152,7 +152,23 @@ def train(args):
             cands = glob.glob(os.path.join(args.logdir, "train_state_*.pkl"))
             path = max(cands, key=lambda p: int(p.rsplit("_", 1)[1][:-4])) \
                 if cands else None
-        if path:
+        if path is None and args.resume == "auto":
+            # orbax backend: 'latest' pointer next to state_orbax_<N> dirs
+            latest = os.path.join(args.logdir, "latest")
+            if os.path.exists(latest):
+                with open(latest) as f:
+                    path = os.path.join(args.logdir,
+                                        f"state_orbax_{f.read().strip()}")
+        if path and os.path.isdir(path):
+            # orbax restore against the PLACED template: sharded (tp/ZeRO)
+            # leaves restore straight into their mesh layout, no host gather
+            import orbax.checkpoint as ocp
+            state = model.place_state(state)
+            state = ocp.StandardCheckpointer().restore(
+                os.path.abspath(path), state)
+            print(f"resumed (orbax) from {path} at step {int(state.step)}",
+                  flush=True)
+        elif path:
             import jax
             with open(path, "rb") as f:
                 restored = pickle.load(f)
@@ -220,8 +236,21 @@ def train(args):
                 # state for --resume
                 with open(os.path.join(out_dir, f"ckpt_{step}.pkl"), "wb") as f:
                     pickle.dump(jax.device_get(state.params), f)
-                with open(os.path.join(out_dir, f"train_state_{step}.pkl"), "wb") as f:
-                    pickle.dump(jax.device_get(state), f)
+                if cfg.get("train", {}).get("ckpt_backend") == "orbax":
+                    # sharded-state-native: each chip writes its own shards —
+                    # no host gather of a (potentially tp/ZeRO-sharded) state
+                    import orbax.checkpoint as ocp
+                    ckptr = ocp.StandardCheckpointer()
+                    ckptr.save(os.path.abspath(
+                        os.path.join(out_dir, f"state_orbax_{step}")),
+                        state, force=True)
+                    ckptr.wait_until_finished()
+                    with open(os.path.join(out_dir, "latest"), "w") as f:
+                        f.write(str(step))
+                else:
+                    with open(os.path.join(out_dir,
+                                           f"train_state_{step}.pkl"), "wb") as f:
+                        pickle.dump(jax.device_get(state), f)
     return state
 
 

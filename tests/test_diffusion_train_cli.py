@@ -99,3 +99,28 @@ def test_diffusion_train_cli_tensor_parallel(tmp_path):
     from jax.sharding import PartitionSpec as P
     k = state.params["unet"]["input_blocks_1_0"]["in_layers_2"]["kernel"]
     assert k.sharding.spec == P(None, None, None, "model")
+
+
+def test_diffusion_train_cli_orbax_backend_sharded_resume(tmp_path):
+    """train.ckpt_backend=orbax on a dp x tp mesh: the sharded state saves
+    without host-gather and `--resume auto` restores straight into the mesh
+    layout, continuing to the new max_steps."""
+    gt_dir, mask_dir = _fixtures(tmp_path)
+    cfg = _cfg(gt_dir, mask_dir, ckpt_backend="orbax")
+    cfg["parallel"] = {"data": 2, "tp": 4}
+
+    state = _run(cfg, tmp_path, "logs_orbax")
+    assert int(state.step) == 2
+    log_dir = tmp_path / "logs_orbax"
+    assert (log_dir / "state_orbax_2").is_dir()
+    assert (log_dir / "latest").read_text().strip() == "2"
+    assert not (log_dir / "train_state_2.pkl").exists()
+
+    cfg2 = _cfg(gt_dir, mask_dir, max_steps=4, save_every=4,
+                ckpt_backend="orbax")
+    cfg2["parallel"] = {"data": 2, "tp": 4}
+    state2 = _run(cfg2, tmp_path, "logs_orbax", resume="auto")
+    assert int(state2.step) == 4
+    from jax.sharding import PartitionSpec as P
+    k = state2.params["unet"]["input_blocks_1_0"]["in_layers_2"]["kernel"]
+    assert k.sharding.spec == P(None, None, None, "model")
