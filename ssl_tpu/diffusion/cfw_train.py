@@ -334,10 +334,12 @@ def train(args):
     mesh = None
     par = cfg.get("parallel") or {}
     n_data = int(par.get("data", 0))
+    batch_sh = None
     if n_data > 1:
         from ssl_tpu.parallel.mesh import (batch_sharding, create_mesh,
                                            replicate_sharding)
         mesh = create_mesh(jax.devices()[:n_data])
+        batch_sh = batch_sharding(mesh)
         assert batch_size % n_data == 0, \
             f"batch_size {batch_size} must divide over data={n_data}"
 
@@ -365,10 +367,8 @@ def train(args):
         idx = rng.randint(0, len(ds), size=batch_size)
         items = [ds[int(i)] for i in idx]
         batch = {k: np.stack([it[k] for it in items]) for k in items[0]}
-        if mesh is not None:
-            from ssl_tpu.parallel.mesh import batch_sharding
-            sh = batch_sharding(mesh)
-            batch = {k: jax.device_put(jnp.asarray(v), sh)
+        if batch_sh is not None:
+            batch = {k: jax.device_put(jnp.asarray(v), batch_sh)
                      for k, v in batch.items()}
         else:
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
