@@ -76,6 +76,7 @@ def translate_reference_config(cfg: dict) -> dict:
                 "ch_mult": tuple(dd.get("ch_mult", (1, 2, 4, 4))),
                 "num_res_blocks": dd.get("num_res_blocks", 2),
                 "fusion_w": mp.get("fusion_w", 1.0),
+                "num_fuse_block": dd.get("num_fuse_block", 2),
             },
             "train": {
                 "optim_g": {"type": "Adam", "lr": model.get("base_learning_rate", 5e-5)},

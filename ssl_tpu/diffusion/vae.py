@@ -106,15 +106,40 @@ class Decoder(nn.Module):
         return h
 
 
+class FuseSftBlockRRDB(nn.Module):
+    """Fuse_sft_block_RRDB (reference ldm/modules/diffusionmodules/model.py:822):
+    ``dec + w * ResBlock(RRDB^n(ResBlock(cat(enc, dec))))``.  The two
+    bracketing ResBlocks are the VAE-style GN/swish/conv blocks (model.py:797
+    ResBlock, identical math to ResnetBlock here, skip 1x1 when channels
+    change); the trunk is ``num_block`` ESRGAN RRDBs (gc 32)."""
+    out_ch: int
+    num_block: int = 2
+    num_grow_ch: int = 32
+
+    @nn.compact
+    def __call__(self, enc_feat, dec_feat, w: float = 1.0):
+        from ssl_tpu.archs.rrdbnet_arch import RRDB
+        h = ResnetBlock(self.out_ch, name="encode_enc_1")(
+            jnp.concatenate([enc_feat, dec_feat], axis=-1))
+        for k in range(self.num_block):
+            h = RRDB(self.out_ch, self.num_grow_ch, name=f"encode_enc_2_{k}")(h)
+        h = ResnetBlock(self.out_ch, name="encode_enc_3")(h)
+        return dec_feat + w * h
+
+
 class DecoderResi(nn.Module):
-    """CFW fusion decoder: re-injects encoder features of the LQ input during
-    decoding for detail preservation (reference AutoencoderKLResi,
-    autoencoder.py:469 — used at test time with a separately-trained ckpt)."""
+    """CFW fusion decoder — STRUCTURALLY the reference Decoder_Mix
+    (ldm/modules/diffusionmodules/model.py:677): at every intermediate level
+    (i != 0, i != top) the LQ-encoder feature enc_feas[i-1] is fused into the
+    decode stream through a Fuse_sft_block_RRDB before the upsample
+    (model.py:778-785); real StableSR CFW checkpoints import losslessly via
+    convert_ldm_vae."""
     ch: int = 128
     ch_mult: Sequence[int] = (1, 2, 4, 4)
     num_res_blocks: int = 2
     out_ch: int = 3
     fusion_w: float = 1.0
+    num_fuse_block: int = 2
 
     @nn.compact
     def __call__(self, z, enc_feas):
@@ -123,19 +148,14 @@ class DecoderResi(nn.Module):
         h = ResnetBlock(h.shape[-1], name="mid_block_1")(h)
         h = AttnBlock(name="mid_attn")(h)
         h = ResnetBlock(h.shape[-1], name="mid_block_2")(h)
-        fea_idx = len(enc_feas) - 1
         for i in reversed(range(len(self.ch_mult))):
             for j in range(self.num_res_blocks + 1):
                 h = ResnetBlock(self.ch * self.ch_mult[i], name=f"up_{i}_block_{j}")(h)
-            # fuse the matching-resolution LQ encoder feature (CFW)
-            if fea_idx >= 0 and enc_feas and i in (1, 2):
-                s = enc_feas[fea_idx]
-                if s.shape[1] == h.shape[1]:
-                    fused = nn.Conv(h.shape[-1], (3, 3), padding="SAME",
-                                    kernel_init=nn.initializers.zeros,
-                                    name=f"fuse_{i}")(jnp.concatenate([h, s], axis=-1))
-                    h = h + self.fusion_w * fused
-                    fea_idx -= 1
+            if i != 0 and i != len(self.ch_mult) - 1:
+                h = FuseSftBlockRRDB(self.ch * self.ch_mult[i],
+                                     self.num_fuse_block,
+                                     name=f"fusion_layer_{i}")(
+                    enc_feas[i - 1], h, self.fusion_w)
             if i != 0:
                 b, hh, ww, c = h.shape
                 h = jax.image.resize(h, (b, hh * 2, ww * 2, c), method="nearest")
@@ -152,12 +172,14 @@ class AutoencoderKLResi(nn.Module):
     ch_mult: Sequence[int] = (1, 2, 4, 4)
     num_res_blocks: int = 2
     fusion_w: float = 1.0
+    num_fuse_block: int = 2
 
     def setup(self):
         self.encoder = Encoder(self.ch, self.ch_mult, self.num_res_blocks,
                                z_channels=self.embed_dim)
         self.decoder = DecoderResi(self.ch, self.ch_mult, self.num_res_blocks,
-                                   fusion_w=self.fusion_w)
+                                   fusion_w=self.fusion_w,
+                                   num_fuse_block=self.num_fuse_block)
         self.quant_conv = nn.Conv(2 * self.embed_dim, (1, 1))
         self.post_quant_conv = nn.Conv(self.embed_dim, (1, 1))
 

@@ -1187,8 +1187,11 @@ def convert_ldm_vae(sd: dict) -> dict:
     .{i}.(downsample|upsample).conv, .mid.block_1/attn_1/block_2, plus
     quant_conv/post_quant_conv (reference ldm/models/autoencoder.py:291).
     ldm's decoder ModuleList is insert(0)-built so up.{i}=0 is the finest
-    level, matching our up_{i} naming.  The CFW decoder's zero-init fuse_{i}
-    convs have no SD counterpart — merge with merge_into_tree to keep them."""
+    level, matching our up_{i} naming.  The CFW Decoder_Mix fusion layers
+    (decoder.fusion_layer_{i}.encode_enc_{1,3} VAE ResBlocks with a conv_out
+    skip + encode_enc_2.{k} RRDB trunk, model.py:822) map to our
+    fusion_layer_{i} modules; absent from plain-SD checkpoints, they stay
+    at init when merged with merge_into_tree."""
     if any(k.startswith("first_stage_model.") for k in sd):
         sd = {k[len("first_stage_model."):]: v for k, v in sd.items()
               if k.startswith("first_stage_model.")}
@@ -1223,6 +1226,31 @@ def convert_ldm_vae(sd: dict) -> dict:
             if m:
                 out[f"{direction}_{m.group(1)}_{m.group(2)}"] = _convp(
                     sd, f"{name}.{direction}.{m.group(1)}.{m.group(2)}.conv")
+        # CFW Decoder_Mix fusion layers (model.py ResBlock skip is 'conv_out')
+        def fuse_resblk(pfx):
+            node = {"GroupNorm_0": _ln(sd, f"{pfx}.norm1"),
+                    "Conv_0": _convp(sd, f"{pfx}.conv1"),
+                    "GroupNorm_1": _ln(sd, f"{pfx}.norm2"),
+                    "Conv_1": _convp(sd, f"{pfx}.conv2")}
+            if f"{pfx}.conv_out.weight" in sd:
+                node["Conv_2"] = _convp(sd, f"{pfx}.conv_out")
+            return node
+
+        fpat = re.compile(
+            rf"{name}\.fusion_layer_(\d+)\.encode_enc_2\.(\d+)\.rdb(\d)\.conv(\d)\.weight")
+        for k in sorted(sd):
+            m = fpat.match(k)
+            if not m:
+                continue
+            i, blk, r, c = m.groups()
+            node = out.setdefault(f"fusion_layer_{i}", {
+                "encode_enc_1": fuse_resblk(f"{name}.fusion_layer_{i}.encode_enc_1"),
+                "encode_enc_3": fuse_resblk(f"{name}.fusion_layer_{i}.encode_enc_3"),
+            })
+            node.setdefault(f"encode_enc_2_{blk}", {}) \
+                .setdefault(f"ResidualDenseBlock_{int(r) - 1}", {}) \
+                [f"Conv3x3_{int(c) - 1}"] = {"Conv_0": _convp(
+                    sd, f"{name}.fusion_layer_{i}.encode_enc_2.{blk}.rdb{r}.conv{c}")}
         return out
 
     return {"encoder": coder("encoder", "down"),

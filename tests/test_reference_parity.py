@@ -488,3 +488,55 @@ def test_elan_non_multiple_size_parity():
     _forward_parity(ref, dict(type="ELAN", scale=4, colors=3,
                               window_sizes=[4, 8, 16], m_elan=4, c_elan=24,
                               n_share=0, r_expand=2), x, rtol=2e-4, atol=2e-5)
+
+
+def test_cfw_vae_resi_forward_parity():
+    """Our AutoencoderKLResi (Encoder return_fea + Decoder_Mix with
+    Fuse_sft_block_RRDB fusion) == the reference's own modules
+    (ldm/modules/diffusionmodules/model.py:468/677/822), weights imported via
+    convert_ldm_vae — proves real StableSR CFW checkpoints load losslessly."""
+    mm = ref_module("ldm.modules.diffusionmodules.model")
+    from ssl_tpu.diffusion.vae import AutoencoderKLResi
+    from ssl_tpu.utils.weight_port import (_as_jnp, convert_ldm_vae,
+                                           merge_into_tree)
+
+    torch.manual_seed(0)
+    kw = dict(ch=32, out_ch=3, ch_mult=(1, 2, 2, 2), num_res_blocks=1,
+              attn_resolutions=(), in_channels=3, resolution=32, z_channels=4)
+    ref_enc = mm.Encoder(double_z=True, **kw)
+    ref_dec = mm.Decoder_Mix(num_fuse_block=1, fusion_w=1.0, **kw)
+    qc = torch.nn.Conv2d(8, 8, 1)
+    pqc = torch.nn.Conv2d(4, 4, 1)
+    for mod in (ref_enc, ref_dec, qc, pqc):
+        mod.eval()
+
+    x = torch.from_numpy(
+        np.random.RandomState(0).rand(1, 3, 32, 32).astype(np.float32))
+    with torch.no_grad():
+        h, feas = ref_enc(x, return_fea=True)
+        mean = qc(h)[:, :4]
+        y_ref = ref_dec(pqc(mean), feas)
+
+    sd = {}
+    for prefix, mod in (("encoder", ref_enc), ("decoder", ref_dec),
+                        ("quant_conv", qc), ("post_quant_conv", pqc)):
+        for k, v in mod.state_dict().items():
+            sd[f"{prefix}.{k}"] = v
+
+    net = AutoencoderKLResi(embed_dim=4, ch=32, ch_mult=(1, 2, 2, 2),
+                            num_res_blocks=1, num_fuse_block=1)
+    x_j = jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1)))
+    variables = net.init(jax.random.PRNGKey(0), x_j)
+    params = merge_into_tree(variables["params"], _as_jnp(convert_ldm_vae(sd)))
+
+    mean_j, _, feas_j = net.apply({"params": params}, x_j,
+                                  method=AutoencoderKLResi.encode)
+    np.testing.assert_allclose(np.transpose(np.asarray(mean_j), (0, 3, 1, 2)),
+                               mean.numpy(), rtol=1e-4, atol=2e-5)
+    for a, b in zip(feas_j, feas):
+        np.testing.assert_allclose(np.transpose(np.asarray(a), (0, 3, 1, 2)),
+                                   b.numpy(), rtol=1e-4, atol=2e-5)
+    dec_j = net.apply({"params": params}, mean_j, feas_j,
+                      method=AutoencoderKLResi.decode)
+    np.testing.assert_allclose(np.transpose(np.asarray(dec_j), (0, 3, 1, 2)),
+                               y_ref.numpy(), rtol=1e-3, atol=5e-4)
