@@ -31,10 +31,15 @@ def main():
     parser.add_argument("--threshold", type=float, default=20.0)
     parser.add_argument("--mode", type=str, default="Laplacian", choices=["Laplacian", "LoG"])
     parser.add_argument("--log_sigma", type=float, default=1.0)
+    parser.add_argument("--color_mode", type=str, default="L", choices=["L", "RGB"],
+                        help="simmatrix --mode: RGB keeps a 3-channel mask")
+    parser.add_argument("--gaussian_kernel_size", type=int, default=0,
+                        help="simmatrix LoG pre-blur ksize (sigma from ksize); "
+                             "0 = use --log_sigma")
     parser.add_argument("--no_png", action="store_true", help="skip .png previews")
     args = parser.parse_args()
 
-    tag = f"{args.mode}/L/threshold-{args.threshold}"
+    tag = f"{args.mode}/{args.color_mode}/threshold-{args.threshold}"
     mat_dir = os.path.join(args.output, tag, "mat")
     png_dir = os.path.join(args.output, tag, "png")
     os.makedirs(mat_dir, exist_ok=True)
@@ -50,11 +55,15 @@ def main():
             continue
         img = img[..., ::-1]  # BGR->RGB
         mask = edge_mask_np(img, args.threshold, use_log=(args.mode == "LoG"),
-                            log_sigma=args.log_sigma)
+                            log_sigma=args.log_sigma, color_mode=args.color_mode,
+                            log_ksize=args.gaussian_kernel_size)
         base = os.path.splitext(name)[0]
         savemat(os.path.join(mat_dir, base + ".mat"), {"mat": mask.astype(np.float64)})
         if not args.no_png:
-            cv2.imwrite(os.path.join(png_dir, base + ".png"), (mask * 255).astype(np.uint8))
+            png = (mask * 255).astype(np.uint8)
+            if png.ndim == 3:
+                png = png[..., ::-1]  # RGB mask -> BGR for imwrite
+            cv2.imwrite(os.path.join(png_dir, base + ".png"), png)
         frac = float(mask.mean())
         stats.append(f"{name} {int(mask.sum())} {frac:.6f}")
         if (i + 1) % 100 == 0:

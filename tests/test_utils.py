@@ -42,6 +42,33 @@ def test_edge_mask_np_vs_jax_parity():
     assert agree > 0.99, agree
 
 
+def test_edge_mask_simmatrix_flavors_oracle():
+    """RGB color-mode + LoG ksize parameterization == the diffusion tree's
+    generate_mask_simmatrix.py steps (PIL convert -> GaussianBlur(ksize,0)
+    -> Laplacian CV_8U -> threshold), executed here as the oracle
+    (Diffusion-Based-SR/scripts/data_preparation/generate_mask_simmatrix.py
+    :33-55)."""
+    import cv2
+    from PIL import Image
+
+    rng = np.random.RandomState(3)
+    img = (rng.rand(24, 24, 3) * 255).astype(np.uint8)
+    for color_mode, thr in (("L", 20.0), ("RGB", 20.0)):
+        # oracle: the reference's own op sequence
+        ref_src = np.array(Image.fromarray(img).convert(color_mode))
+        for use_log, k in ((False, 0), (True, 5)):
+            src = ref_src
+            if use_log:
+                src = cv2.GaussianBlur(src=src, ksize=(k, k), sigmaX=0,
+                                       sigmaY=0, dst=-1)
+            grad = cv2.Laplacian(src, cv2.CV_8U)
+            want = (grad > thr).astype(np.float32)
+            got = edge_mask_np(img, thr, use_log=use_log, log_ksize=k,
+                               color_mode=color_mode)
+            np.testing.assert_array_equal(got, want)
+            assert got.ndim == (3 if color_mode == "RGB" else 2)
+
+
 def test_edge_mask_detects_edges():
     img = np.zeros((32, 32, 3), np.float32)
     img[:, 16:] = 1.0
