@@ -109,12 +109,25 @@ class BaseModel:
             with open(os.path.join(save_dir, f"net_d_{current_iter}.pkl"), "wb") as f:
                 pickle.dump({"params": jax.device_get(state.params_d)}, f)
 
+    def host_state(self) -> dict:
+        """Host-side mutable state to persist alongside the device TrainState
+        (e.g. the degrader's RNG streams).  Default: none."""
+        return {}
+
+    def set_host_state(self, hs: dict) -> None:
+        """Restore what :meth:`host_state` captured."""
+
     def save_training_state(self, state: TrainState, state_dir: str, epoch: int, current_iter: int):
         import orbax.checkpoint as ocp
         path = os.path.abspath(os.path.join(state_dir, f"{current_iter}"))
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(path, jax.device_get(state), force=True)
         ckptr.wait_until_finished()
+        hs = self.host_state()
+        if hs:
+            import pickle
+            with open(os.path.join(state_dir, f"host_{current_iter}.pkl"), "wb") as f:
+                pickle.dump(hs, f)
         with open(os.path.join(state_dir, "latest"), "w") as f:
             f.write(str(current_iter))
 
@@ -126,6 +139,11 @@ class BaseModel:
         path = os.path.abspath(os.path.join(state_dir, str(current_iter)))
         ckptr = ocp.StandardCheckpointer()
         restored = ckptr.restore(path, jax.device_get(state_template))
+        host_path = os.path.join(state_dir, f"host_{current_iter}.pkl")
+        if os.path.exists(host_path):
+            import pickle
+            with open(host_path, "rb") as f:
+                self.set_host_state(pickle.load(f))
         return jax.tree_util.tree_map(jnp.asarray, restored), int(current_iter)
 
     @staticmethod

@@ -108,6 +108,29 @@ class _DegradationMixin:
         self.percep_gt_usm = opt.get("percep_gt_usm", True)
         self.gan_gt_usm = opt.get("gan_gt_usm", False)
 
+    def host_state(self) -> dict:
+        """Persist the host degrader's RNG streams (+ optionally the training
+        -pair pool) so ``--auto_resume`` continues the degradation stream
+        instead of replaying it from the seed — a reproducibility wart the
+        reference shares (its loader workers re-seed from scratch too).
+        Device mode needs none of this: its randomness is keyed off
+        ``TrainState.rng``, which the checkpoint already carries."""
+        hs = {"degrader_np_rng": self.degrader.rng.get_state(),
+              "degrader_py_rng": self.degrader.pyrng.getstate()}
+        pool = self.degrader.pool
+        if pool is not None and self.opt.get("save_degradation_pool"):
+            hs["pool_ptr"] = pool.ptr
+            hs["pool_buffers"] = {k: np.array(v) for k, v in pool.buffers.items()}
+        return hs
+
+    def set_host_state(self, hs: dict) -> None:
+        self.degrader.rng.set_state(hs["degrader_np_rng"])
+        self.degrader.pyrng.setstate(hs["degrader_py_rng"])
+        pool = self.degrader.pool
+        if pool is not None and "pool_buffers" in hs:
+            pool.ptr = int(hs["pool_ptr"])
+            pool.buffers = {k: np.array(v) for k, v in hs["pool_buffers"].items()}
+
     def prepare_batch(self, batch: dict) -> dict:
         """Host-side feed_data: degrade + crop + queue (+USM). Call before
         train_step with raw dataset batches (gt/kernels[/mask]).  In device

@@ -69,6 +69,61 @@ def test_queue_integration():
     assert (out["gt"][:, 0, 0, 0] == out["lq"][:, 0, 0, 0]).all()
 
 
+def _plans_equal(a, b):
+    assert set(a) == set(b)
+    for k in a:
+        if isinstance(a[k], dict):
+            _plans_equal(a[k], b[k])
+        elif a[k] is None:
+            assert b[k] is None
+        else:
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+
+def test_degrader_rng_stream_resumes(tmp_path):
+    """host_state round-trips through save/load_training_state: after resume
+    the degrader continues its RNG stream instead of replaying from the seed
+    (closes the reference's loader-reseed reproducibility wart), and the
+    training-pair pool is restored when save_degradation_pool is set."""
+    opt = {
+        "name": "resume_rng", "model_type": "RealESRGANModel", "scale": 4,
+        "is_train": True, "manual_seed": 7, "queue_size": 4,
+        "save_degradation_pool": True,
+        "degradation_order": "two",
+        "datasets": {"train": {"gt_size": 32}},
+        "network_g": {"type": "MSRResNet", "num_feat": 8, "num_block": 1, "upscale": 4},
+        "network_d": {"type": "UNetDiscriminatorSN", "num_feat": 4},
+        "path": {},
+        "train": {
+            "optim_g": {"type": "Adam", "lr": 1e-4}, "optim_d": {"type": "Adam", "lr": 1e-4},
+            "pixel_opt": {"type": "L1Loss", "loss_weight": 1.0},
+            "gan_opt": {"type": "GANLoss", "gan_type": "vanilla", "loss_weight": 1e-1},
+        },
+    }
+    model = build_model(opt)
+    state = model.init_state(lq_shape=(2, 8, 8, 3))
+
+    # advance the degradation stream + partially fill the pool
+    model.degrader.draw_plan(2)
+    model.degrader.pool({"gt": np.full((2, 4, 4, 3), 3.0, np.float32),
+                         "lq": np.full((2, 1, 1, 3), 3.0, np.float32)})
+    state_dir = str(tmp_path / "training_states")
+    model.save_training_state(state, state_dir, epoch=0, current_iter=5)
+    next_plan = model.degrader.draw_plan(2)
+
+    model2 = build_model(opt)  # fresh seed stream
+    fresh_plan = model2.degrader.draw_plan(2)
+    model2 = build_model(opt)
+    _, it = model2.load_training_state(state, state_dir)
+    assert it == 5
+    resumed_plan = model2.degrader.draw_plan(2)
+    _plans_equal(resumed_plan, next_plan)          # continues, not replays
+    with pytest.raises(AssertionError):
+        _plans_equal(resumed_plan, fresh_plan)     # and differs from a replay
+    assert model2.degrader.pool.ptr == 2
+    np.testing.assert_array_equal(model2.degrader.pool.buffers["gt"][:2], 3.0)
+
+
 def test_device_degradation_train_step():
     """degradation_device: the two-stage pipeline runs INSIDE the jitted step."""
     opt = {
