@@ -48,5 +48,10 @@ def test_pipeline(root_path: str, args=None):
     return results
 
 
-if __name__ == "__main__":
+def main():
+    """Console-script entry (`ssl-test -opt ...`)."""
     test_pipeline(os.getcwd())
+
+
+if __name__ == "__main__":
+    main()

@@ -182,5 +182,10 @@ def train_pipeline(root_path: str, args=None):
     return state
 
 
-if __name__ == "__main__":
+def main():
+    """Console-script entry (`ssl-train -opt ...`)."""
     train_pipeline(os.getcwd())
+
+
+if __name__ == "__main__":
+    main()
