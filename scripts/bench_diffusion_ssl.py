@@ -13,14 +13,19 @@ from ssl_tpu.diffusion.vae import AutoencoderKL
 from ssl_tpu.losses.ssl_loss import SSLSetting
 from ssl_tpu.ops.ssg import SSGConfig
 
-b, sz = 2, 256
+b = int(os.environ.get("BENCH_BATCH", "2"))
+sz = int(os.environ.get("BENCH_SZ", "256"))
+flash = os.environ.get("BENCH_FLASH_ATTN", "0") == "1"   # A/B: ops/attention.py
 cfg = DiffusionSSLConfig(timesteps=1000, context_dim=1024, context_len=77)
 model = StableSRSSL(
     cfg,
     unet=UNetModelDualcondV2(model_channels=128, channel_mult=(1, 2, 4, 4), num_heads=8,
-                             context_dim=1024, attention_resolutions=(4, 2, 1)),
-    structcond=EncoderUNetModelWT(model_channels=128, channel_mult=(1, 2, 4, 4)),
-    vae=AutoencoderKL(ch=128, ch_mult=(1, 2, 4, 4), num_res_blocks=2, embed_dim=4),
+                             context_dim=1024, attention_resolutions=(4, 2, 1),
+                             use_flash_attention=flash),
+    structcond=EncoderUNetModelWT(model_channels=128, channel_mult=(1, 2, 4, 4),
+                                  use_flash_attention=flash),
+    vae=AutoencoderKL(ch=128, ch_mult=(1, 2, 4, 4), num_res_blocks=2, embed_dim=4,
+                      use_flash_attention=flash),
     ssl_setting=SSLSetting(ssg=SSGConfig(q_store_dtype="bfloat16", stream_dtype="bfloat16"),
                            mask_stride=3, capacity=4096, l1_weight=0.5, kl_weight=0.5,
                            impl="dense"),
@@ -39,4 +44,5 @@ for _ in range(steps):
     state, logs = model.train_step(state, batch)
 jax.block_until_ready(state)
 dt = (time.perf_counter() - t0) / steps
-print(f"stablesr-ssl train step: {dt*1000:.1f} ms = {b/dt:.1f} imgs/s/chip")
+print(f"stablesr-ssl train step (flash={flash}, b={b}, sz={sz}): "
+      f"{dt*1000:.1f} ms = {b/dt:.1f} imgs/s/chip")

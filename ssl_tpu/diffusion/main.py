@@ -77,7 +77,15 @@ def build_from_config(cfg: dict):
         context_dim=m.get("context_dim", 1024),
     )
     unet_cfg = {k: v for k, v in m.get("unet", {}).items() if k != "context_dim"}
-    vae_cfg = m.get("first_stage", {})
+    vae_cfg = dict(m.get("first_stage", {}))
+    struct_cfg = dict(m.get("structcond") or {
+        "model_channels": unet_cfg.get("model_channels", 256),
+        "channel_mult": tuple(unet_cfg.get("channel_mult", (1, 1, 2, 2)))})
+    if m.get("use_flash_attention"):
+        # one switch for every attention in the pipeline (Pallas TPU kernel
+        # on eligible shapes; einsum fallback elsewhere — ops/attention.py)
+        for c in (unet_cfg, vae_cfg, struct_cfg):
+            c.setdefault("use_flash_attention", True)
     ssg = SSGConfig(search=sslopt.get("kernel_size_search", 25),
                     window=sslopt.get("kernel_size_window", 9),
                     sigma=sslopt.get("sigma", 0.004),
@@ -88,9 +96,7 @@ def build_from_config(cfg: dict):
         # struct encoder: own config block (reference structcond_stage_config,
         # configs/SSL/base.yaml:92-107); falls back to tracking the UNet dims
         # for small test configs
-        structcond=EncoderUNetModelWT(**(m.get("structcond") or {
-            "model_channels": unet_cfg.get("model_channels", 256),
-            "channel_mult": tuple(unet_cfg.get("channel_mult", (1, 1, 2, 2)))})),
+        structcond=EncoderUNetModelWT(**struct_cfg),
         vae=AutoencoderKL(**vae_cfg),
         ssl_setting=SSLSetting(ssg=ssg, mask_stride=sslopt.get("mask_stride", 3),
                                capacity=sslopt.get("capacity", 2048),

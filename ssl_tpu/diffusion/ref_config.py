@@ -28,9 +28,10 @@ _DATASET_TARGETS = {
 _UNET_FIELDS = ("in_channels", "out_channels", "model_channels", "num_res_blocks",
                 "attention_resolutions", "channel_mult", "num_heads",
                 "num_head_channels", "transformer_depth", "context_dim",
-                "semb_channels")
+                "semb_channels", "use_flash_attention")
 _STRUCT_FIELDS = ("in_channels", "model_channels", "out_channels", "num_res_blocks",
-                  "attention_resolutions", "channel_mult", "num_heads")
+                  "attention_resolutions", "channel_mult", "num_heads",
+                  "use_flash_attention")
 
 
 def is_reference_schema(cfg: dict) -> bool:

@@ -15,8 +15,11 @@ translation and real StableSR checkpoints import losslessly.
 
 Implemented configuration = what StableSR ships (configs/SSL/base.yaml:42-59):
 use_scale_shift_norm=False, use_linear_in_transformer=True, conv_resample=True,
-dropout=0, legacy=False.  Attention is einsum (MXU); GroupNorm/LayerNorm eps
-pinned to torch's 1e-5; GELU is exact (non-approximate), matching torch.
+dropout=0, legacy=False.  Attention is einsum (MXU) by default;
+``use_flash_attention: true`` routes eligible self-attention through the
+Pallas TPU flash kernel (ops/attention.py — same function, O(seq) memory).
+GroupNorm/LayerNorm eps pinned to torch's 1e-5; GELU is exact
+(non-approximate), matching torch.
 """
 
 from __future__ import annotations
@@ -27,6 +30,8 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+from ssl_tpu.ops.attention import sdp_attention
 
 
 def timestep_embedding(t: jnp.ndarray, dim: int, max_period: int = 10000) -> jnp.ndarray:
@@ -128,6 +133,7 @@ class SpatialTransformerV2(nn.Module):
     heads: int
     dim_head: int
     depth: int = 1
+    use_flash_attention: bool = False
 
     @nn.compact
     def __call__(self, x, context):
@@ -159,9 +165,8 @@ class SpatialTransformerV2(nn.Module):
         q = q.reshape(b, n, self.heads, self.dim_head)
         k = k.reshape(b, -1, self.heads, self.dim_head)
         v = v.reshape(b, -1, self.heads, self.dim_head)
-        attn = jax.nn.softmax(
-            jnp.einsum("bnhd,bmhd->bhnm", q, k) * (self.dim_head ** -0.5), axis=-1)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, inner)
+        out = sdp_attention(q, k, v, self.dim_head ** -0.5,
+                            self.use_flash_attention).reshape(b, n, inner)
         return nn.Dense(x.shape[-1], name=f"{prefix}_to_out_0")(out)
 
 
@@ -169,6 +174,7 @@ class AttentionBlockQKV(nn.Module):
     """openaimodel AttentionBlock (:463) with QKVAttentionLegacy packing:
     qkv channels are head-major blocks [q_h | k_h | v_h]."""
     num_heads: int
+    use_flash_attention: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -178,10 +184,11 @@ class AttentionBlockQKV(nn.Module):
         qkv = nn.Dense(3 * c, name="qkv")(y)                 # torch conv1d k=1
         qkv = qkv.reshape(b, h * w, self.num_heads, 3, d)
         q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
+        # legacy scaling: q*s . k*s with s = d^-1/4 (bit-equal to the
+        # reference on the einsum path; == logits * d^-1/2 under flash)
         scale = 1.0 / math.sqrt(math.sqrt(d))
-        attn = jax.nn.softmax(
-            jnp.einsum("bnhd,bmhd->bhnm", q * scale, k * scale), axis=-1)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, h * w, c)
+        out = sdp_attention(q * scale, k * scale, v, 1.0,
+                            self.use_flash_attention).reshape(b, h * w, c)
         out = nn.Dense(c, name="proj_out", kernel_init=nn.initializers.zeros)(out)
         # residual adds the raw (pre-norm) input, openaimodel.py:509
         return (x.reshape(b, h * w, c) + out).reshape(b, h, w, c)
@@ -200,6 +207,7 @@ class UNetModelDualcondV2(nn.Module):
     transformer_depth: int = 1
     context_dim: int = 1024
     semb_channels: int = 256
+    use_flash_attention: bool = False
 
     def _heads(self, ch: int) -> tuple[int, int]:
         if self.num_head_channels > 0:
@@ -227,6 +235,7 @@ class UNetModelDualcondV2(nn.Module):
                 if ds in self.attention_resolutions:
                     heads, dim_head = self._heads(ch)
                     h = SpatialTransformerV2(heads, dim_head, self.transformer_depth,
+                                         self.use_flash_attention,
                                              name=f"input_blocks_{idx}_1")(h, context)
                 hs.append(h)
                 idx += 1
@@ -238,6 +247,7 @@ class UNetModelDualcondV2(nn.Module):
         heads, dim_head = self._heads(ch)
         h = ResBlockDual(ch, name="middle_block_0")(h, emb, s)
         h = SpatialTransformerV2(heads, dim_head, self.transformer_depth,
+                                         self.use_flash_attention,
                                  name="middle_block_1")(h, context)
         h = ResBlockDual(ch, name="middle_block_2")(h, emb, s)
 
@@ -251,6 +261,7 @@ class UNetModelDualcondV2(nn.Module):
                 if ds in self.attention_resolutions:
                     heads, dim_head = self._heads(ch)
                     h = SpatialTransformerV2(heads, dim_head, self.transformer_depth,
+                                         self.use_flash_attention,
                                              name=f"output_blocks_{idx}_{j}")(h, context)
                     j += 1
                 if level and i == self.num_res_blocks:
@@ -272,6 +283,7 @@ class EncoderUNetModelWT(nn.Module):
     attention_resolutions: Sequence[int] = (4, 2, 1)
     channel_mult: Sequence[int] = (1, 1, 2, 2)
     num_heads: int = 4
+    use_flash_attention: bool = False
 
     @nn.compact
     def __call__(self, x, t):
@@ -290,7 +302,7 @@ class EncoderUNetModelWT(nn.Module):
                 ch = mult * self.model_channels
                 h = ResBlockRef(ch, name=f"input_blocks_{idx}_0")(h, emb)
                 if ds in self.attention_resolutions:
-                    h = AttentionBlockQKV(self.num_heads,
+                    h = AttentionBlockQKV(self.num_heads, self.use_flash_attention,
                                           name=f"input_blocks_{idx}_1")(h)
                 idx += 1
             if level != len(self.channel_mult) - 1:
@@ -299,7 +311,8 @@ class EncoderUNetModelWT(nn.Module):
                 idx += 1
                 ds *= 2
         h = ResBlockRef(ch, name="middle_block_0")(h, emb)
-        h = AttentionBlockQKV(self.num_heads, name="middle_block_1")(h)
+        h = AttentionBlockQKV(self.num_heads, self.use_flash_attention,
+                          name="middle_block_1")(h)
         h = ResBlockRef(ch, name="middle_block_2")(h, emb)
         results.append(h)
 

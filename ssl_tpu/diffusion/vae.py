@@ -41,15 +41,21 @@ class ResnetBlock(nn.Module):
 
 
 class AttnBlock(nn.Module):
+    """Single-head mid-block attention (model.py:154).  Runs at the latent
+    resolution (4096 tokens for a 512^2 input) — ``use_flash_attention``
+    keeps the 4096^2 logits out of HBM via the Pallas TPU kernel."""
+    use_flash_attention: bool = False
+
     @nn.compact
     def __call__(self, x):
+        from ssl_tpu.ops.attention import sdp_attention
         b, h, w, c = x.shape
         y = _gn(x)
-        q = nn.Conv(c, (1, 1), name="q")(y).reshape(b, h * w, c)
-        k = nn.Conv(c, (1, 1), name="k")(y).reshape(b, h * w, c)
-        v = nn.Conv(c, (1, 1), name="v")(y).reshape(b, h * w, c)
-        attn = jax.nn.softmax(jnp.einsum("bnc,bmc->bnm", q, k) * (c ** -0.5), axis=-1)
-        out = jnp.einsum("bnm,bmc->bnc", attn, v).reshape(b, h, w, c)
+        q = nn.Conv(c, (1, 1), name="q")(y).reshape(b, h * w, 1, c)
+        k = nn.Conv(c, (1, 1), name="k")(y).reshape(b, h * w, 1, c)
+        v = nn.Conv(c, (1, 1), name="v")(y).reshape(b, h * w, 1, c)
+        out = sdp_attention(q, k, v, c ** -0.5,
+                            self.use_flash_attention).reshape(b, h, w, c)
         return x + nn.Conv(c, (1, 1), name="proj_out")(out)
 
 
@@ -59,6 +65,7 @@ class Encoder(nn.Module):
     num_res_blocks: int = 2
     z_channels: int = 4
     double_z: bool = True
+    use_flash_attention: bool = False
 
     @nn.compact
     def __call__(self, x, return_fea: bool = False):
@@ -73,7 +80,7 @@ class Encoder(nn.Module):
                 h = nn.Conv(h.shape[-1], (3, 3), strides=2,
                             padding=((0, 1), (0, 1)), name=f"down_{i}_downsample")(h)
         h = ResnetBlock(h.shape[-1], name="mid_block_1")(h)
-        h = AttnBlock(name="mid_attn")(h)
+        h = AttnBlock(self.use_flash_attention, name="mid_attn")(h)
         h = ResnetBlock(h.shape[-1], name="mid_block_2")(h)
         out_ch = 2 * self.z_channels if self.double_z else self.z_channels
         h = nn.Conv(out_ch, (3, 3), padding="SAME", name="conv_out")(_nonlin(_gn(h, "norm_out")))
@@ -87,13 +94,14 @@ class Decoder(nn.Module):
     ch_mult: Sequence[int] = (1, 2, 4, 4)
     num_res_blocks: int = 2
     out_ch: int = 3
+    use_flash_attention: bool = False
 
     @nn.compact
     def __call__(self, z):
         mult = self.ch_mult[-1]
         h = nn.Conv(self.ch * mult, (3, 3), padding="SAME", name="conv_in")(z)
         h = ResnetBlock(h.shape[-1], name="mid_block_1")(h)
-        h = AttnBlock(name="mid_attn")(h)
+        h = AttnBlock(self.use_flash_attention, name="mid_attn")(h)
         h = ResnetBlock(h.shape[-1], name="mid_block_2")(h)
         for i in reversed(range(len(self.ch_mult))):
             for j in range(self.num_res_blocks + 1):
@@ -140,13 +148,14 @@ class DecoderResi(nn.Module):
     out_ch: int = 3
     fusion_w: float = 1.0
     num_fuse_block: int = 2
+    use_flash_attention: bool = False
 
     @nn.compact
     def __call__(self, z, enc_feas):
         mult = self.ch_mult[-1]
         h = nn.Conv(self.ch * mult, (3, 3), padding="SAME", name="conv_in")(z)
         h = ResnetBlock(h.shape[-1], name="mid_block_1")(h)
-        h = AttnBlock(name="mid_attn")(h)
+        h = AttnBlock(self.use_flash_attention, name="mid_attn")(h)
         h = ResnetBlock(h.shape[-1], name="mid_block_2")(h)
         for i in reversed(range(len(self.ch_mult))):
             for j in range(self.num_res_blocks + 1):
@@ -173,13 +182,16 @@ class AutoencoderKLResi(nn.Module):
     num_res_blocks: int = 2
     fusion_w: float = 1.0
     num_fuse_block: int = 2
+    use_flash_attention: bool = False
 
     def setup(self):
         self.encoder = Encoder(self.ch, self.ch_mult, self.num_res_blocks,
-                               z_channels=self.embed_dim)
+                               z_channels=self.embed_dim,
+                               use_flash_attention=self.use_flash_attention)
         self.decoder = DecoderResi(self.ch, self.ch_mult, self.num_res_blocks,
                                    fusion_w=self.fusion_w,
-                                   num_fuse_block=self.num_fuse_block)
+                                   num_fuse_block=self.num_fuse_block,
+                                   use_flash_attention=self.use_flash_attention)
         self.quant_conv = nn.Conv(2 * self.embed_dim, (1, 1))
         self.post_quant_conv = nn.Conv(self.embed_dim, (1, 1))
 
@@ -204,11 +216,14 @@ class AutoencoderKL(nn.Module):
     ch: int = 128
     ch_mult: Sequence[int] = (1, 2, 4, 4)
     num_res_blocks: int = 2
+    use_flash_attention: bool = False
 
     def setup(self):
         self.encoder = Encoder(self.ch, self.ch_mult, self.num_res_blocks,
-                               z_channels=self.embed_dim)
-        self.decoder = Decoder(self.ch, self.ch_mult, self.num_res_blocks)
+                               z_channels=self.embed_dim,
+                               use_flash_attention=self.use_flash_attention)
+        self.decoder = Decoder(self.ch, self.ch_mult, self.num_res_blocks,
+                               use_flash_attention=self.use_flash_attention)
         self.quant_conv = nn.Conv(2 * self.embed_dim, (1, 1))
         self.post_quant_conv = nn.Conv(self.embed_dim, (1, 1))
 
