@@ -42,10 +42,17 @@ data = {
     "gt": jnp.asarray(rng.rand(batch, gt_size, gt_size, 3), jnp.float32),
     "gt_mask": jnp.asarray(rng.rand(batch, gt_size, gt_size, 1) < 0.25, jnp.float32),
 }
-def run(tag, drop):
+def run(tag, drop, ssl_overrides=None):
     opt = copy.deepcopy(base_opt)
     for k in drop:
-        opt["train"].pop(k, None)
+        if k == "network_d":
+            opt.pop("network_d", None)
+            opt["train"].pop("gan_opt", None)
+            opt["train"].pop("optim_d", None)
+        else:
+            opt["train"].pop(k, None)
+    if ssl_overrides:
+        opt["ssl_setting"].update(ssl_overrides)
     model = build_model(opt)
     state = model.init_state(lq_shape=(batch, lq, lq, 3))
     state, _ = model.train_step(state, data); jax.block_until_ready(state)
@@ -58,3 +65,5 @@ def run(tag, drop):
 run("full", [])
 run("no perceptual", ["perceptual_opt"])
 run("no ssl", ["selfsim_opt", "selfsim1_opt"])
+run("no gan (D dropped)", ["network_d"])
+run("ssl pair_offsets off", [], {"pair_offsets": False})
