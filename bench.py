@@ -54,7 +54,8 @@ def main():
         # remat 'none': trunk activations fit v5e HBM at this config and the
         # recompute-free backward is measured fastest (48.6 vs 54.3ms 'full')
         "network_g": {"type": "RRDBNet", "num_feat": 64, "num_block": 23, "num_grow_ch": 32,
-                      "remat_policy": os.environ.get("BENCH_REMAT", "none")},
+                      "remat_policy": os.environ.get("BENCH_REMAT", "none"),
+                      "scan_unroll": int(os.environ.get("BENCH_UNROLL", "1"))},
         "network_d": {"type": "UNetDiscriminatorSN", "num_feat": 64},
         "path": {},
         "ssl_setting": {"mask_stride": 3, "kernel_size_search": 25, "sigma": 0.004,

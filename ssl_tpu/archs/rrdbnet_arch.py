@@ -168,6 +168,10 @@ class RRDBNet(nn.Module):
     # via train.remat_policy; 'full' stays the arch default for inference-at-
     # large-tile safety.
     remat_policy: str = "full"
+    # lax.scan unroll factor for the trunk loop: >1 trades compile time for
+    # cross-block scheduling freedom (XLA can overlap block k's tail with
+    # block k+1's head). Same math; params layout unchanged.
+    scan_unroll: int = 1
 
     @nn.compact
     def __call__(self, x):
@@ -184,6 +188,7 @@ class RRDBNet(nn.Module):
             ScanRRDB = nn.scan(
                 cell, variable_axes={"params": 0},
                 split_rngs={"params": True}, length=self.num_block,
+                unroll=self.scan_unroll,
                 metadata_params={nn.meta.PARTITION_NAME: None})
             body, _ = ScanRRDB(self.num_feat, self.num_grow_ch, name="body")(feat, None)
         else:
