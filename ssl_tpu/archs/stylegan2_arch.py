@@ -242,12 +242,17 @@ class StyleGAN2Generator(nn.Module):
         ch = _sg2_channels(self.channel_multiplier, self.narrow)
         nsf = self.num_style_feat
 
+        # instantiate once, apply per style — a two-style mixing call must
+        # SHARE the MLP params, not redeclare them (NameInUseError otherwise)
+        mlp_layers = [EqualLinear(nsf, lr_mul=self.lr_mlp,
+                                  activation="fused_lrelu",
+                                  name=f"style_mlp_{i}")
+                      for i in range(self.num_mlp)]
+
         def style_mlp(s):
             s = _norm_style_code(s)
-            for i in range(self.num_mlp):
-                s = EqualLinear(nsf, lr_mul=self.lr_mlp,
-                                activation="fused_lrelu",
-                                name=f"style_mlp_{i}")(s)
+            for layer in mlp_layers:
+                s = layer(s)
             return s
 
         if not input_is_latent:
@@ -454,12 +459,17 @@ class StyleGAN2GeneratorBilinear(nn.Module):
         nsf = self.num_style_feat
         im = self.interpolation_mode
 
+        # instantiate once, apply per style — a two-style mixing call must
+        # SHARE the MLP params, not redeclare them (NameInUseError otherwise)
+        mlp_layers = [EqualLinear(nsf, lr_mul=self.lr_mlp,
+                                  activation="fused_lrelu",
+                                  name=f"style_mlp_{i}")
+                      for i in range(self.num_mlp)]
+
         def style_mlp(s):
             s = _norm_style_code(s)
-            for i in range(self.num_mlp):
-                s = EqualLinear(nsf, lr_mul=self.lr_mlp,
-                                activation="fused_lrelu",
-                                name=f"style_mlp_{i}")(s)
+            for layer in mlp_layers:
+                s = layer(s)
             return s
 
         if not input_is_latent:

@@ -100,3 +100,38 @@ def paired_paths_with_mask(folders, keys, filename_tmpl="{}", mask_ext=".mat"):
         else:
             raise FileNotFoundError(f"no mask found for {basename} in {mask_folder}")
     return pairs
+
+
+def generate_frame_indices(crt_idx, max_frame_num, num_frames, padding="reflection"):
+    """Window of `num_frames` neighbor indices around `crt_idx`, clip edges
+    handled by the padding mode (reference data_util.py:43-94: replicate /
+    reflection / reflection_circle / circle)."""
+    assert num_frames % 2 == 1, "num_frames should be an odd number."
+    assert padding in ("replicate", "reflection", "reflection_circle", "circle"), \
+        f"Wrong padding mode: {padding}."
+    max_frame_num = max_frame_num - 1  # 0-based last index
+    num_pad = num_frames // 2
+    indices = []
+    for i in range(crt_idx - num_pad, crt_idx + num_pad + 1):
+        if i < 0:
+            if padding == "replicate":
+                pad_idx = 0
+            elif padding == "reflection":
+                pad_idx = -i
+            elif padding == "reflection_circle":
+                pad_idx = crt_idx + num_pad - i
+            else:
+                pad_idx = num_frames + i
+        elif i > max_frame_num:
+            if padding == "replicate":
+                pad_idx = max_frame_num
+            elif padding == "reflection":
+                pad_idx = max_frame_num * 2 - i
+            elif padding == "reflection_circle":
+                pad_idx = (crt_idx - num_pad) - (i - max_frame_num)
+            else:
+                pad_idx = i - num_frames
+        else:
+            pad_idx = i
+        indices.append(pad_idx)
+    return indices

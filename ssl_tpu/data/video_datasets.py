@@ -115,27 +115,74 @@ class Vimeo90KDataset(BaseDataset):
 
 @DATASET_REGISTRY.register()
 class VideoTestDataset(BaseDataset):
-    """Per-clip full-sequence test set (reference video_test_dataset.py)."""
+    """Per-frame test set (reference video_test_dataset.py:12-132).
+
+    Without ``num_frame``: yields single frames (backwards-compatible mode).
+    With ``num_frame`` (sliding-window mode, the reference's semantics):
+    yields an lq stack (t, h, w, c) of neighbors around each frame (edge
+    handling via ``padding``), the center-frame gt, plus ``folder``,
+    ``idx`` ('i/max') and ``border`` bookkeeping for the per-folder video
+    validation protocol (video_base_model.py:18-111)."""
 
     def __init__(self, opt: dict):
         self.opt = opt
         self.gt_root = opt["dataroot_gt"]
         self.lq_root = opt["dataroot_lq"]
+        self.num_frame = opt.get("num_frame")
+        self.padding = opt.get("padding", "reflection")
         self.items = []
+        self.folder_len = {}
         for clip in sorted(os.listdir(self.lq_root)):
             frames = sorted(os.listdir(os.path.join(self.lq_root, clip)))
-            for f in frames:
-                self.items.append((clip, f))
-        self.paths = [os.path.join(c, f) for c, f in self.items]
+            self.folder_len[clip] = len(frames)
+            for i, f in enumerate(frames):
+                self.items.append((clip, f, i, frames))
+        self.paths = [os.path.join(c, f) for c, f, _, _ in self.items]
 
     def __len__(self):
         return len(self.items)
 
     def __getitem__(self, index):
-        clip, fname = self.items[index]
-        lq = img2array(imread(os.path.join(self.lq_root, clip, fname)))
-        d = {"lq": lq, "folder": clip, "lq_path": os.path.join(self.lq_root, clip, fname)}
+        clip, fname, idx, frames = self.items[index]
+        max_idx = self.folder_len[clip]
+        d = {"folder": clip, "idx": f"{idx}/{max_idx}",
+             "lq_path": os.path.join(self.lq_root, clip, fname)}
+        if self.num_frame:
+            from ssl_tpu.data.data_util import generate_frame_indices
+            sel = generate_frame_indices(idx, max_idx, self.num_frame, self.padding)
+            d["lq"] = np.stack([img2array(imread(os.path.join(self.lq_root, clip, frames[i])))
+                                for i in sel])
+            d["border"] = int(idx < self.num_frame // 2 or idx >= max_idx - self.num_frame // 2)
+        else:
+            d["lq"] = img2array(imread(os.path.join(self.lq_root, clip, fname)))
         gt_path = os.path.join(self.gt_root, clip, fname)
         if os.path.exists(gt_path):
             d["gt"] = img2array(imread(gt_path))
+        return d
+
+
+@DATASET_REGISTRY.register()
+class VideoRecurrentTestDataset(BaseDataset):
+    """Whole-clip test set for recurrent archs (reference
+    video_test_dataset.py:252-283): one item per folder, lq/gt are the full
+    frame sequences (t, h, w, c)."""
+
+    def __init__(self, opt: dict):
+        self.opt = opt
+        self.gt_root = opt["dataroot_gt"]
+        self.lq_root = opt["dataroot_lq"]
+        self.folders = sorted(os.listdir(self.lq_root))
+
+    def __len__(self):
+        return len(self.folders)
+
+    def __getitem__(self, index):
+        clip = self.folders[index]
+        frames = sorted(os.listdir(os.path.join(self.lq_root, clip)))
+        lq = np.stack([img2array(imread(os.path.join(self.lq_root, clip, f))) for f in frames])
+        d = {"lq": lq, "folder": clip,
+             "lq_path": os.path.join(self.lq_root, clip, frames[0])}
+        if os.path.isdir(os.path.join(self.gt_root, clip)):
+            d["gt"] = np.stack([img2array(imread(os.path.join(self.gt_root, clip, f)))
+                                for f in frames])
         return d

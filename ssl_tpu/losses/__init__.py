@@ -10,7 +10,7 @@ from ssl_tpu.losses import perceptual as _perc  # noqa: F401
 from ssl_tpu.losses.basic_loss import (  # noqa: F401
     CharbonnierLoss, CrossEntropyLoss, KLDistanceLoss, L1Loss, MSELoss, WeightedTVLoss,
 )
-from ssl_tpu.losses.gan_loss import GANLoss, MultiScaleGANLoss  # noqa: F401
+from ssl_tpu.losses.gan_loss import GANFeatLoss, GANLoss, MultiScaleGANLoss  # noqa: F401
 from ssl_tpu.losses.perceptual import PerceptualLoss  # noqa: F401
 from ssl_tpu.losses.ssl_loss import SSLSetting, ssl_loss, ssl_setting_from_opt  # noqa: F401
 from ssl_tpu.losses.loss_util import get_refined_artifact_map  # noqa: F401

@@ -141,3 +141,95 @@ class SSIMLoss:
         ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / \
             ((mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2))
         return self.loss_weight * jnp.mean(ssim_map)
+
+
+@LOSS_REGISTRY.register()
+class CosineDistanceLoss:
+    """1 - cosine_similarity on the last axis, averaged (reference
+    diffusion-tree basic_loss.py:613-620).  torch cosine_similarity clamps
+    the norm product at eps=1e-8."""
+
+    def __init__(self, loss_weight=0.1):
+        self.loss_weight = loss_weight
+
+    def __call__(self, x, y):
+        num = jnp.sum(x * y, axis=-1)
+        den = jnp.maximum(jnp.linalg.norm(x, axis=-1) * jnp.linalg.norm(y, axis=-1),
+                          1e-8)
+        return jnp.mean(1.0 - num / den) * self.loss_weight
+
+
+@LOSS_REGISTRY.register()
+class BCELoss:
+    """Binary cross-entropy on probabilities (reference basic_loss.py:623-631;
+    torch nn.BCELoss clamps log terms at -100)."""
+
+    def __init__(self, loss_weight=0.1, reduction="mean"):
+        self.loss_weight, self.reduction = loss_weight, reduction
+
+    def __call__(self, x, y):
+        bce = -(y * jnp.maximum(jnp.log(x), -100.0) +
+                (1 - y) * jnp.maximum(jnp.log1p(-x), -100.0))
+        if self.reduction == "mean":
+            bce = jnp.mean(bce)
+        elif self.reduction == "sum":
+            bce = jnp.sum(bce)
+        return self.loss_weight * bce
+
+
+@LOSS_REGISTRY.register()
+class KLDistanceLoss1:
+    """log-target KL variant (reference basic_loss.py:648-661):
+    kl_div(log clamp(x,1e-25), log clamp(y,1e-25), log_target=True)."""
+
+    def __init__(self, loss_weight=0.1, reduction="mean", softmax=False):
+        self.loss_weight, self.reduction, self.softmax = loss_weight, reduction, softmax
+
+    def __call__(self, x, y):
+        if self.softmax:
+            x = jax.nn.softmax(x, axis=-1)
+            y = jax.nn.softmax(y, axis=-1)
+        logx = jnp.log(jnp.clip(x, min=1e-25))
+        logy = jnp.log(jnp.clip(y, min=1e-25))
+        kld = jnp.exp(logy) * (logy - logx)
+        if self.reduction == "mean":
+            kld = jnp.mean(kld)
+        elif self.reduction == "sum":
+            kld = jnp.sum(kld)
+        return self.loss_weight * kld
+
+
+@LOSS_REGISTRY.register()
+class MaxDistanceLoss:
+    """max |x-y|, divided by numel under 'mean' (reference
+    basic_loss.py:663-676 — the reduction divides the MAX, quirk preserved)."""
+
+    def __init__(self, loss_weight=0.1, reduction="mean"):
+        self.loss_weight, self.reduction = loss_weight, reduction
+
+    def __call__(self, x, y):
+        md = jnp.max(jnp.abs(x - y))
+        if self.reduction == "mean":
+            md = md / x.size
+        return self.loss_weight * md
+
+
+@LOSS_REGISTRY.register()
+class SmoothL2Loss:
+    """reference basic_loss.py:678-693 — where(|d|>delta, d²/2,
+    |delta·|d| − delta²/2|), sum-reduced then divided by numel for 'mean'.
+    Two reference quirks preserved: the inner abs of the small branch, and
+    ``loss_weight`` being stored but NEVER applied (its forward returns the
+    raw reduction)."""
+
+    def __init__(self, delta=0.1, loss_weight=1.0, reduction="mean"):
+        self.delta, self.loss_weight, self.reduction = delta, loss_weight, reduction
+
+    def __call__(self, x, y):
+        d = x - y
+        small = jnp.abs(self.delta * jnp.abs(d) - 0.5 * self.delta ** 2)
+        v = jnp.where(jnp.abs(d) > self.delta, 0.5 * d ** 2, small)
+        total = jnp.sum(v)
+        if self.reduction == "mean":
+            total = total / x.size
+        return total

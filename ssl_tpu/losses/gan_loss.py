@@ -61,6 +61,37 @@ class MultiScaleGANLoss(GANLoss):
         return super().__call__(x, target_is_real, is_disc)
 
 
+@LOSS_REGISTRY.register()
+class GANFeatLoss:
+    """Feature-matching loss over a multiscale D's intermediate features
+    (upstream BasicSR GANFeatLoss; consumed by HiFaceGANModel's
+    ``feature_matching_opt`` — reference hifacegan_model.py:46-49,151-154).
+    pred_fake/pred_real: list (num_d) of lists of per-layer features, last
+    entry the logits."""
+
+    def __init__(self, criterion="l1", loss_weight=1.0, reduction="mean"):
+        if criterion not in ("l1", "l2", "charbonnier"):
+            raise ValueError(f"Unsupported loss mode: {criterion}")
+        self.criterion = criterion
+        self.loss_weight = loss_weight
+
+    def _elem(self, a, b):
+        if self.criterion == "l1":
+            return jnp.mean(jnp.abs(a - b))
+        if self.criterion == "l2":
+            return jnp.mean((a - b) ** 2)
+        return jnp.mean(jnp.sqrt((a - b) ** 2 + 1e-12))
+
+    def __call__(self, pred_fake, pred_real):
+        num_d = len(pred_fake)
+        loss = 0.0
+        for i in range(num_d):
+            for j in range(len(pred_fake[i]) - 1):  # intermediate feats only
+                loss += self._elem(pred_fake[i][j],
+                                   jax.lax.stop_gradient(pred_real[i][j])) / num_d
+        return loss * self.loss_weight
+
+
 def r1_penalty(real_logits_fn, real_img):
     """R1 gradient penalty (reference gan_loss.py:144-160) as a functional."""
     grads = jax.grad(lambda im: jnp.sum(real_logits_fn(im)))(real_img)

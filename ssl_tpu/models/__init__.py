@@ -11,6 +11,9 @@ from ssl_tpu.models import ranksrganssl_model as _rank  # noqa: F401
 from ssl_tpu.models import spsrssl_model as _spsr  # noqa: F401
 from ssl_tpu.models import window_ssl_models as _win  # noqa: F401
 from ssl_tpu.models import bsrganssl_model as _bsr  # noqa: F401
+from ssl_tpu.models import video_models as _video  # noqa: F401
+from ssl_tpu.models import stylegan2_model as _sg2  # noqa: F401
+from ssl_tpu.models import hifacegan_model as _hiface  # noqa: F401
 from ssl_tpu.models.base_model import BaseModel, TrainState  # noqa: F401
 from ssl_tpu.models.sr_model import SRModel  # noqa: F401
 from ssl_tpu.models.srgan_model import ESRGANModel, SRGANModel  # noqa: F401

@@ -154,6 +154,11 @@ class BaseModel:
         iters = [int(d) for d in os.listdir(state_dir) if d.isdigit()]
         return max(iters) if iters else None
 
+    def train_init_shape(self, batch_size: int, lq_size: int):
+        """Shape of the G's lq input for init_state in the train CLI; video
+        recipes prepend the temporal axis."""
+        return (batch_size, lq_size, lq_size, 3)
+
     # ------------------------------------------------------------------ utils
     def shard(self, batch: dict) -> dict:
         return shard_batch(batch, self.mesh)

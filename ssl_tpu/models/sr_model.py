@@ -92,6 +92,19 @@ class SRModel(BaseModel):
             logs["l_percep"] = l_percep
         return total, logs, sr
 
+    # ------------------------------------------------- grad/update hooks
+    def adjust_grads_g(self, grads, state: TrainState):
+        """Hook: mask/scale G gradients inside the jitted step.  Video
+        recipes use it for step-conditioned freezes (fix_flow/tsa_iter —
+        the reference's requires_grad flipping, video_recurrent_model.py:52,
+        edvr_model.py:48) without recompiling."""
+        return grads
+
+    def adjust_updates_g(self, updates, state: TrainState):
+        """Hook: scale optimizer updates per param subtree (the reference's
+        per-param-group lr multipliers: flow_lr_mul/dcn_lr_mul)."""
+        return updates
+
     # -------------------------------------------------------------- train step
     def make_train_step(self):
         def step_fn(state: TrainState, batch: dict):
@@ -102,7 +115,9 @@ class SRModel(BaseModel):
                 return total, (logs, sr)
 
             (total, (logs, _)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params_g)
+            grads = self.adjust_grads_g(grads, state)
             updates, opt_state_g = self.tx_g.update(grads, state.opt_state_g, state.params_g)
+            updates = self.adjust_updates_g(updates, state)
             params_g = jax.tree_util.tree_map(lambda p, u: p + u, state.params_g, updates)
             ema = state.ema_params_g
             if self.ema_decay > 0:

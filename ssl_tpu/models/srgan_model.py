@@ -46,7 +46,7 @@ class SRGANModel(SRModel):
         state = super().init_state(lq_shape, seed)
         if self.net_d is None:
             return state
-        gt_shape = (lq_shape[0], lq_shape[1] * self.scale, lq_shape[2] * self.scale, lq_shape[3])
+        gt_shape = self.d_init_shape(lq_shape)
         var_d = jax.jit(self.net_d.init)(jax.random.PRNGKey(seed + 1), jnp.zeros(gt_shape, jnp.float32))
         params_d = var_d["params"]
         stats_d = var_d.get("batch_stats", {})
@@ -112,6 +112,16 @@ class SRGANModel(SRModel):
         n = a.shape[0]
         return out[:n], out[n:], stats
 
+    def d_init_shape(self, lq_shape):
+        """Shape of the D's init input given the G's lq input shape."""
+        return (lq_shape[0], lq_shape[1] * self.scale, lq_shape[2] * self.scale, lq_shape[3])
+
+    def d_view(self, x):
+        """Hook: reshape an image batch for the discriminator.  Video GAN
+        recipes flatten the temporal axis here — the reference's
+        ``output.view(-1, c, h, w)`` (video_recurrent_gan_model.py:140)."""
+        return x
+
     def gan_g_loss(self, fake_pred, real_pred):
         if self.relativistic:
             real_pred = jax.lax.stop_gradient(real_pred)
@@ -141,14 +151,27 @@ class SRGANModel(SRModel):
             # a stacked pair here: only the sr half needs a backward, and a
             # fused concat would drag the gt half through the D input-grad
             # too (measured 148->130 imgs/s when tried).
-            fake_pred, _ = self.apply_d(state.params_d, state.stats_d, sr,
+            fake_pred, _ = self.apply_d(state.params_d, state.stats_d, self.d_view(sr),
                                         train=True, mutable=True)
-            real_pred, _ = self.apply_d(state.params_d, state.stats_d, batch["gt"],
+            real_pred, _ = self.apply_d(state.params_d, state.stats_d,
+                                        self.d_view(batch["gt"]),
                                         train=True, mutable=True)
             l_g_gan = self.gan_g_loss(fake_pred, jax.lax.stop_gradient(real_pred))
             total += l_g_gan
             logs["l_g_gan"] = l_g_gan
         return total, logs, sr
+
+    # --------------------------------------------------- discriminator loss
+    def d_losses(self, params_d, state: TrainState, batch: dict, sr_sg):
+        """D-phase loss hook: returns (loss, logs, new_stats).  Subclasses
+        with conditional/multiscale Ds (HiFaceGAN) override this."""
+        real_pred, fake_pred, stats2 = self.apply_d_pair(
+            params_d, state.stats_d, self.d_view(batch["gt"]),
+            self.d_view(sr_sg), train=True)
+        loss, d_logs = self.gan_d_loss(real_pred, fake_pred)
+        d_logs["out_d_real"] = jnp.mean(real_pred)
+        d_logs["out_d_fake"] = jnp.mean(fake_pred)
+        return loss, d_logs, stats2
 
     # -------------------------------------------------------------- train step
     def make_train_step(self):
@@ -165,10 +188,12 @@ class SRGANModel(SRModel):
                 return total, (logs, sr)
 
             (l_g_total, (logs, sr)), grads_g = jax.value_and_grad(g_loss_fn, has_aux=True)(state.params_g)
+            grads_g = self.adjust_grads_g(grads_g, state)
             do_g = jnp.logical_and(it % self.net_d_iters == 0, it > self.net_d_init_iters)
             scale_g = do_g.astype(jnp.float32)
             grads_g = jax.tree_util.tree_map(lambda g: g * scale_g, grads_g)
             updates_g, opt_state_g = self.tx_g.update(grads_g, state.opt_state_g, state.params_g)
+            updates_g = self.adjust_updates_g(updates_g, state)
             params_g = jax.tree_util.tree_map(
                 lambda p, u: p + u * scale_g, state.params_g, updates_g)
 
@@ -176,11 +201,7 @@ class SRGANModel(SRModel):
             sr_sg = jax.lax.stop_gradient(sr)
 
             def d_loss_fn(params_d):
-                real_pred, fake_pred, stats2 = self.apply_d_pair(
-                    params_d, state.stats_d, batch["gt"], sr_sg, train=True)
-                loss, d_logs = self.gan_d_loss(real_pred, fake_pred)
-                d_logs["out_d_real"] = jnp.mean(real_pred)
-                d_logs["out_d_fake"] = jnp.mean(fake_pred)
+                loss, d_logs, stats2 = self.d_losses(params_d, state, batch, sr_sg)
                 return loss, (d_logs, stats2)
 
             (l_d, (d_logs, stats_d)), grads_d = jax.value_and_grad(d_loss_fn, has_aux=True)(state.params_d)

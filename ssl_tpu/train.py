@@ -108,7 +108,7 @@ def train_pipeline(root_path: str, args=None):
     gt_size = opt["datasets"]["train"].get("gt_size", 128)
     batch_size = opt["datasets"]["train"]["batch_size_per_gpu"] * n_data
     lq_size = gt_size // opt.get("scale", 4)
-    state = model.init_state(lq_shape=(batch_size, lq_size, lq_size, 3))
+    state = model.init_state(lq_shape=model.train_init_shape(batch_size, lq_size))
 
     start_epoch, current_iter = 0, 0
     if opt["path"].get("resume_state") or opt.get("auto_resume"):
