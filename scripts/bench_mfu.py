@@ -71,9 +71,17 @@ data = {
 }
 
 
-def measure(tag, drop):
+VARIANTS = {
+    "full": [],
+    "no_ssl": ["selfsim_opt", "selfsim1_opt"],
+    "no_perceptual": ["perceptual_opt"],
+    "no_d": ["network_d"],
+}
+
+
+def _build(tag):
     opt = copy.deepcopy(base_opt)
-    for k in drop:
+    for k in VARIANTS[tag]:
         if k == "network_d":
             opt.pop("network_d", None)
             opt["train"].pop("gan_opt", None)
@@ -82,32 +90,55 @@ def measure(tag, drop):
             opt["train"].pop(k, None)
     model = build_model(opt)
     state = model.init_state(lq_shape=(batch, lq, lq, 3))
-    step = jax.jit(model.make_train_step())  # no donation: state reused below
-    compiled = step.lower(state, data).compile()
-    ca = compiled.cost_analysis()
-    if isinstance(ca, (list, tuple)):
-        ca = ca[0]
-    flops = float(ca.get("flops", float("nan")))
-    byac = float(ca.get("bytes accessed", float("nan")))
-    # warmup then timed window
+    return model, state
+
+
+def flops_mode():
+    """Print {tag: {flops, bytes}} from the lowered HLO cost model.  Run
+    under JAX_PLATFORMS=cpu: logical FLOPs are backend-independent, the TPU
+    (axon) backend returns None from cost_analysis(), and lowering needs no
+    backend compile (the remote compiler takes minutes per fresh program)."""
+    out = {}
+    for tag in VARIANTS:
+        model, state = _build(tag)
+        ca = jax.jit(model.make_train_step()).lower(state, data).cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        out[tag] = {"flops": float(ca.get("flops", float("nan"))),
+                    "bytes": float(ca.get("bytes accessed", float("nan")))}
+    print(json.dumps(out))
+
+
+if os.environ.get("BENCH_MFU_MODE") == "flops":
+    flops_mode()
+    sys.exit(0)
+
+# FLOPs via a CPU subprocess of this same script
+import subprocess
+
+env = dict(os.environ, JAX_PLATFORMS="cpu", BENCH_MFU_MODE="flops",
+           XLA_FLAGS="--xla_force_host_platform_device_count=1")
+proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                      capture_output=True, text=True, env=env, timeout=3600)
+costs = json.loads([ln for ln in proc.stdout.strip().splitlines()
+                    if ln.startswith("{")][-1])
+
+
+def measure(tag):
+    model, state = _build(tag)
     s = state
-    for _ in range(2):
-        s, _ = step(s, data)
+    for _ in range(3):
+        s, _ = model.train_step(s, data)
     jax.block_until_ready(s)
     t0 = time.perf_counter()
     for _ in range(steps):
-        s, _ = step(s, data)
+        s, _ = model.train_step(s, data)
     jax.block_until_ready(s)
     ms = (time.perf_counter() - t0) / steps * 1000
-    return {"tag": tag, "ms": ms, "flops": flops, "bytes": byac}
+    return {"tag": tag, "ms": ms, **costs[tag]}
 
 
-rows = [
-    measure("full", []),
-    measure("no_ssl", ["selfsim_opt", "selfsim1_opt"]),
-    measure("no_perceptual", ["perceptual_opt"]),
-    measure("no_d", ["network_d"]),
-]
+rows = [measure(tag) for tag in VARIANTS]
 
 full = rows[0]
 print(f"\nconfig: ESRGAN-SSL b{batch} gt{gt_size}  "

@@ -125,6 +125,10 @@ class ModifiedResNet(nn.Module):
 class _TextBlock(nn.Module):
     width: int
     heads: int
+    # OpenAI CLIP (vendored clip/model.py) uses QuickGELU; open_clip's
+    # ViT-H text tower (the reference's FrozenOpenCLIPEmbedder source)
+    # uses exact nn.GELU
+    act: str = "quick_gelu"
 
     @nn.compact
     def __call__(self, x, mask):
@@ -141,7 +145,10 @@ class _TextBlock(nn.Module):
         x = x + nn.Dense(c, name="out_proj")(o)
         y = nn.LayerNorm(epsilon=1e-5, name="ln_2")(x)
         y = nn.Dense(c * 4, name="c_fc")(y)
-        y = y * jax.nn.sigmoid(1.702 * y)  # QuickGELU
+        if self.act == "quick_gelu":
+            y = y * jax.nn.sigmoid(1.702 * y)
+        else:
+            y = jax.nn.gelu(y, approximate=False)
         return x + nn.Dense(c, name="c_proj")(y)
 
 
@@ -155,6 +162,7 @@ class CLIPTextEncoder(nn.Module):
     layers: int = 12
     heads: int = 8
     embed_dim: int = 1024
+    act: str = "quick_gelu"  # 'gelu' for open_clip towers (ViT-H)
 
     def setup(self):
         self.token_embedding = nn.Embed(self.vocab_size, self.width,
@@ -162,7 +170,8 @@ class CLIPTextEncoder(nn.Module):
         self.positional_embedding = self.param(
             "positional_embedding", nn.initializers.normal(0.01),
             (self.context_length, self.width))
-        self.blocks = [_TextBlock(self.width, self.heads, name=f"resblock_{i}")
+        self.blocks = [_TextBlock(self.width, self.heads, act=self.act,
+                                  name=f"resblock_{i}")
                        for i in range(self.layers)]
         self.ln_final = nn.LayerNorm(epsilon=1e-5, name="ln_final")
         self.text_projection = self.param(

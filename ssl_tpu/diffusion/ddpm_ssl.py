@@ -74,6 +74,7 @@ class StableSRSSL:
                  vae_ckpt: str | None = None,
                  clip_text_ckpt: str | None = None,
                  unet_ckpt: str | None = None,
+                 text_prompt: str | None = None,
                  use_ema: bool = True, ema_decay: float = 0.9999,
                  mesh=None, zero: bool = False, zero_min_size: int = 2 ** 14):
         self.cfg = cfg
@@ -103,31 +104,52 @@ class StableSRSSL:
         self.vae_ckpt = vae_ckpt
         self.clip_text_ckpt = clip_text_ckpt
         self.unet_ckpt = unet_ckpt
+        # fixed train-time conditioning text (reference get_learned_
+        # conditioning; SSL configs use '' but any prompt flows through)
+        self.text_prompt = text_prompt
         # LitEma equivalent (reference ddpm.py use_ema=True, decay 0.9999)
         self.use_ema = use_ema
         self.ema_decay = ema_decay
         self._train_step = None
 
-    def _clip_null_context(self):
-        """Empty-prompt penultimate-layer CLIP embedding — the reference's
-        fixed conditioning (FrozenOpenCLIPEmbedder('') in StableSR; SSL keeps
-        the prompt empty).  Requires CLIP_BPE_PATH for tokenizing ''."""
+    def _text_encoder(self):
+        """Frozen CLIP text tower from ``clip_text_ckpt`` — accepts OpenCLIP
+        ViT-H layouts (bare open_clip_pytorch_model.bin or a full SD2.x/
+        StableSR ckpt under cond_stage_model.model.*, the reference's actual
+        FrozenOpenCLIPEmbedder source) as well as OpenAI-CLIP RN50 files.
+        Cached after first build."""
+        if getattr(self, "_text_enc_cache", None) is not None:
+            return self._text_enc_cache
         from ssl_tpu.archs.clip_arch import CLIPTextEncoder
-        from ssl_tpu.utils.clip_tokenizer import SimpleTokenizer
-        from ssl_tpu.utils.weight_port import convert_clip_rn50, load_torch_state_dict
+        from ssl_tpu.utils.weight_port import convert_openclip_text, load_torch_state_dict
         sd = load_torch_state_dict(self.clip_text_ckpt, "state_dict")
-        _, _, text_p = convert_clip_rn50(sd)
-        twidth = sd["positional_embedding"].shape[1]
-        n_layers = len([k for k in sd if k.endswith(".ln_1.weight")])
-        enc = CLIPTextEncoder(width=twidth, layers=n_layers, heads=max(1, twidth // 64),
-                              embed_dim=sd["text_projection"].shape[1],
-                              vocab_size=sd["token_embedding.weight"].shape[0],
-                              context_length=self.cfg.context_len)
-        toks = SimpleTokenizer().tokenize([""], context_length=self.cfg.context_len)
-        text_p = jax.tree_util.tree_map(jnp.asarray, text_p)
-        hidden = enc.apply({"params": text_p}, jnp.asarray(toks),
-                           method=CLIPTextEncoder.hidden_states)
-        return hidden[0]  # (context_len, width)
+        text_p, meta = convert_openclip_text(sd)
+        enc = CLIPTextEncoder(width=meta["width"], layers=meta["layers"],
+                              heads=meta["heads"], embed_dim=meta["embed_dim"],
+                              vocab_size=meta["vocab_size"],
+                              context_length=self.cfg.context_len,
+                              act=meta["act"])
+        self._text_enc_cache = (enc, jax.tree_util.tree_map(jnp.asarray, text_p))
+        return self._text_enc_cache
+
+    def encode_text(self, prompts):
+        """(b, context_len, width) penultimate-layer hidden states for a list
+        of prompts — the reference's get_learned_conditioning through
+        FrozenOpenCLIPEmbedder(layer='penultimate') (modules.py:181-198:
+        token_embedding + pos, resblocks up to len-1, ln_final).  Tokenizer:
+        exact-id parity with (open_)clip.tokenize (utils/clip_tokenizer)."""
+        from ssl_tpu.utils.clip_tokenizer import SimpleTokenizer
+        enc, text_p = self._text_encoder()
+        toks = SimpleTokenizer().tokenize(list(prompts),
+                                          context_length=self.cfg.context_len)
+        return enc.apply({"params": text_p}, jnp.asarray(toks),
+                         method=enc.hidden_states)
+
+    def _clip_null_context(self):
+        """Fixed-conditioning context: ``text_prompt`` (default '' — the
+        reference's SSL configs always sample with the empty prompt, but a
+        nonempty prompt flows through the same path)."""
+        return self.encode_text([self.text_prompt or ""])[0]
 
     # ------------------------------------------------------------------- init
     def init_state(self, gt_shape=(1, 64, 64, 3), seed: int = 0) -> DiffusionTrainState:

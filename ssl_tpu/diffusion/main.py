@@ -75,6 +75,7 @@ def build_from_config(cfg: dict):
         ssl_l1_weight=sslopt.get("l1_weight", 0.5),
         ssl_kl_weight=sslopt.get("kl_weight", 0.5),
         context_dim=m.get("context_dim", 1024),
+        context_len=m.get("context_len", 77),
     )
     unet_cfg = {k: v for k, v in m.get("unet", {}).items() if k != "context_dim"}
     vae_cfg = dict(m.get("first_stage", {}))
@@ -108,6 +109,7 @@ def build_from_config(cfg: dict):
         accumulate=cfg.get("train", {}).get("accumulate_grad_batches", 1),
         vae_ckpt=m.get("vae_ckpt"),
         clip_text_ckpt=m.get("clip_text_ckpt"),
+        text_prompt=m.get("text_prompt"),
         unet_ckpt=m.get("ckpt_path") or m.get("unet_ckpt"),
         mesh=mesh, zero=bool(par.get("zero", False)),
         zero_min_size=int(par.get("zero_min_size", 2 ** 14)))

@@ -37,6 +37,10 @@ def main():
                              "weights over an N-device 'model' mesh "
                              "(parallel/tensor.py Megatron rules); the "
                              "sampler jits as one SPMD program")
+    parser.add_argument("--prompt", default=None,
+                        help="conditioning text (requires model.clip_text_ckpt "
+                             "in the config; default: the trained fixed "
+                             "context — '' for the shipped SSL configs)")
     parser.add_argument("--sampler", choices=["ddpm", "ddim", "plms"],
                         default="ddpm",
                         help="spaced ancestral DDPM (reference test.py "
@@ -103,8 +107,16 @@ def main():
 
         rng, r_enc, r_samp = jax.random.split(rng, 3)
         z_lq = model.encode(vae_params, lq_t, r_enc)
-        ctx = jnp.broadcast_to(infer_p["null_context"],
-                               (1,) + infer_p["null_context"].shape)
+        if args.prompt is not None:
+            # nonempty text conditioning (reference sr_val scripts pass the
+            # prompt through FrozenOpenCLIPEmbedder; same tower here)
+            if not model.clip_text_ckpt:
+                raise SystemExit("--prompt needs model.clip_text_ckpt in the "
+                                 "config (the CLIP text tower weights)")
+            ctx = jnp.asarray(model.encode_text([args.prompt]))
+        else:
+            ctx = jnp.broadcast_to(infer_p["null_context"],
+                                   (1,) + infer_p["null_context"].shape)
 
         def sample_tile(z_tile):
             # batch-agnostic: --tile_parallel stacks tiles along batch

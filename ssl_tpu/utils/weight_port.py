@@ -1648,13 +1648,21 @@ def convert_clip_rn50(sd: dict):
         **{n: _dense(sd, f"{ap}.{n}") for n in ("q_proj", "k_proj", "v_proj", "c_proj")},
     }
 
-    text: dict = {"token_embedding": {"embedding": _to_np(sd["token_embedding.weight"])},
-                  "positional_embedding": _to_np(sd["positional_embedding"]),
-                  "ln_final": _ln(sd, "ln_final"),
-                  "text_projection": _to_np(sd["text_projection"])}
+    text = _clip_text_tree(sd)
+    return vis, vstats, text
+
+
+def _clip_text_tree(sd: dict, p: str = "") -> dict:
+    """Text-transformer subtree shared by OpenAI CLIP and OpenCLIP layouts
+    (token_embedding / positional_embedding / transformer.resblocks.N /
+    ln_final / text_projection under prefix ``p``)."""
+    text: dict = {"token_embedding": {"embedding": _to_np(sd[f"{p}token_embedding.weight"])},
+                  "positional_embedding": _to_np(sd[f"{p}positional_embedding"]),
+                  "ln_final": _ln(sd, f"{p}ln_final"),
+                  "text_projection": _to_np(sd[f"{p}text_projection"])}
     i = 0
-    while f"transformer.resblocks.{i}.ln_1.weight" in sd:
-        base = f"transformer.resblocks.{i}"
+    while f"{p}transformer.resblocks.{i}.ln_1.weight" in sd:
+        base = f"{p}transformer.resblocks.{i}"
         text[f"resblock_{i}"] = {
             "ln_1": _ln(sd, f"{base}.ln_1"),
             "in_proj": {"kernel": _to_np(sd[f"{base}.attn.in_proj_weight"]).T,
@@ -1665,7 +1673,44 @@ def convert_clip_rn50(sd: dict):
             "c_proj": _dense(sd, f"{base}.mlp.c_proj"),
         }
         i += 1
-    return vis, vstats, text
+    return text
+
+
+def convert_openclip_text(sd: dict):
+    """OpenCLIP text tower (the reference's actual embedder:
+    FrozenOpenCLIPEmbedder ViT-H-14, Diffusion-Based-SR/ldm/modules/encoders/
+    modules.py:140-162) -> our CLIPTextEncoder tree.
+
+    Accepts three layouts: a bare ``open_clip_pytorch_model.bin``
+    (text keys at top level, ``visual.*`` alongside), the text tower under
+    ``model.`` (some open_clip text-only exports), or a full SD 2.x /
+    StableSR checkpoint (``cond_stage_model.model.*``).  Returns
+    (text_params, meta) with meta = {width, layers, heads, vocab_size,
+    context_length, embed_dim} for constructing the flax module.  OpenCLIP
+    transformer heads are width//64 (ViT-H text: 1024/16)."""
+    for p in ("cond_stage_model.model.", "model.", ""):
+        if f"{p}token_embedding.weight" in sd:
+            break
+    else:
+        raise ValueError("no CLIP text tower found in checkpoint "
+                         "(token_embedding.weight under any known prefix)")
+    text = _clip_text_tree(sd, p)
+    width = int(_to_np(sd[f"{p}positional_embedding"]).shape[1])
+    # activation flavor: OpenAI-CLIP files (the vendored clipiqa RN50 —
+    # recognizable by the ModifiedResNet visual keys) use QuickGELU;
+    # open_clip towers (SD2.x cond_stage prefix, or bare text/ViT bins)
+    # use exact GELU
+    is_openai = any(k.startswith("visual.layer1.") for k in sd)
+    meta = {
+        "width": width,
+        "layers": len([k for k in text if k.startswith("resblock_")]),
+        "heads": max(1, width // 64),
+        "vocab_size": int(_to_np(sd[f"{p}token_embedding.weight"]).shape[0]),
+        "context_length": int(_to_np(sd[f"{p}positional_embedding"]).shape[0]),
+        "embed_dim": int(_to_np(sd[f"{p}text_projection"]).shape[1]),
+        "act": "quick_gelu" if is_openai else "gelu",
+    }
+    return text, meta
 
 
 # torchvision inception_v3 branch orders, matched to metrics/fid.py's

@@ -221,31 +221,39 @@ def install_reference_stubs() -> None:
                 raise RuntimeError("torchvision stub: pretrained models "
                                    "unavailable in the oracle loader")
 
-            for _n in ("vgg11", "vgg13", "vgg16", "vgg16_bn", "vgg19_bn"):
+            for _n in ("vgg11", "vgg13", "vgg16_bn", "vgg19_bn"):
                 setattr(tv_vgg, _n, _no_tv)
 
-            # vgg19: build the standard architecture with RANDOM weights so
-            # VGG-based reference modules (DFDNet, perceptual loss) can run
-            # as oracles (no pretrained weights in this zero-egress sandbox;
-            # parity tests randomize weights anyway)
-            _VGG19_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
-                          512, 512, 512, 512, "M", 512, 512, 512, 512, "M"]
+            # vgg16/vgg19: build the standard architecture with RANDOM
+            # weights so VGG-based reference modules (DFDNet, perceptual
+            # loss, DISTS backbone) can run as oracles (no pretrained
+            # weights in this zero-egress sandbox; parity tests randomize
+            # weights anyway)
+            _VGG_CFGS = {
+                16: [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+                     512, 512, 512, "M", 512, 512, 512, "M"],
+                19: [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+                     512, 512, 512, 512, "M", 512, 512, 512, 512, "M"],
+            }
 
-            def _vgg19(pretrained=False, **kwargs):
-                layers = []
-                cin = 3
-                for v in _VGG19_CFG:
-                    if v == "M":
-                        layers.append(_torch.nn.MaxPool2d(2, 2))
-                    else:
-                        layers.append(_torch.nn.Conv2d(cin, v, 3, padding=1))
-                        layers.append(_torch.nn.ReLU(inplace=True))
-                        cin = v
-                net = _torch.nn.Module()
-                net.features = _torch.nn.Sequential(*layers)
-                return net
+            def _make_vgg(depth):
+                def _vgg(pretrained=False, **kwargs):
+                    layers = []
+                    cin = 3
+                    for v in _VGG_CFGS[depth]:
+                        if v == "M":
+                            layers.append(_torch.nn.MaxPool2d(2, 2))
+                        else:
+                            layers.append(_torch.nn.Conv2d(cin, v, 3, padding=1))
+                            layers.append(_torch.nn.ReLU(inplace=True))
+                            cin = v
+                    net = _torch.nn.Module()
+                    net.features = _torch.nn.Sequential(*layers)
+                    return net
+                return _vgg
 
-            tv_vgg.vgg19 = _vgg19
+            tv_vgg.vgg19 = _make_vgg(19)
+            tv_vgg.vgg16 = _make_vgg(16)
             tv_vgg.VGG19_Weights = type("VGG19_Weights", (), {"DEFAULT": None})
             tv_vgg.VGG16_Weights = type("VGG16_Weights", (), {"DEFAULT": None})
             tv_models.vgg = tv_vgg
