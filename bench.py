@@ -56,7 +56,10 @@ def main():
         "network_g": {"type": "RRDBNet", "num_feat": 64, "num_block": 23, "num_grow_ch": 32,
                       "remat_policy": os.environ.get("BENCH_REMAT", "none"),
                       "scan_unroll": int(os.environ.get("BENCH_UNROLL", "1"))},
-        "network_d": {"type": "UNetDiscriminatorSN", "num_feat": 64},
+        # bf16 D activations: the D bucket is bandwidth-bound (BASELINE.md MFU
+        # table); params/SN iterates/logits stay fp32 (test_d_bf16_deviation)
+        "network_d": {"type": "UNetDiscriminatorSN", "num_feat": 64,
+                      "compute_dtype": os.environ.get("BENCH_D_DTYPE", "bfloat16")},
         "path": {},
         "ssl_setting": {"mask_stride": 3, "kernel_size_search": 25, "sigma": 0.004,
                         "kernel_size_window": 9, "generalization": True,

@@ -42,7 +42,8 @@ base_opt = {
     "datasets": {"train": {"gt_size": gt_size}},
     "network_g": {"type": "RRDBNet", "num_feat": 64, "num_block": 23, "num_grow_ch": 32,
                   "remat_policy": "none"},
-    "network_d": {"type": "UNetDiscriminatorSN", "num_feat": 64},
+    "network_d": {"type": "UNetDiscriminatorSN", "num_feat": 64,
+                  "compute_dtype": os.environ.get("BENCH_D_DTYPE", "bfloat16")},
     "path": {},
     "ssl_setting": {"mask_stride": 3, "kernel_size_search": 25, "sigma": 0.004,
                     "kernel_size_window": 9, "generalization": True,

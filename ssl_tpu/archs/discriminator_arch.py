@@ -8,6 +8,8 @@ Stateful pieces (BN running stats, spectral-norm power iterates) live in the
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -56,52 +58,68 @@ class _SNConv(nn.Module):
 
     Padding is the torch convention ((k-1)//2 both sides) — flax 'SAME'
     differs for even kernels on odd inputs (e.g. the reference's own
-    25x25 UNetDiscriminatorSNv1 demo)."""
+    25x25 UNetDiscriminatorSNv1 demo).
+
+    ``dtype`` = compute/activation dtype (params + SN power iterates stay
+    fp32): bf16 halves the D's activation HBM traffic on TPU."""
     features: int
     kernel: tuple = (3, 3)
     strides: int = 1
     use_bias: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, update_stats: bool = True):
         p = (self.kernel[0] - 1) // 2
         conv = nn.Conv(self.features, self.kernel, strides=self.strides,
-                       padding=((p, p), (p, p)), use_bias=self.use_bias)
+                       padding=((p, p), (p, p)), use_bias=self.use_bias,
+                       dtype=self.dtype)
         return nn.SpectralNorm(conv)(x, update_stats=update_stats)
 
 
 @ARCH_REGISTRY.register()
 class UNetDiscriminatorSN(nn.Module):
     """U-Net discriminator with spectral norm and skip connections
-    (reference discriminator_arch.py:326-385). Returns a per-pixel logit map."""
+    (reference discriminator_arch.py:326-385). Returns a per-pixel logit map.
+
+    ``compute_dtype``: 'bfloat16' runs the conv/lrelu/resize pipeline in bf16
+    (params, SN power iterates and the returned logits stay fp32) — config
+    key ``network_d: {compute_dtype: bfloat16}``.  The D bucket is
+    bandwidth-bound on TPU (see BASELINE.md MFU table), so halving activation
+    bytes is the lever; the logit map is cast back to fp32 before the loss."""
     num_in_ch: int = 3
     num_feat: int = 64
     skip_connection: bool = True
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        dt = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
         lrelu = lambda v: nn.leaky_relu(v, 0.2)
         us = train
-        x0 = lrelu(nn.Conv(self.num_feat, (3, 3), padding="SAME", name="conv0")(x))
-        x1 = lrelu(_SNConv(self.num_feat * 2, (4, 4), 2, use_bias=False, name="conv1")(x0, us))
-        x2 = lrelu(_SNConv(self.num_feat * 4, (4, 4), 2, use_bias=False, name="conv2")(x1, us))
-        x3 = lrelu(_SNConv(self.num_feat * 8, (4, 4), 2, use_bias=False, name="conv3")(x2, us))
+        if dt is not None:
+            x = x.astype(dt)
+        x0 = lrelu(nn.Conv(self.num_feat, (3, 3), padding="SAME", name="conv0", dtype=dt)(x))
+        x1 = lrelu(_SNConv(self.num_feat * 2, (4, 4), 2, use_bias=False, name="conv1", dtype=dt)(x0, us))
+        x2 = lrelu(_SNConv(self.num_feat * 4, (4, 4), 2, use_bias=False, name="conv2", dtype=dt)(x1, us))
+        x3 = lrelu(_SNConv(self.num_feat * 8, (4, 4), 2, use_bias=False, name="conv3", dtype=dt)(x2, us))
         # upsample
         x3u = _bilinear_resize(x3, 2)
-        x4 = lrelu(_SNConv(self.num_feat * 4, (3, 3), 1, use_bias=False, name="conv4")(x3u, us))
+        x4 = lrelu(_SNConv(self.num_feat * 4, (3, 3), 1, use_bias=False, name="conv4", dtype=dt)(x3u, us))
         if self.skip_connection:
             x4 = x4 + x2
         x4u = _bilinear_resize(x4, 2)
-        x5 = lrelu(_SNConv(self.num_feat * 2, (3, 3), 1, use_bias=False, name="conv5")(x4u, us))
+        x5 = lrelu(_SNConv(self.num_feat * 2, (3, 3), 1, use_bias=False, name="conv5", dtype=dt)(x4u, us))
         if self.skip_connection:
             x5 = x5 + x1
         x5u = _bilinear_resize(x5, 2)
-        x6 = lrelu(_SNConv(self.num_feat, (3, 3), 1, use_bias=False, name="conv6")(x5u, us))
+        x6 = lrelu(_SNConv(self.num_feat, (3, 3), 1, use_bias=False, name="conv6", dtype=dt)(x5u, us))
         if self.skip_connection:
             x6 = x6 + x0
-        out = lrelu(_SNConv(self.num_feat, (3, 3), 1, use_bias=False, name="conv7")(x6, us))
-        out = lrelu(_SNConv(self.num_feat, (3, 3), 1, use_bias=False, name="conv8")(out, us))
-        return nn.Conv(1, (3, 3), padding="SAME", name="conv9")(out)
+        out = lrelu(_SNConv(self.num_feat, (3, 3), 1, use_bias=False, name="conv7", dtype=dt)(x6, us))
+        out = lrelu(_SNConv(self.num_feat, (3, 3), 1, use_bias=False, name="conv8", dtype=dt)(out, us))
+        out = nn.Conv(1, (3, 3), padding="SAME", name="conv9", dtype=dt)(out)
+        return out.astype(jnp.float32) if dt is not None else out
 
 
 @ARCH_REGISTRY.register()

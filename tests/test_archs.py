@@ -80,6 +80,41 @@ def test_unet_discriminator_sn():
     assert out.shape == (1, 32, 32, 1)
 
 
+def test_d_bf16_deviation():
+    """bf16 compute_dtype on UNetDiscriminatorSN: the documented precision
+    contract — identical param tree (fp32 params + fp32 SN power iterates),
+    fp32 logits within ~bf16 rounding of the fp32-compute path, and gradient
+    direction preserved.  The D bucket is bandwidth-bound on TPU (BASELINE.md
+    MFU table) so bf16 activations are the shipped bench default."""
+    d32 = build_network(dict(type="UNetDiscriminatorSN", num_feat=16))
+    d16 = build_network(dict(type="UNetDiscriminatorSN", num_feat=16,
+                             compute_dtype="bfloat16"))
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    v = d32.init(jax.random.PRNGKey(1), x)
+    # same tree, all fp32 (params AND spectral-norm u/v state)
+    assert (jax.tree_util.tree_map(lambda a: (a.shape, str(a.dtype)), v)
+            == jax.tree_util.tree_map(lambda a: (a.shape, str(a.dtype)),
+                                      d16.init(jax.random.PRNGKey(1), x)))
+    assert all(str(a.dtype) == "float32" for a in jax.tree_util.tree_leaves(v))
+
+    o32, _ = d32.apply(v, x, mutable=["batch_stats"])
+    o16, _ = d16.apply(v, x, mutable=["batch_stats"])
+    assert o16.dtype == jnp.float32
+    scale = float(jnp.abs(o32).max()) + 1e-12
+    assert float(jnp.abs(o32 - o16).max()) / scale < 3e-2  # measured ~8e-3
+
+    def loss(params, net):
+        out, _ = net.apply({**v, "params": params}, x, mutable=["batch_stats"])
+        return jnp.mean((out - 1.0) ** 2)
+
+    g32 = jax.grad(loss)(v["params"], d32)
+    g16 = jax.grad(loss)(v["params"], d16)
+    flat32 = jnp.concatenate([a.ravel() for a in jax.tree_util.tree_leaves(g32)])
+    flat16 = jnp.concatenate([a.ravel() for a in jax.tree_util.tree_leaves(g16)])
+    cos = jnp.vdot(flat32, flat16) / (jnp.linalg.norm(flat32) * jnp.linalg.norm(flat16) + 1e-12)
+    assert float(cos) > 0.99, float(cos)
+
+
 def test_perceptual_loss_runs():
     from ssl_tpu.losses import build_loss
     loss = build_loss(dict(type="PerceptualLoss", layer_weights={"conv3_4": 1.0},
