@@ -53,9 +53,14 @@ def main():
         "datasets": {"train": {"gt_size": gt_size}},
         # remat 'none': trunk activations fit v5e HBM at this config and the
         # recompute-free backward is measured fastest (48.6 vs 54.3ms 'full')
+        # bf16 G activations: the RRDB trunk is bandwidth-leaning (BASELINE.md
+        # MFU table) — halving activation width fwd+saved-residuals is +13%
+        # step; params/opt/EMA/output fp32 (test_g_bf16_deviation; convergence
+        # A/B in STATUS §Perf)
         "network_g": {"type": "RRDBNet", "num_feat": 64, "num_block": 23, "num_grow_ch": 32,
                       "remat_policy": os.environ.get("BENCH_REMAT", "none"),
-                      "scan_unroll": int(os.environ.get("BENCH_UNROLL", "1"))},
+                      "scan_unroll": int(os.environ.get("BENCH_UNROLL", "1")),
+                      "compute_dtype": os.environ.get("BENCH_G_DTYPE", "bfloat16")},
         # bf16 D activations: the D bucket is bandwidth-bound (BASELINE.md MFU
         # table); params/SN iterates/logits stay fp32 (test_d_bf16_deviation)
         "network_d": {"type": "UNetDiscriminatorSN", "num_feat": 64,

@@ -41,7 +41,8 @@ base_opt = {
     "manual_seed": 0,
     "datasets": {"train": {"gt_size": gt_size}},
     "network_g": {"type": "RRDBNet", "num_feat": 64, "num_block": 23, "num_grow_ch": 32,
-                  "remat_policy": "none"},
+                  "remat_policy": "none",
+                  "compute_dtype": os.environ.get("BENCH_G_DTYPE", "bfloat16")},
     "network_d": {"type": "UNetDiscriminatorSN", "num_feat": 64,
                   "compute_dtype": os.environ.get("BENCH_D_DTYPE", "bfloat16")},
     "path": {},

@@ -57,8 +57,10 @@ def main():
     opt = {
         "name": "demo", "model_type": "ESRGANSSLModel", "scale": scale, "is_train": True,
         "manual_seed": 0, "datasets": {"train": {"gt_size": args.gt_size}},
-        "network_g": {"type": "RRDBNet", "num_feat": 32, "num_block": 6, "num_grow_ch": 16},
-        "network_d": {"type": "UNetDiscriminatorSN", "num_feat": 32},
+        "network_g": {"type": "RRDBNet", "num_feat": 32, "num_block": 6, "num_grow_ch": 16,
+                      "compute_dtype": os.environ.get("DEMO_G_DTYPE") or None},
+        "network_d": {"type": "UNetDiscriminatorSN", "num_feat": 32,
+                      "compute_dtype": os.environ.get("DEMO_D_DTYPE") or None},
         "path": {},
         "ssl_setting": {"impl": "dense", "kernel_size_search": 25, "sigma": 0.004,
                         "kernel_size_window": 9, "generalization": True},

@@ -67,15 +67,19 @@ def resize_bilinear(x: jnp.ndarray, scale: int) -> jnp.ndarray:
 
 
 class Conv3x3(nn.Module):
-    """3x3 same conv with optionally scaled init (residual blocks use 0.1)."""
+    """3x3 same conv with optionally scaled init (residual blocks use 0.1).
+
+    ``dtype`` = compute dtype (params stay fp32 — flax param_dtype default)."""
     features: int
     init_scale: float = 1.0
     use_bias: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         return nn.Conv(self.features, (3, 3), padding="SAME", use_bias=self.use_bias,
-                       kernel_init=scaled_kaiming_init(self.init_scale))(x)
+                       kernel_init=scaled_kaiming_init(self.init_scale),
+                       dtype=self.dtype)(x)
 
 
 class ResidualBlockNoBN(nn.Module):

@@ -45,7 +45,7 @@ class _ConvP(nn.Module):
 
 
 def _conv_same(x, k):
-    return lax.conv_general_dilated(x, k, (1, 1), "SAME",
+    return lax.conv_general_dilated(x, k.astype(x.dtype), (1, 1), "SAME",
                                     dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
@@ -64,22 +64,26 @@ class ResidualDenseBlock(nn.Module):
     num_feat: int = 64
     num_grow_ch: int = 32
     split_convs: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         lrelu = lambda v: nn.leaky_relu(v, 0.2)
         if not self.split_convs:
-            x1 = lrelu(Conv3x3(self.num_grow_ch, init_scale=0.1)(x))
-            x2 = lrelu(Conv3x3(self.num_grow_ch, init_scale=0.1)(jnp.concatenate([x, x1], -1)))
-            x3 = lrelu(Conv3x3(self.num_grow_ch, init_scale=0.1)(jnp.concatenate([x, x1, x2], -1)))
-            x4 = lrelu(Conv3x3(self.num_grow_ch, init_scale=0.1)(jnp.concatenate([x, x1, x2, x3], -1)))
-            x5 = Conv3x3(self.num_feat, init_scale=0.1)(jnp.concatenate([x, x1, x2, x3, x4], -1))
+            cat = jnp.concatenate
+            x1 = lrelu(Conv3x3(self.num_grow_ch, init_scale=0.1, dtype=self.dtype)(x))
+            x2 = lrelu(Conv3x3(self.num_grow_ch, init_scale=0.1, dtype=self.dtype)(cat([x, x1], -1)))
+            x3 = lrelu(Conv3x3(self.num_grow_ch, init_scale=0.1, dtype=self.dtype)(cat([x, x1, x2], -1)))
+            x4 = lrelu(Conv3x3(self.num_grow_ch, init_scale=0.1, dtype=self.dtype)(cat([x, x1, x2, x3], -1)))
+            x5 = Conv3x3(self.num_feat, init_scale=0.1, dtype=self.dtype)(cat([x, x1, x2, x3, x4], -1))
             return x5 * 0.2 + x
         nf, g = self.num_feat, self.num_grow_ch
         couts = [g, g, g, g, nf]
         ks, bs = zip(*[
             _ConvP(couts[k], nf + k * g, 0.1, name=f"Conv3x3_{k}")()
             for k in range(5)])
+        if self.dtype is not None:
+            bs = tuple(b.astype(self.dtype) for b in bs)  # _conv_same casts ks
         # regroup kernels by SOURCE: src[0] acts on x, src[j] on x_j
         src = [jnp.concatenate([k[..., :nf, :] for k in ks], axis=-1)]
         for j in range(1, 5):
@@ -110,12 +114,13 @@ class RRDB(nn.Module):
     """Residual-in-residual dense block (reference rrdbnet_arch.py:50-64)."""
     num_feat: int
     num_grow_ch: int = 32
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
-        out = ResidualDenseBlock(self.num_feat, self.num_grow_ch)(x)
-        out = ResidualDenseBlock(self.num_feat, self.num_grow_ch)(out)
-        out = ResidualDenseBlock(self.num_feat, self.num_grow_ch)(out)
+        out = ResidualDenseBlock(self.num_feat, self.num_grow_ch, dtype=self.dtype)(x)
+        out = ResidualDenseBlock(self.num_feat, self.num_grow_ch, dtype=self.dtype)(out)
+        out = ResidualDenseBlock(self.num_feat, self.num_grow_ch, dtype=self.dtype)(out)
         return out * 0.2 + x
 
 
@@ -123,10 +128,11 @@ class _RRDBScanCell(nn.Module):
     """(carry, _) -> (carry, None) adapter so RRDB rides under nn.scan."""
     num_feat: int
     num_grow_ch: int = 32
+    dtype: object = None
 
     @nn.compact
     def __call__(self, carry, _):
-        return RRDB(self.num_feat, self.num_grow_ch)(carry), None
+        return RRDB(self.num_feat, self.num_grow_ch, dtype=self.dtype)(carry), None
 
 
 def _remat_cell(cell, policy: str):
@@ -172,9 +178,14 @@ class RRDBNet(nn.Module):
     # cross-block scheduling freedom (XLA can overlap block k's tail with
     # block k+1's head). Same math; params layout unchanged.
     scan_unroll: int = 1
+    # Compute/activation dtype ('bfloat16' halves trunk activation HBM
+    # traffic fwd AND in the saved-for-backward residuals; params and the
+    # returned image stay fp32 — precision contract: test_g_bf16_deviation).
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, x):
+        dt = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
         lrelu = lambda v: nn.leaky_relu(v, 0.2)
         if self.scale == 2:
             feat = pixel_unshuffle(x, 2)
@@ -182,7 +193,9 @@ class RRDBNet(nn.Module):
             feat = pixel_unshuffle(x, 4)
         else:
             feat = x
-        feat = nn.Conv(self.num_feat, (3, 3), padding="SAME", name="conv_first")(feat)
+        if dt is not None:
+            feat = feat.astype(dt)
+        feat = nn.Conv(self.num_feat, (3, 3), padding="SAME", name="conv_first", dtype=dt)(feat)
         if self.scan_blocks:
             cell = _remat_cell(_RRDBScanCell, self.remat_policy)
             ScanRRDB = nn.scan(
@@ -190,19 +203,20 @@ class RRDBNet(nn.Module):
                 split_rngs={"params": True}, length=self.num_block,
                 unroll=self.scan_unroll,
                 metadata_params={nn.meta.PARTITION_NAME: None})
-            body, _ = ScanRRDB(self.num_feat, self.num_grow_ch, name="body")(feat, None)
+            body, _ = ScanRRDB(self.num_feat, self.num_grow_ch, dtype=dt,
+                               name="body")(feat, None)
         else:
             body = feat
             for i in range(self.num_block):
-                body = RRDB(self.num_feat, self.num_grow_ch, name=f"body_{i}")(body)
-        body = nn.Conv(self.num_feat, (3, 3), padding="SAME", name="conv_body")(body)
+                body = RRDB(self.num_feat, self.num_grow_ch, dtype=dt, name=f"body_{i}")(body)
+        body = nn.Conv(self.num_feat, (3, 3), padding="SAME", name="conv_body", dtype=dt)(body)
         feat = feat + body
         # upsample x4 (two nearest x2 + conv stages)
-        feat = lrelu(nn.Conv(self.num_feat, (3, 3), padding="SAME", name="conv_up1")(resize_nearest(feat, 2)))
-        feat = lrelu(nn.Conv(self.num_feat, (3, 3), padding="SAME", name="conv_up2")(resize_nearest(feat, 2)))
-        out = nn.Conv(self.num_out_ch, (3, 3), padding="SAME", name="conv_last")(
-            lrelu(nn.Conv(self.num_feat, (3, 3), padding="SAME", name="conv_hr")(feat)))
-        return out
+        feat = lrelu(nn.Conv(self.num_feat, (3, 3), padding="SAME", name="conv_up1", dtype=dt)(resize_nearest(feat, 2)))
+        feat = lrelu(nn.Conv(self.num_feat, (3, 3), padding="SAME", name="conv_up2", dtype=dt)(resize_nearest(feat, 2)))
+        out = nn.Conv(self.num_out_ch, (3, 3), padding="SAME", name="conv_last", dtype=dt)(
+            lrelu(nn.Conv(self.num_feat, (3, 3), padding="SAME", name="conv_hr", dtype=dt)(feat)))
+        return out.astype(jnp.float32) if dt is not None else out
 
 
 @ARCH_REGISTRY.register()

@@ -115,6 +115,42 @@ def test_d_bf16_deviation():
     assert float(cos) > 0.99, float(cos)
 
 
+def test_g_bf16_deviation():
+    """bf16 compute_dtype on RRDBNet: identical fp32 param tree, fp32 output
+    within bf16-rounding of the fp32-compute path, gradient direction
+    preserved (same contract as test_d_bf16_deviation; the G trunk is the
+    largest step bucket and is bandwidth-leaning — BASELINE.md MFU table)."""
+    g32 = build_network(dict(type="RRDBNet", num_feat=16, num_block=3,
+                             num_grow_ch=8, scale=4))
+    g16 = build_network(dict(type="RRDBNet", num_feat=16, num_block=3,
+                             num_grow_ch=8, scale=4, compute_dtype="bfloat16"))
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 16, 16, 3))
+    v = g32.init(jax.random.PRNGKey(1), x)
+    assert (jax.tree_util.tree_map(lambda a: (a.shape, str(a.dtype)), v)
+            == jax.tree_util.tree_map(lambda a: (a.shape, str(a.dtype)),
+                                      g16.init(jax.random.PRNGKey(1), x)))
+    assert all(str(a.dtype) == "float32" for a in jax.tree_util.tree_leaves(v))
+
+    o32 = g32.apply(v, x)
+    o16 = g16.apply(v, x)
+    assert o16.dtype == jnp.float32
+    scale = float(jnp.abs(o32).max()) + 1e-12
+    assert float(jnp.abs(o32 - o16).max()) / scale < 3e-2
+
+    def loss(params, net):
+        return jnp.mean(jnp.abs(net.apply({"params": params}, x) - 1.0))
+
+    g32g = jax.grad(loss)(v["params"], g32)
+    g16g = jax.grad(loss)(v["params"], g16)
+    flat32 = jnp.concatenate([a.ravel() for a in jax.tree_util.tree_leaves(g32g)])
+    flat16 = jnp.concatenate([a.ravel() for a in jax.tree_util.tree_leaves(g16g)])
+    cos = jnp.vdot(flat32, flat16) / (jnp.linalg.norm(flat32) * jnp.linalg.norm(flat16) + 1e-12)
+    # looser than the D's 0.99: the trunk chains 45 convs of bf16 rounding
+    # (measured ~0.966 at this config at random init); training-quality
+    # evidence is the on-chip convergence A/B in STATUS §Perf
+    assert float(cos) > 0.95, float(cos)
+
+
 def test_perceptual_loss_runs():
     from ssl_tpu.losses import build_loss
     loss = build_loss(dict(type="PerceptualLoss", layer_weights={"conv3_4": 1.0},
