@@ -293,8 +293,16 @@ class StableSRSSL:
                 logs = {"l_simple": l_simple}
                 total = l_simple
                 if cfg.pixel_weight > 0 or use_ssl:
-                    decode_ckpt = jax.checkpoint(lambda z: self.decode(vae_params, z))
-                    img_pred = decode_ckpt(x0_pred)
+                    if getattr(self.vae, "remat_decoder_blocks", False):
+                        # per-block remat inside the decoder (vae.Decoder):
+                        # backward stores only block boundaries and replays
+                        # one block at a time — fits 512² training on one
+                        # v5e where a whole-decoder checkpoint replay OOMs
+                        img_pred = self.decode(vae_params, x0_pred)
+                    else:
+                        decode_ckpt = jax.checkpoint(
+                            lambda z: self.decode(vae_params, z))
+                        img_pred = decode_ckpt(x0_pred)
                     img01 = jnp.clip((img_pred + 1.0) / 2.0, 0.0, 1.0)
                     gt01 = batch["gt"]
                     l_pixel = cfg.pixel_weight * jnp.mean(jnp.abs(img01 - gt01))

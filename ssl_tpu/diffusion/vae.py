@@ -90,22 +90,33 @@ class Encoder(nn.Module):
 
 
 class Decoder(nn.Module):
+    """``remat_blocks`` (default on) wraps every res/attn block in
+    ``nn.remat`` so a differentiable decode stores only block-boundary
+    activations and replays one block at a time in the backward — without it,
+    a whole-decoder ``jax.checkpoint`` replay must keep the FULL decoder
+    forward live at once, which exceeds one v5e's HBM at 512² training
+    shapes (the reference trains StableSR at 512² — configs/SSL/base.yaml).
+    Exact math; forward-only sampling is untouched (remat only alters
+    differentiation)."""
     ch: int = 128
     ch_mult: Sequence[int] = (1, 2, 4, 4)
     num_res_blocks: int = 2
     out_ch: int = 3
     use_flash_attention: bool = False
+    remat_blocks: bool = True
 
     @nn.compact
     def __call__(self, z):
+        RB = nn.remat(ResnetBlock) if self.remat_blocks else ResnetBlock
+        AB = nn.remat(AttnBlock) if self.remat_blocks else AttnBlock
         mult = self.ch_mult[-1]
         h = nn.Conv(self.ch * mult, (3, 3), padding="SAME", name="conv_in")(z)
-        h = ResnetBlock(h.shape[-1], name="mid_block_1")(h)
-        h = AttnBlock(self.use_flash_attention, name="mid_attn")(h)
-        h = ResnetBlock(h.shape[-1], name="mid_block_2")(h)
+        h = RB(h.shape[-1], name="mid_block_1")(h)
+        h = AB(self.use_flash_attention, name="mid_attn")(h)
+        h = RB(h.shape[-1], name="mid_block_2")(h)
         for i in reversed(range(len(self.ch_mult))):
             for j in range(self.num_res_blocks + 1):
-                h = ResnetBlock(self.ch * self.ch_mult[i], name=f"up_{i}_block_{j}")(h)
+                h = RB(self.ch * self.ch_mult[i], name=f"up_{i}_block_{j}")(h)
             if i != 0:
                 b, hh, ww, c = h.shape
                 h = jax.image.resize(h, (b, hh * 2, ww * 2, c), method="nearest")
@@ -149,21 +160,25 @@ class DecoderResi(nn.Module):
     fusion_w: float = 1.0
     num_fuse_block: int = 2
     use_flash_attention: bool = False
+    remat_blocks: bool = True   # same memory contract as Decoder.remat_blocks
 
     @nn.compact
     def __call__(self, z, enc_feas):
+        RB = nn.remat(ResnetBlock) if self.remat_blocks else ResnetBlock
+        AB = nn.remat(AttnBlock) if self.remat_blocks else AttnBlock
+        FB = nn.remat(FuseSftBlockRRDB) if self.remat_blocks else FuseSftBlockRRDB
         mult = self.ch_mult[-1]
         h = nn.Conv(self.ch * mult, (3, 3), padding="SAME", name="conv_in")(z)
-        h = ResnetBlock(h.shape[-1], name="mid_block_1")(h)
-        h = AttnBlock(self.use_flash_attention, name="mid_attn")(h)
-        h = ResnetBlock(h.shape[-1], name="mid_block_2")(h)
+        h = RB(h.shape[-1], name="mid_block_1")(h)
+        h = AB(self.use_flash_attention, name="mid_attn")(h)
+        h = RB(h.shape[-1], name="mid_block_2")(h)
         for i in reversed(range(len(self.ch_mult))):
             for j in range(self.num_res_blocks + 1):
-                h = ResnetBlock(self.ch * self.ch_mult[i], name=f"up_{i}_block_{j}")(h)
+                h = RB(self.ch * self.ch_mult[i], name=f"up_{i}_block_{j}")(h)
             if i != 0 and i != len(self.ch_mult) - 1:
-                h = FuseSftBlockRRDB(self.ch * self.ch_mult[i],
-                                     self.num_fuse_block,
-                                     name=f"fusion_layer_{i}")(
+                h = FB(self.ch * self.ch_mult[i],
+                       self.num_fuse_block,
+                       name=f"fusion_layer_{i}")(
                     enc_feas[i - 1], h, self.fusion_w)
             if i != 0:
                 b, hh, ww, c = h.shape
@@ -183,6 +198,7 @@ class AutoencoderKLResi(nn.Module):
     fusion_w: float = 1.0
     num_fuse_block: int = 2
     use_flash_attention: bool = False
+    remat_decoder_blocks: bool = True
 
     def setup(self):
         self.encoder = Encoder(self.ch, self.ch_mult, self.num_res_blocks,
@@ -191,7 +207,8 @@ class AutoencoderKLResi(nn.Module):
         self.decoder = DecoderResi(self.ch, self.ch_mult, self.num_res_blocks,
                                    fusion_w=self.fusion_w,
                                    num_fuse_block=self.num_fuse_block,
-                                   use_flash_attention=self.use_flash_attention)
+                                   use_flash_attention=self.use_flash_attention,
+                                   remat_blocks=self.remat_decoder_blocks)
         self.quant_conv = nn.Conv(2 * self.embed_dim, (1, 1))
         self.post_quant_conv = nn.Conv(self.embed_dim, (1, 1))
 
@@ -217,13 +234,15 @@ class AutoencoderKL(nn.Module):
     ch_mult: Sequence[int] = (1, 2, 4, 4)
     num_res_blocks: int = 2
     use_flash_attention: bool = False
+    remat_decoder_blocks: bool = True
 
     def setup(self):
         self.encoder = Encoder(self.ch, self.ch_mult, self.num_res_blocks,
                                z_channels=self.embed_dim,
                                use_flash_attention=self.use_flash_attention)
         self.decoder = Decoder(self.ch, self.ch_mult, self.num_res_blocks,
-                               use_flash_attention=self.use_flash_attention)
+                               use_flash_attention=self.use_flash_attention,
+                               remat_blocks=self.remat_decoder_blocks)
         self.quant_conv = nn.Conv(2 * self.embed_dim, (1, 1))
         self.post_quant_conv = nn.Conv(self.embed_dim, (1, 1))
 

@@ -50,6 +50,31 @@ def test_vae_roundtrip_shapes():
     assert out.shape == x.shape
 
 
+def test_vae_decoder_block_remat_exact():
+    """remat_decoder_blocks changes only backward scheduling: identical param
+    pytree, identical decode output, identical gradients through the decode
+    (the memory contract that lets 512² StableSR-SSL training fit one v5e —
+    see vae.Decoder docstring / ddpm_ssl.py decode site)."""
+    kw = dict(ch=16, ch_mult=(1, 2), num_res_blocks=1, embed_dim=4)
+    vae_r = AutoencoderKL(remat_decoder_blocks=True, **kw)
+    vae_n = AutoencoderKL(remat_decoder_blocks=False, **kw)
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4))
+    v = vae_r.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(
+                vae_n.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))))
+
+    def loss(zz, vae):
+        return jnp.mean(jnp.abs(vae.apply(v, zz, method=vae.decode)))
+
+    out_r = vae_r.apply(v, z, method=vae_r.decode)
+    out_n = vae_n.apply(v, z, method=vae_n.decode)
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(out_n), atol=1e-6)
+    g_r = jax.grad(loss)(z, vae_r)
+    g_n = jax.grad(loss)(z, vae_n)
+    np.testing.assert_allclose(np.asarray(g_r), np.asarray(g_n), atol=1e-6)
+
+
 def test_unet_dualcond_shapes():
     unet = UNetModelDualcondV2(model_channels=32, channel_mult=(1, 2), num_heads=4,
                                context_dim=64, attention_resolutions=(2,))
