@@ -91,8 +91,15 @@ def main():
             "pixel_opt": {"type": "L1Loss", "loss_weight": 1e-2},
             "selfsim_opt": {"type": "L1Loss", "loss_weight": 1e3},
             "selfsim1_opt": {"type": "KLDistanceLoss", "loss_weight": 1e3, "softmax": False},
+            # VGG compute_dtype: measured-and-REJECTED as a default — on-chip
+            # A/B 182.3 fp32 vs 181.9 bf16 (round 4): the VGG bucket is
+            # compute-dense (~53% in-bucket MFU, BASELINE.md) and its matmuls
+            # already run bf16 on the MXU, so halving activation width buys
+            # nothing and the tap casts add work. Knob + precision contract
+            # (test_vgg_bf16_deviation) kept for bandwidth-starved configs.
             "perceptual_opt": {"type": "PerceptualLoss", "layer_weights": {"conv5_4": 1.0},
-                               "perceptual_weight": 1.0, "style_weight": 0, "criterion": "l1"},
+                               "perceptual_weight": 1.0, "style_weight": 0, "criterion": "l1",
+                               "compute_dtype": os.environ.get("BENCH_VGG_DTYPE", "float32")},
             "gan_opt": {"type": "GANLoss", "gan_type": "vanilla", "loss_weight": 5e-3},
         },
     }

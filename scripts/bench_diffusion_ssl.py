@@ -41,8 +41,15 @@ b = int(os.environ.get("BENCH_BATCH", "2"))
 sz = int(os.environ.get("BENCH_SZ", "256"))
 steps = int(os.environ.get("BENCH_STEPS", "10"))
 flash = os.environ.get("BENCH_FLASH_ATTN", "0") == "1"
+# BENCH_DECODER_REMAT=0 reverts to the whole-decoder jax.checkpoint (the
+# pre-round-4 scheme) for A/B attribution of vae.remat_decoder_blocks.
+dec_remat = os.environ.get("BENCH_DECODER_REMAT", "1") == "1"
+# BENCH_SKIP_FLOPS=1 skips the CPU cost-model subprocess (slow on this
+# 1-core host) — time-only rows, FLOPs columns NaN.
+skip_flops = os.environ.get("BENCH_SKIP_FLOPS", "0") == "1"
 
-VARIANTS = ("full", "no_ssl", "eps_only")
+# BENCH_VARIANTS=full runs just one leg (A/B knob runs skip the ablation)
+VARIANTS = tuple(os.environ.get("BENCH_VARIANTS", "full,no_ssl,eps_only").split(","))
 
 
 def _build(tag):
@@ -64,7 +71,8 @@ def _build(tag):
         structcond=EncoderUNetModelWT(model_channels=128, channel_mult=(1, 2, 4, 4),
                                       use_flash_attention=flash),
         vae=AutoencoderKL(ch=128, ch_mult=(1, 2, 4, 4), num_res_blocks=2,
-                          embed_dim=4, use_flash_attention=flash),
+                          embed_dim=4, use_flash_attention=flash,
+                          remat_decoder_blocks=dec_remat),
         ssl_setting=SSLSetting(
             ssg=SSGConfig(q_store_dtype="bfloat16", stream_dtype="bfloat16"),
             mask_stride=3, capacity=(sz // 4) ** 2, impl="dense",
@@ -102,14 +110,17 @@ if os.environ.get("BENCH_MFU_MODE") == "flops":
     flops_mode()
     sys.exit(0)
 
-import subprocess
+if skip_flops:
+    costs = {t: {"flops": float("nan"), "bytes": float("nan")} for t in VARIANTS}
+else:
+    import subprocess
 
-env = dict(os.environ, JAX_PLATFORMS="cpu", BENCH_MFU_MODE="flops",
-           XLA_FLAGS="--xla_force_host_platform_device_count=1")
-proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                      capture_output=True, text=True, env=env, timeout=3600)
-costs = json.loads([ln for ln in proc.stdout.strip().splitlines()
-                    if ln.startswith("{")][-1])
+    env = dict(os.environ, JAX_PLATFORMS="cpu", BENCH_MFU_MODE="flops",
+               XLA_FLAGS="--xla_force_host_platform_device_count=1")
+    proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                          capture_output=True, text=True, env=env, timeout=3600)
+    costs = json.loads([ln for ln in proc.stdout.strip().splitlines()
+                        if ln.startswith("{")][-1])
 
 
 def measure(tag):
@@ -140,19 +151,22 @@ for r in rows:
           f"{r['flops'] / 1e9:11.1f} {tf / 1e12:8.1f} "
           f"{tf / V5E_PEAK_BF16 * 100:6.1f} {r['bytes'] / 1e9:8.2f}")
 
-no_ssl, eps = rows[1], rows[2]
-print("\ncomponent attribution:")
-print(f"  SSL term (SSG fwd+bwd)           {full['ms'] - no_ssl['ms']:6.1f} ms  "
-      f"{(full['flops'] - no_ssl['flops']) / 1e9:8.1f} GFLOP")
-print(f"  remat'd VAE decode + pixel L1    {no_ssl['ms'] - eps['ms']:6.1f} ms  "
-      f"{(no_ssl['flops'] - eps['flops']) / 1e9:8.1f} GFLOP")
-print(f"  eps core (enc+UNet+structcond+opt) {eps['ms']:4.1f} ms  "
-      f"{eps['flops'] / 1e9:8.1f} GFLOP")
+if len(rows) == 3:
+    no_ssl, eps = rows[1], rows[2]
+    print("\ncomponent attribution:")
+    print(f"  SSL term (SSG fwd+bwd)           {full['ms'] - no_ssl['ms']:6.1f} ms  "
+          f"{(full['flops'] - no_ssl['flops']) / 1e9:8.1f} GFLOP")
+    print(f"  remat'd VAE decode + pixel L1    {no_ssl['ms'] - eps['ms']:6.1f} ms  "
+          f"{(no_ssl['flops'] - eps['flops']) / 1e9:8.1f} GFLOP")
+    print(f"  eps core (enc+UNet+structcond+opt) {eps['ms']:4.1f} ms  "
+          f"{eps['flops'] / 1e9:8.1f} GFLOP")
 
 print(json.dumps({
     "metric": "stablesr_ssl_step_mfu_pct", "sz": sz, "flash_attn": int(flash),
-    "value": round(full["flops"] / (full["ms"] / 1e3) / V5E_PEAK_BF16 * 100, 2),
-    "unit": "%", "flops_per_step": full["flops"],
+    "decoder_remat": int(dec_remat),
+    "value": None if skip_flops else
+    round(full["flops"] / (full["ms"] / 1e3) / V5E_PEAK_BF16 * 100, 2),
+    "unit": "%", "flops_per_step": None if skip_flops else full["flops"],
     "ms_per_step": round(full["ms"], 2),
     "imgs_per_sec": round(b / full["ms"] * 1e3, 2),
 }))

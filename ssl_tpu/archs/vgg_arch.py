@@ -40,19 +40,30 @@ class VGGFeatureExtractor(nn.Module):
     """Runs VGG19 until the deepest requested layer, returning a dict of taps.
 
     layer_name_list entries like 'conv5_4' tap BEFORE the relu (reference
-    behavior when the option comments say "before relu")."""
+    behavior when the option comments say "before relu").
+
+    ``compute_dtype``: 'bfloat16' runs the conv/relu/pool tower in bf16
+    activations — params stay fp32 (identical tree) and every returned tap
+    is cast back to fp32, so the loss math downstream is unchanged in dtype.
+    Same bandwidth-motivated contract as the D/G ``compute_dtype`` knobs
+    (BASELINE.md MFU table); precision pinned by
+    tests/test_archs.py::test_vgg_bf16_deviation."""
     layer_name_list: Sequence[str] = ("conv5_4",)
     use_input_norm: bool = True
     range_norm: bool = False
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, x):
+        dt = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
         if self.range_norm:
             x = (x + 1.0) / 2.0
         if self.use_input_norm:
             mean = jnp.array([0.485, 0.456, 0.406])
             std = jnp.array([0.229, 0.224, 0.225])
             x = (x - mean) / std
+        if dt is not None:
+            x = x.astype(dt)
 
         wanted = set(self.layer_name_list)
         # find deepest needed position
@@ -72,7 +83,8 @@ class VGGFeatureExtractor(nn.Module):
                 block += 1
                 idx = 1
             else:
-                x = nn.Conv(v, (3, 3), padding="SAME", name=f"conv{block}_{idx}")(x)
+                x = nn.Conv(v, (3, 3), padding="SAME", dtype=dt,
+                            name=f"conv{block}_{idx}")(x)
                 if f"conv{block}_{idx}" in wanted:
                     out[f"conv{block}_{idx}"] = x
                 pos += 1
@@ -83,6 +95,8 @@ class VGGFeatureExtractor(nn.Module):
                     out[f"relu{block}_{idx}"] = x
                 pos += 1
                 idx += 1
+        if dt is not None:
+            out = {k: v.astype(jnp.float32) for k, v in out.items()}
         return out
 
 

@@ -24,7 +24,7 @@ class PerceptualLoss:
 
     def __init__(self, layer_weights, vgg_type="vgg19", use_input_norm=True,
                  range_norm=False, perceptual_weight=1.0, style_weight=0.0,
-                 criterion="l1", vgg_path=None):
+                 criterion="l1", vgg_path=None, compute_dtype=None):
         assert vgg_type.startswith("vgg19"), "only vgg19 is wired up (reference default)"
         self.layer_weights = dict(layer_weights)
         self.perceptual_weight = perceptual_weight
@@ -33,10 +33,13 @@ class PerceptualLoss:
         self.model, self.variables = init_vgg_variables(list(self.layer_weights), vgg_path=vgg_path)
         self._use_input_norm = use_input_norm
         self._range_norm = range_norm
-        # re-instantiate with the right norm flags
+        # re-instantiate with the right norm flags; compute_dtype='bfloat16'
+        # runs the tower in bf16 activations (fp32 params/taps — see
+        # VGGFeatureExtractor docstring), config key perceptual_opt.compute_dtype
         from ssl_tpu.archs.vgg_arch import VGGFeatureExtractor
         self.model = VGGFeatureExtractor(layer_name_list=tuple(self.layer_weights),
-                                         use_input_norm=use_input_norm, range_norm=range_norm)
+                                         use_input_norm=use_input_norm, range_norm=range_norm,
+                                         compute_dtype=compute_dtype)
 
     def _dist(self, a, b):
         if self.criterion == "l1":

@@ -151,6 +151,42 @@ def test_g_bf16_deviation():
     assert float(cos) > 0.95, float(cos)
 
 
+def test_vgg_bf16_deviation():
+    """bf16 compute_dtype on VGGFeatureExtractor: identical fp32 param tree,
+    fp32 taps within bf16-rounding of the fp32-compute path, and the
+    perceptual-loss gradient direction through the tower preserved (same
+    contract as test_d_bf16_deviation — the tap feeds an L1 in fp32 either
+    way; config key perceptual_opt.compute_dtype)."""
+    from ssl_tpu.archs.vgg_arch import VGGFeatureExtractor
+    taps = ("conv3_4",)
+    m32 = VGGFeatureExtractor(layer_name_list=taps)
+    m16 = VGGFeatureExtractor(layer_name_list=taps, compute_dtype="bfloat16")
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    v = m32.init(jax.random.PRNGKey(1), x)
+    assert (jax.tree_util.tree_map(lambda a: (a.shape, str(a.dtype)), v)
+            == jax.tree_util.tree_map(lambda a: (a.shape, str(a.dtype)),
+                                      m16.init(jax.random.PRNGKey(1), x)))
+    assert all(str(a.dtype) == "float32" for a in jax.tree_util.tree_leaves(v))
+
+    o32 = m32.apply(v, x)[taps[0]]
+    o16 = m16.apply(v, x)[taps[0]]
+    assert o16.dtype == jnp.float32
+    scale = float(jnp.abs(o32).max()) + 1e-12
+    assert float(jnp.abs(o32 - o16).max()) / scale < 3e-2
+
+    gt = jnp.zeros_like(x)
+
+    def loss(xx, net):
+        fx = net.apply(v, xx)[taps[0]]
+        fgt = jax.lax.stop_gradient(net.apply(v, gt)[taps[0]])
+        return jnp.mean(jnp.abs(fx - fgt))
+
+    g32 = jax.grad(loss)(x, m32)
+    g16 = jax.grad(loss)(x, m16)
+    cos = jnp.vdot(g32, g16) / (jnp.linalg.norm(g32) * jnp.linalg.norm(g16) + 1e-12)
+    assert float(cos) > 0.98, float(cos)
+
+
 def test_perceptual_loss_runs():
     from ssl_tpu.losses import build_loss
     loss = build_loss(dict(type="PerceptualLoss", layer_weights={"conv3_4": 1.0},
