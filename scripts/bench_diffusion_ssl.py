@@ -16,7 +16,9 @@ Flash-attention A/B: BENCH_FLASH_ATTN=1 swaps every attention in the UNet /
 struct-cond / VAE for the Pallas fused kernel (ops/attention.py).
 
 Env: BENCH_BATCH (2), BENCH_SZ (256 | 512 for SD-prod image size),
-BENCH_STEPS (10), BENCH_FLASH_ATTN (0/1), BENCH_MFU_MODE=flops (internal).
+BENCH_STEPS (10), BENCH_FLASH_ATTN (0/1), BENCH_DTYPE (''|bfloat16 —
+activation compute_dtype on UNet/struct-cond/VAE, params fp32),
+BENCH_MFU_MODE=flops (internal).
 """
 import json
 import os
@@ -41,6 +43,7 @@ b = int(os.environ.get("BENCH_BATCH", "2"))
 sz = int(os.environ.get("BENCH_SZ", "256"))
 steps = int(os.environ.get("BENCH_STEPS", "10"))
 flash = os.environ.get("BENCH_FLASH_ATTN", "0") == "1"
+cdt = os.environ.get("BENCH_DTYPE") or None
 # BENCH_DECODER_REMAT=0 reverts to the whole-decoder jax.checkpoint (the
 # pre-round-4 scheme) for A/B attribution of vae.remat_decoder_blocks.
 dec_remat = os.environ.get("BENCH_DECODER_REMAT", "1") == "1"
@@ -67,12 +70,12 @@ def _build(tag):
         unet=UNetModelDualcondV2(model_channels=128, channel_mult=(1, 2, 4, 4),
                                  num_heads=8, context_dim=1024,
                                  attention_resolutions=(4, 2, 1),
-                                 use_flash_attention=flash),
+                                 use_flash_attention=flash, compute_dtype=cdt),
         structcond=EncoderUNetModelWT(model_channels=128, channel_mult=(1, 2, 4, 4),
-                                      use_flash_attention=flash),
+                                      use_flash_attention=flash, compute_dtype=cdt),
         vae=AutoencoderKL(ch=128, ch_mult=(1, 2, 4, 4), num_res_blocks=2,
                           embed_dim=4, use_flash_attention=flash,
-                          remat_decoder_blocks=dec_remat),
+                          remat_decoder_blocks=dec_remat, compute_dtype=cdt),
         ssl_setting=SSLSetting(
             ssg=SSGConfig(q_store_dtype="bfloat16", stream_dtype="bfloat16"),
             mask_stride=3, capacity=(sz // 4) ** 2, impl="dense",
@@ -142,6 +145,7 @@ rows = [measure(tag) for tag in VARIANTS]
 full = rows[0]
 
 print(f"\nconfig: StableSR-SSL b{b} {sz}^2 flash_attn={int(flash)} "
+      f"dtype={cdt or 'float32'} "
       f"(matmul {jax.config.jax_default_matmul_precision})")
 print(f"{'variant':10s} {'ms/step':>8s} {'imgs/s':>7s} {'GFLOP/step':>11s} "
       f"{'TFLOP/s':>8s} {'MFU%':>6s} {'GB/step':>8s}")
@@ -163,7 +167,7 @@ if len(rows) == 3:
 
 print(json.dumps({
     "metric": "stablesr_ssl_step_mfu_pct", "sz": sz, "flash_attn": int(flash),
-    "decoder_remat": int(dec_remat),
+    "decoder_remat": int(dec_remat), "compute_dtype": cdt or "float32",
     "value": None if skip_flops else
     round(full["flops"] / (full["ms"] / 1e3) / V5E_PEAK_BF16 * 100, 2),
     "unit": "%", "flops_per_step": None if skip_flops else full["flops"],

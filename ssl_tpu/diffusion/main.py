@@ -87,6 +87,12 @@ def build_from_config(cfg: dict):
         # on eligible shapes; einsum fallback elsewhere — ops/attention.py)
         for c in (unet_cfg, vae_cfg, struct_cfg):
             c.setdefault("use_flash_attention", True)
+    if m.get("compute_dtype"):
+        # one switch for bf16 activations across UNet + struct-cond + VAE
+        # (params/norm-stats/outputs fp32 — unet.py/vae.py docstrings);
+        # per-component override via model.unet.compute_dtype etc.
+        for c in (unet_cfg, vae_cfg, struct_cfg):
+            c.setdefault("compute_dtype", m["compute_dtype"])
     ssg = SSGConfig(search=sslopt.get("kernel_size_search", 25),
                     window=sslopt.get("kernel_size_window", 9),
                     sigma=sslopt.get("sigma", 0.004),

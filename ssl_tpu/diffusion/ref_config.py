@@ -28,10 +28,10 @@ _DATASET_TARGETS = {
 _UNET_FIELDS = ("in_channels", "out_channels", "model_channels", "num_res_blocks",
                 "attention_resolutions", "channel_mult", "num_heads",
                 "num_head_channels", "transformer_depth", "context_dim",
-                "semb_channels", "use_flash_attention")
+                "semb_channels", "use_flash_attention", "compute_dtype")
 _STRUCT_FIELDS = ("in_channels", "model_channels", "out_channels", "num_res_blocks",
                   "attention_resolutions", "channel_mult", "num_heads",
-                  "use_flash_attention")
+                  "use_flash_attention", "compute_dtype")
 
 
 def is_reference_schema(cfg: dict) -> bool:
@@ -78,6 +78,9 @@ def translate_reference_config(cfg: dict) -> dict:
                 "num_res_blocks": dd.get("num_res_blocks", 2),
                 "fusion_w": mp.get("fusion_w", 1.0),
                 "num_fuse_block": dd.get("num_fuse_block", 2),
+                # bf16 activations (dotted override, not a reference key)
+                **({"compute_dtype": mp["compute_dtype"]}
+                   if mp.get("compute_dtype") else {}),
             },
             "train": {
                 "optim_g": {"type": "Adam", "lr": model.get("base_learning_rate", 5e-5)},
@@ -118,6 +121,12 @@ def translate_reference_config(cfg: dict) -> dict:
             # stage-1 flow: model.params.ckpt_path = SD 2.1 full checkpoint
             # (configs/StableSRISSLStage1) -> UNet import
             "ckpt_path": _existing(mp.get("ckpt_path")),
+            # bf16 activations, not a reference key — reachable from a
+            # reference-schema file via a dotted CLI override
+            # (model.params.compute_dtype=bfloat16); fans out to all three
+            # networks in build_from_config
+            **({"compute_dtype": mp["compute_dtype"]}
+               if mp.get("compute_dtype") else {}),
         },
         "sslopt": {
             # reference key names (configs/SSL/base.yaml:30-39)

@@ -2,11 +2,19 @@
 
 Encoder/Decoder with resnet blocks + mid attention, KL latent; plus the CFW
 fusion decoder variant (AutoencoderKLResi, :469) that consumes encoder
-features for detail re-injection at test time.  NHWC flax."""
+features for detail re-injection at test time.  NHWC flax.
+
+``compute_dtype``: 'bfloat16' runs the resnet/attention activations in bf16
+(params fp32, norm stats fp32, encode moments / decoded image fp32 — same
+precision contract as the UNet knob, see unet.py docstring).  The
+differentiable decode is 68% of the diffusion-SSL step FLOPs and the step is
+memory-bound (BASELINE.md), and under ``remat_blocks`` the saved
+block-boundary activations halve too.  Pinned by
+tests/test_diffusion.py::test_diffusion_bf16_deviation."""
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -20,8 +28,9 @@ def _num_groups(c: int) -> int:
     return math.gcd(c, 32) or 1
 
 
-def _gn(x, name=None):
-    return nn.GroupNorm(num_groups=_num_groups(x.shape[-1]), epsilon=1e-6, name=name)(x)
+def _gn(x, name=None, dt=None):
+    return nn.GroupNorm(num_groups=_num_groups(x.shape[-1]), epsilon=1e-6,
+                        name=name, dtype=dt)(x)
 
 
 def _nonlin(x):
@@ -30,13 +39,17 @@ def _nonlin(x):
 
 class ResnetBlock(nn.Module):
     out_ch: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Conv(self.out_ch, (3, 3), padding="SAME")(_nonlin(_gn(x)))
-        h = nn.Conv(self.out_ch, (3, 3), padding="SAME")(_nonlin(_gn(h)))
+        dt = self.dtype
+        h = nn.Conv(self.out_ch, (3, 3), padding="SAME",
+                    dtype=dt)(_nonlin(_gn(x, dt=dt)))
+        h = nn.Conv(self.out_ch, (3, 3), padding="SAME",
+                    dtype=dt)(_nonlin(_gn(h, dt=dt)))
         if x.shape[-1] != self.out_ch:
-            x = nn.Conv(self.out_ch, (1, 1))(x)
+            x = nn.Conv(self.out_ch, (1, 1), dtype=dt)(x)
         return x + h
 
 
@@ -45,18 +58,20 @@ class AttnBlock(nn.Module):
     resolution (4096 tokens for a 512^2 input) — ``use_flash_attention``
     keeps the 4096^2 logits out of HBM via the Pallas TPU kernel."""
     use_flash_attention: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         from ssl_tpu.ops.attention import sdp_attention
+        dt = self.dtype
         b, h, w, c = x.shape
-        y = _gn(x)
-        q = nn.Conv(c, (1, 1), name="q")(y).reshape(b, h * w, 1, c)
-        k = nn.Conv(c, (1, 1), name="k")(y).reshape(b, h * w, 1, c)
-        v = nn.Conv(c, (1, 1), name="v")(y).reshape(b, h * w, 1, c)
+        y = _gn(x, dt=dt)
+        q = nn.Conv(c, (1, 1), name="q", dtype=dt)(y).reshape(b, h * w, 1, c)
+        k = nn.Conv(c, (1, 1), name="k", dtype=dt)(y).reshape(b, h * w, 1, c)
+        v = nn.Conv(c, (1, 1), name="v", dtype=dt)(y).reshape(b, h * w, 1, c)
         out = sdp_attention(q, k, v, c ** -0.5,
                             self.use_flash_attention).reshape(b, h, w, c)
-        return x + nn.Conv(c, (1, 1), name="proj_out")(out)
+        return x + nn.Conv(c, (1, 1), name="proj_out", dtype=dt)(out)
 
 
 class Encoder(nn.Module):
@@ -66,24 +81,30 @@ class Encoder(nn.Module):
     z_channels: int = 4
     double_z: bool = True
     use_flash_attention: bool = False
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, x, return_fea: bool = False):
+        dt = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
+        to32 = (lambda v: v.astype(jnp.float32)) if dt is not None else (lambda v: v)
         feas = []
-        h = nn.Conv(self.ch, (3, 3), padding="SAME", name="conv_in")(x)
+        h = nn.Conv(self.ch, (3, 3), padding="SAME", name="conv_in", dtype=dt)(x)
         for i, mult in enumerate(self.ch_mult):
             for j in range(self.num_res_blocks):
-                h = ResnetBlock(self.ch * mult, name=f"down_{i}_block_{j}")(h)
+                h = ResnetBlock(self.ch * mult, dt, name=f"down_{i}_block_{j}")(h)
             if i in (1, 2):
-                feas.append(h)
+                feas.append(to32(h))
             if i != len(self.ch_mult) - 1:
                 h = nn.Conv(h.shape[-1], (3, 3), strides=2,
-                            padding=((0, 1), (0, 1)), name=f"down_{i}_downsample")(h)
-        h = ResnetBlock(h.shape[-1], name="mid_block_1")(h)
-        h = AttnBlock(self.use_flash_attention, name="mid_attn")(h)
-        h = ResnetBlock(h.shape[-1], name="mid_block_2")(h)
+                            padding=((0, 1), (0, 1)), name=f"down_{i}_downsample",
+                            dtype=dt)(h)
+        h = ResnetBlock(h.shape[-1], dt, name="mid_block_1")(h)
+        h = AttnBlock(self.use_flash_attention, dt, name="mid_attn")(h)
+        h = ResnetBlock(h.shape[-1], dt, name="mid_block_2")(h)
         out_ch = 2 * self.z_channels if self.double_z else self.z_channels
-        h = nn.Conv(out_ch, (3, 3), padding="SAME", name="conv_out")(_nonlin(_gn(h, "norm_out")))
+        h = nn.Conv(out_ch, (3, 3), padding="SAME", name="conv_out",
+                    dtype=dt)(_nonlin(_gn(h, "norm_out", dt)))
+        h = to32(h)
         if return_fea:
             return h, feas
         return h
@@ -104,25 +125,30 @@ class Decoder(nn.Module):
     out_ch: int = 3
     use_flash_attention: bool = False
     remat_blocks: bool = True
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, z):
+        dt = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
         RB = nn.remat(ResnetBlock) if self.remat_blocks else ResnetBlock
         AB = nn.remat(AttnBlock) if self.remat_blocks else AttnBlock
         mult = self.ch_mult[-1]
-        h = nn.Conv(self.ch * mult, (3, 3), padding="SAME", name="conv_in")(z)
-        h = RB(h.shape[-1], name="mid_block_1")(h)
-        h = AB(self.use_flash_attention, name="mid_attn")(h)
-        h = RB(h.shape[-1], name="mid_block_2")(h)
+        h = nn.Conv(self.ch * mult, (3, 3), padding="SAME", name="conv_in",
+                    dtype=dt)(z)
+        h = RB(h.shape[-1], dt, name="mid_block_1")(h)
+        h = AB(self.use_flash_attention, dt, name="mid_attn")(h)
+        h = RB(h.shape[-1], dt, name="mid_block_2")(h)
         for i in reversed(range(len(self.ch_mult))):
             for j in range(self.num_res_blocks + 1):
-                h = RB(self.ch * self.ch_mult[i], name=f"up_{i}_block_{j}")(h)
+                h = RB(self.ch * self.ch_mult[i], dt, name=f"up_{i}_block_{j}")(h)
             if i != 0:
                 b, hh, ww, c = h.shape
                 h = jax.image.resize(h, (b, hh * 2, ww * 2, c), method="nearest")
-                h = nn.Conv(c, (3, 3), padding="SAME", name=f"up_{i}_upsample")(h)
-        h = nn.Conv(self.out_ch, (3, 3), padding="SAME", name="conv_out")(_nonlin(_gn(h, "norm_out")))
-        return h
+                h = nn.Conv(c, (3, 3), padding="SAME", name=f"up_{i}_upsample",
+                            dtype=dt)(h)
+        h = nn.Conv(self.out_ch, (3, 3), padding="SAME", name="conv_out",
+                    dtype=dt)(_nonlin(_gn(h, "norm_out", dt)))
+        return h.astype(jnp.float32) if dt is not None else h
 
 
 class FuseSftBlockRRDB(nn.Module):
@@ -134,15 +160,18 @@ class FuseSftBlockRRDB(nn.Module):
     out_ch: int
     num_block: int = 2
     num_grow_ch: int = 32
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, enc_feat, dec_feat, w: float = 1.0):
         from ssl_tpu.archs.rrdbnet_arch import RRDB
-        h = ResnetBlock(self.out_ch, name="encode_enc_1")(
-            jnp.concatenate([enc_feat, dec_feat], axis=-1))
+        dt = self.dtype
+        h = ResnetBlock(self.out_ch, dt, name="encode_enc_1")(
+            jnp.concatenate([enc_feat.astype(dec_feat.dtype), dec_feat], axis=-1))
         for k in range(self.num_block):
-            h = RRDB(self.out_ch, self.num_grow_ch, name=f"encode_enc_2_{k}")(h)
-        h = ResnetBlock(self.out_ch, name="encode_enc_3")(h)
+            h = RRDB(self.out_ch, self.num_grow_ch, dtype=dt,
+                     name=f"encode_enc_2_{k}")(h)
+        h = ResnetBlock(self.out_ch, dt, name="encode_enc_3")(h)
         return dec_feat + w * h
 
 
@@ -161,31 +190,36 @@ class DecoderResi(nn.Module):
     num_fuse_block: int = 2
     use_flash_attention: bool = False
     remat_blocks: bool = True   # same memory contract as Decoder.remat_blocks
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, z, enc_feas):
+        dt = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
         RB = nn.remat(ResnetBlock) if self.remat_blocks else ResnetBlock
         AB = nn.remat(AttnBlock) if self.remat_blocks else AttnBlock
         FB = nn.remat(FuseSftBlockRRDB) if self.remat_blocks else FuseSftBlockRRDB
         mult = self.ch_mult[-1]
-        h = nn.Conv(self.ch * mult, (3, 3), padding="SAME", name="conv_in")(z)
-        h = RB(h.shape[-1], name="mid_block_1")(h)
-        h = AB(self.use_flash_attention, name="mid_attn")(h)
-        h = RB(h.shape[-1], name="mid_block_2")(h)
+        h = nn.Conv(self.ch * mult, (3, 3), padding="SAME", name="conv_in",
+                    dtype=dt)(z)
+        h = RB(h.shape[-1], dt, name="mid_block_1")(h)
+        h = AB(self.use_flash_attention, dt, name="mid_attn")(h)
+        h = RB(h.shape[-1], dt, name="mid_block_2")(h)
         for i in reversed(range(len(self.ch_mult))):
             for j in range(self.num_res_blocks + 1):
-                h = RB(self.ch * self.ch_mult[i], name=f"up_{i}_block_{j}")(h)
+                h = RB(self.ch * self.ch_mult[i], dt, name=f"up_{i}_block_{j}")(h)
             if i != 0 and i != len(self.ch_mult) - 1:
                 h = FB(self.ch * self.ch_mult[i],
-                       self.num_fuse_block,
+                       self.num_fuse_block, dtype=dt,
                        name=f"fusion_layer_{i}")(
                     enc_feas[i - 1], h, self.fusion_w)
             if i != 0:
                 b, hh, ww, c = h.shape
                 h = jax.image.resize(h, (b, hh * 2, ww * 2, c), method="nearest")
-                h = nn.Conv(c, (3, 3), padding="SAME", name=f"up_{i}_upsample")(h)
-        h = nn.Conv(self.out_ch, (3, 3), padding="SAME", name="conv_out")(_nonlin(_gn(h, "norm_out")))
-        return h
+                h = nn.Conv(c, (3, 3), padding="SAME", name=f"up_{i}_upsample",
+                            dtype=dt)(h)
+        h = nn.Conv(self.out_ch, (3, 3), padding="SAME", name="conv_out",
+                    dtype=dt)(_nonlin(_gn(h, "norm_out", dt)))
+        return h.astype(jnp.float32) if dt is not None else h
 
 
 class AutoencoderKLResi(nn.Module):
@@ -199,16 +233,19 @@ class AutoencoderKLResi(nn.Module):
     num_fuse_block: int = 2
     use_flash_attention: bool = False
     remat_decoder_blocks: bool = True
+    compute_dtype: str | None = None
 
     def setup(self):
         self.encoder = Encoder(self.ch, self.ch_mult, self.num_res_blocks,
                                z_channels=self.embed_dim,
-                               use_flash_attention=self.use_flash_attention)
+                               use_flash_attention=self.use_flash_attention,
+                               compute_dtype=self.compute_dtype)
         self.decoder = DecoderResi(self.ch, self.ch_mult, self.num_res_blocks,
                                    fusion_w=self.fusion_w,
                                    num_fuse_block=self.num_fuse_block,
                                    use_flash_attention=self.use_flash_attention,
-                                   remat_blocks=self.remat_decoder_blocks)
+                                   remat_blocks=self.remat_decoder_blocks,
+                                   compute_dtype=self.compute_dtype)
         self.quant_conv = nn.Conv(2 * self.embed_dim, (1, 1))
         self.post_quant_conv = nn.Conv(self.embed_dim, (1, 1))
 
@@ -235,14 +272,17 @@ class AutoencoderKL(nn.Module):
     num_res_blocks: int = 2
     use_flash_attention: bool = False
     remat_decoder_blocks: bool = True
+    compute_dtype: str | None = None
 
     def setup(self):
         self.encoder = Encoder(self.ch, self.ch_mult, self.num_res_blocks,
                                z_channels=self.embed_dim,
-                               use_flash_attention=self.use_flash_attention)
+                               use_flash_attention=self.use_flash_attention,
+                               compute_dtype=self.compute_dtype)
         self.decoder = Decoder(self.ch, self.ch_mult, self.num_res_blocks,
                                use_flash_attention=self.use_flash_attention,
-                               remat_blocks=self.remat_decoder_blocks)
+                               remat_blocks=self.remat_decoder_blocks,
+                               compute_dtype=self.compute_dtype)
         self.quant_conv = nn.Conv(2 * self.embed_dim, (1, 1))
         self.post_quant_conv = nn.Conv(self.embed_dim, (1, 1))
 

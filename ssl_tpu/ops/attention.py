@@ -37,6 +37,10 @@ def sdp_attention(q, k, v, sm_scale: float, use_flash: bool = False):
             v.transpose(0, 2, 1, 3), sm_scale=sm_scale,
             block_sizes=BlockSizes.get_default(b, heads, n, m, d))
         return out.transpose(0, 2, 1, 3)
+    # softmax always in fp32 (no-op for fp32 inputs; under bf16 compute_dtype
+    # the logits/normalization keep full precision — the flash kernel
+    # likewise accumulates fp32 internally)
     attn = jax.nn.softmax(
-        jnp.einsum("bnhd,bmhd->bhnm", q, k) * sm_scale, axis=-1)
-    return jnp.einsum("bhnm,bmhd->bnhd", attn, v)
+        (jnp.einsum("bnhd,bmhd->bhnm", q, k) * sm_scale).astype(jnp.float32),
+        axis=-1)
+    return jnp.einsum("bhnm,bmhd->bnhd", attn.astype(v.dtype), v)

@@ -368,3 +368,117 @@ def test_diffusion_ema_tracks_params():
                                0.1 * np.asarray(p0) + 0.9 * np.asarray(p1),
                                rtol=1e-5, atol=1e-7)
     assert model.infer_params(new_state) is new_state.ema_params
+
+
+def test_diffusion_bf16_deviation():
+    """bf16 ``compute_dtype`` on the diffusion UNet / struct-cond / VAE: the
+    documented precision contract (unet.py/vae.py docstrings) — identical
+    fp32 param tree, fp32 outputs within ~bf16 rounding of the fp32-compute
+    path, gradient direction preserved.  Same contract family as
+    test_d_bf16_deviation / test_g_bf16_deviation on the GAN side; the
+    diffusion step is memory-bound (BASELINE.md MFU table) so activation
+    width is the perf lever."""
+    def mk(dt):
+        unet = UNetModelDualcondV2(model_channels=32, num_res_blocks=1,
+                                   channel_mult=(1, 2), attention_resolutions=(2,),
+                                   num_heads=4, num_head_channels=-1,
+                                   context_dim=32, semb_channels=32,
+                                   compute_dtype=dt)
+        struct = EncoderUNetModelWT(model_channels=32, channel_mult=(1, 2),
+                                    out_channels=32, num_res_blocks=1,
+                                    compute_dtype=dt)
+        vae = AutoencoderKL(ch=16, ch_mult=(1, 2), num_res_blocks=1,
+                            embed_dim=4, compute_dtype=dt)
+        return unet, struct, vae
+
+    u32, s32, v32 = mk(None)
+    u16, s16, v16 = mk("bfloat16")
+    rng = jax.random.PRNGKey(0)
+    z = jax.random.normal(rng, (2, 16, 16, 4))
+    t = jnp.asarray([3, 7])
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 32))
+    img = jax.random.uniform(jax.random.PRNGKey(2), (2, 32, 32, 3))
+
+    sv = s32.init(jax.random.PRNGKey(3), z, t)
+    feats32 = s32.apply(sv, z, t)
+    feats16 = s16.apply(sv, z, t)
+    uv = u32.init(jax.random.PRNGKey(4), z, t, ctx, feats32)
+    vv = v32.init(jax.random.PRNGKey(5), img)
+    # identical fp32 trees under bf16 compute
+    for m16, m32, args in ((s16, s32, (z, t)), ):
+        assert (jax.tree_util.tree_map(lambda a: (a.shape, str(a.dtype)),
+                                       m16.init(jax.random.PRNGKey(3), *args))
+                == jax.tree_util.tree_map(lambda a: (a.shape, str(a.dtype)), sv))
+    assert all(str(a.dtype) == "float32"
+               for a in jax.tree_util.tree_leaves((sv, uv, vv)))
+
+    # struct encoder: fp32 dict outputs, bf16-rounding-close
+    for k in feats32:
+        assert feats16[k].dtype == jnp.float32
+        scale = float(jnp.abs(feats32[k]).max()) + 1e-12
+        assert float(jnp.abs(feats32[k] - feats16[k]).max()) / scale < 3e-2
+
+    o32 = u32.apply(uv, z, t, ctx, feats32)
+    o16 = u16.apply(uv, z, t, ctx, feats32)
+    assert o16.dtype == jnp.float32
+    scale = float(jnp.abs(o32).max()) + 1e-12
+    assert float(jnp.abs(o32 - o16).max()) / scale < 3e-2
+
+    d32, m32m, lv32 = v32.apply(vv, img, sample_posterior=False)
+    d16, m16m, lv16 = v16.apply(vv, img, sample_posterior=False)
+    assert d16.dtype == jnp.float32 and m16m.dtype == jnp.float32
+    for a, b_ in ((d32, d16), (m32m, m16m), (lv32, lv16)):
+        scale = float(jnp.abs(a).max()) + 1e-12
+        assert float(jnp.abs(a - b_).max()) / scale < 3e-2
+
+    # gradient direction through the UNet (the trained component).  The
+    # zero-init output/proj convs block gradient flow at exact init (all
+    # grads zero) — perturb params off the zero-init manifold first.
+    leaves, treedef = jax.tree_util.tree_flatten(uv["params"])
+    keys = jax.random.split(jax.random.PRNGKey(6), len(leaves))
+    up = jax.tree_util.tree_unflatten(
+        treedef, [a + 0.02 * jax.random.normal(k, a.shape)
+                  for a, k in zip(leaves, keys)])
+
+    def loss(params, net):
+        out = net.apply({"params": params}, z, t, ctx, feats32)
+        return jnp.mean((out - 1.0) ** 2)
+
+    g32 = jax.grad(loss)(up, u32)
+    g16 = jax.grad(loss)(up, u16)
+    f32 = jnp.concatenate([a.ravel() for a in jax.tree_util.tree_leaves(g32)])
+    f16 = jnp.concatenate([a.ravel() for a in jax.tree_util.tree_leaves(g16)])
+    cos = jnp.vdot(f32, f16) / (jnp.linalg.norm(f32) * jnp.linalg.norm(f16) + 1e-12)
+    assert float(cos) > 0.98, float(cos)
+
+
+def test_diffusion_bf16_config_plumbing():
+    """model.compute_dtype fans out to UNet/struct-cond/VAE in the CLI
+    builder, and a reference-schema model.params.compute_dtype override maps
+    through translate_reference_config."""
+    from ssl_tpu.diffusion.main import build_from_config
+    cfg = {
+        "model": {"compute_dtype": "bfloat16", "context_dim": 32,
+                  "unet": {"model_channels": 32, "num_res_blocks": 1,
+                           "channel_mult": (1, 2), "attention_resolutions": (2,),
+                           "num_heads": 4, "num_head_channels": -1,
+                           "semb_channels": 32},
+                  "structcond": {"model_channels": 32, "channel_mult": (1, 2),
+                                 "out_channels": 32, "num_res_blocks": 1},
+                  "first_stage": {"ch": 16, "ch_mult": (1, 2),
+                                  "num_res_blocks": 1, "embed_dim": 4}},
+        "sslopt": {}, "train": {},
+    }
+    model = build_from_config(cfg)
+    assert model.unet.compute_dtype == "bfloat16"
+    assert model.structcond.compute_dtype == "bfloat16"
+    assert model.vae.compute_dtype == "bfloat16"
+
+    from ssl_tpu.diffusion.ref_config import translate_reference_config
+    ref = {"model": {"target": "ldm.models.diffusion.ddpmssl.LatentDiffusionSRTextWTSSL",
+                     "params": {"compute_dtype": "bfloat16",
+                                "unet_config": {"params": {"model_channels": 32}},
+                                "first_stage_config": {"params": {}},
+                                "structcond_stage_config": {"params": {}}}}}
+    out = translate_reference_config(ref)
+    assert out["model"]["compute_dtype"] == "bfloat16"
