@@ -257,15 +257,21 @@ class StableSRSSL:
         def step_fn(state: DiffusionTrainState, batch: dict):
             """batch: gt/lq in [0,1] NHWC (+ gt_mask).  Images are mapped to
             [-1,1] as in the reference get_input (ddpmssl.py:240-251)."""
-            rng, r_t, r_noise, r_enc1, r_enc2 = jax.random.split(state.rng, 5)
+            rng, r_t, r_noise, r_enc1 = jax.random.split(state.rng, 4)
             gt = batch["gt"] * 2.0 - 1.0
             lq = batch["lq"] * 2.0 - 1.0  # already upsampled to GT size by the pipeline
             b = gt.shape[0]
             vae_params = state.frozen["vae"]
 
             def loss_fn(params):
-                z0 = jax.lax.stop_gradient(self.encode(vae_params, gt, r_enc1))
-                z_lq = jax.lax.stop_gradient(self.encode(vae_params, lq, r_enc2))
+                # ONE frozen-encoder pass over [gt; lq] stacked on batch
+                # (exact math — the encoder is per-image; GroupNorm stats are
+                # per-sample) instead of two b-sized calls: at the reference's
+                # tiny per-device batch (b2, configs/SSL/base.yaml) the
+                # stacked call keeps the MXU busier per conv
+                z_both = jax.lax.stop_gradient(self.encode(
+                    vae_params, jnp.concatenate([gt, lq], axis=0), r_enc1))
+                z0, z_lq = jnp.split(z_both, 2, axis=0)
                 t = jax.random.randint(r_t, (b,), 0, sched.num_timesteps)
                 noise = jax.random.normal(r_noise, z0.shape)
                 z_noisy = q_sample(sched, z0, t, noise)
