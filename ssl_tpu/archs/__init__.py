@@ -22,6 +22,8 @@ from ssl_tpu.archs import degradat_arch as _de  # noqa: F401
 from ssl_tpu.archs import hifacegan_arch as _hf  # noqa: F401
 from ssl_tpu.archs import swinir_arch as _sw  # noqa: F401
 from ssl_tpu.archs import kair_extra_arch as _ke  # noqa: F401
+from ssl_tpu.archs import vgg_arch as _vg  # noqa: F401
+from ssl_tpu.archs import dfdnet_arch as _df  # noqa: F401
 from ssl_tpu.archs.elan_arch import ELAN  # noqa: F401
 from ssl_tpu.archs.spsr_arch import SPSRNet  # noqa: F401
 from ssl_tpu.archs.swinir_arch import SwinIR  # noqa: F401

@@ -113,6 +113,7 @@ class _SPyNetBasicModule(nn.Module):
 
 
 @ARCH_REGISTRY.register()
+@ARCH_REGISTRY.register(name="SpyNet")  # reference spelling (spynet_arch.py:28)
 class SPyNet(nn.Module):
     """Coarse-to-fine pyramid optical flow (reference spynet_arch.py:29-96).
 

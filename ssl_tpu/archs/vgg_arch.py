@@ -36,6 +36,10 @@ def vgg19_layer_names():
     return names
 
 
+from ssl_tpu.utils.registry import ARCH_REGISTRY
+
+
+@ARCH_REGISTRY.register()  # reference registers it too (GAN-Based-SR vgg_arch.py:52)
 class VGGFeatureExtractor(nn.Module):
     """Runs VGG19 until the deepest requested layer, returning a dict of taps.
 

@@ -135,3 +135,45 @@ def generate_frame_indices(crt_idx, max_frame_num, num_frames, padding="reflecti
             pad_idx = i
         indices.append(pad_idx)
     return indices
+
+
+def generate_gaussian_kernel(kernel_size: int = 13, sigma: float = 1.6):
+    """Sampled-and-normalized 2-D Gaussian placed on a kernel_size grid
+    (reference data_util.py:314-329: a dirac smoothed by
+    scipy.ndimage.gaussian_filter — that operation's support radius is
+    int(4*sigma + 0.5), which fits inside the 13-tap grid for every
+    supported DUF scale, so the result is exactly the separable sampled
+    Gaussian re-centred on the grid)."""
+    import numpy as np
+
+    radius = int(4.0 * sigma + 0.5)
+    assert radius <= kernel_size // 2, (
+        f"sigma {sigma} support ({radius}) exceeds the {kernel_size}-tap grid")
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    phi = np.exp(-0.5 / (sigma * sigma) * x * x)
+    phi /= phi.sum()
+    g1 = np.zeros(kernel_size, np.float64)
+    c = kernel_size // 2
+    g1[c - radius:c + radius + 1] = phi
+    return np.outer(g1, g1)
+
+
+def duf_downsample(x, kernel_size: int = 13, scale: int = 4):
+    """DUF's official Gaussian downsampling (reference data_util.py:332-362):
+    reflect-pad by kernel//2 + 2*scale, stride-`scale` Gaussian conv with
+    sigma = 0.4*scale, then trim 2 px per side.  Host-side numpy on HWC
+    frames: x is (t, h, w, c) or (h, w, c)."""
+    import numpy as np
+
+    assert scale in (2, 3, 4), f"Only support scale (2, 3, 4), but got {scale}."
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    pad = kernel_size // 2 + scale * 2
+    xp = np.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+    k = generate_gaussian_kernel(kernel_size, 0.4 * scale)
+    win = np.lib.stride_tricks.sliding_window_view(
+        xp, (kernel_size, kernel_size), axis=(1, 2))[:, ::scale, ::scale]
+    y = np.tensordot(win, k, axes=([-2, -1], [0, 1]))
+    y = y[:, 2:-2, 2:-2].astype(x.dtype)
+    return y[0] if squeeze else y

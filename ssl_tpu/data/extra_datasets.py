@@ -71,6 +71,7 @@ class FFHQDataset(BaseDataset):
 
 
 @DATASET_REGISTRY.register()
+@DATASET_REGISTRY.register(name="TwoStageDegradation_DF2K_Dataset")  # reference spelling
 class TwoStageDegradationDF2KDataset(BaseDataset):
     """GT + on-load two-stage degraded LQ (offline flavor of the RealESRGAN
     pipeline, reference twostagedegradation_df2k_dataset.py)."""
@@ -99,6 +100,7 @@ class TwoStageDegradationDF2KDataset(BaseDataset):
 
 
 @DATASET_REGISTRY.register()
+@DATASET_REGISTRY.register(name="TwoStageDegradation_Img_Mask_Dataset")  # reference spelling
 class TwoStageDegradationImgMaskDataset(BaseDataset):
     """Diffusion-tree training set: multi-root GT + masks + per-sample kernels
     (reference twostagedegradation_img_mask_dataset.py:19-119).  Returns

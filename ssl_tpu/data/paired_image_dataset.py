@@ -164,3 +164,65 @@ class MultiLROneGTDataset(BaseDataset):
         h, w = img_lq.shape[:2]
         img_gt = img_gt[: h * self.scale, : w * self.scale, :]
         return {"lq": img_lq, "gt": img_gt, **{k: d[k] for k in ("lq_path", "gt_path", "variant")}}
+
+
+@DATASET_REGISTRY.register()
+class SingleImageNPDataset(BaseDataset):
+    """CFW stage-2 training quadruplets (reference
+    single_image_dataset.py:76-164): aligned ``{gts,inputs,latents,samples}``
+    folders under ``gt_path`` (string or list of roots) as dumped by
+    ``scripts/gt_input_output.py``.  Returns HWC float images plus the HWC
+    latent — the reference stores ``(1, c, h, w)`` and returns
+    ``latent_np[0]``; our dumper stores ``(h, w, c)`` directly, and both
+    layouts load here (a leading batch dim is stripped, CHW is transposed)."""
+
+    def __init__(self, opt: dict):
+        import glob as _glob
+
+        self.opt = opt
+        image_type = opt.get("image_type", "png")
+        roots = opt["gt_path"]
+        if isinstance(roots, str):
+            roots = [roots]
+        self.gt_paths, self.lq_paths = [], []
+        self.np_paths, self.sample_paths = [], []
+        for root in roots:
+            def listing(sub, pat):
+                return sorted(_glob.glob(os.path.join(root, sub, pat)))
+            self.gt_paths += listing("gts", "*." + image_type)
+            self.lq_paths += listing("inputs", "*." + image_type)
+            self.np_paths += listing("latents", "*.npy")
+            self.sample_paths += listing("samples", "*." + image_type)
+        assert len(self.gt_paths) == len(self.lq_paths) == len(self.np_paths) \
+            == len(self.sample_paths), "gts/inputs/latents/samples must align"
+        self.mean = opt.get("mean")
+        self.std = opt.get("std")
+
+    def __len__(self):
+        return len(self.gt_paths)
+
+    def _norm(self, img):
+        if self.mean is not None or self.std is not None:
+            mean = np.asarray(self.mean if self.mean is not None else 0.0, np.float32)
+            std = np.asarray(self.std if self.std is not None else 1.0, np.float32)
+            img = (img - mean) / std
+        return img
+
+    def __getitem__(self, index):
+        lq = img2array(imread(self.lq_paths[index]))
+        gt = img2array(imread(self.gt_paths[index]))
+        sample = img2array(imread(self.sample_paths[index]))
+        latent = np.load(self.np_paths[index]).astype(np.float32)
+        if latent.ndim == 4:
+            latent = latent[0]
+        if latent.shape[0] in (3, 4) and latent.shape[-1] not in (3, 4):
+            latent = latent.transpose(1, 2, 0)  # CHW (reference dump) -> HWC
+        if self.opt.get("color") == "y":
+            from ssl_tpu.utils.color_util import rgb2ycbcr
+            lq, gt, sample = (rgb2ycbcr(v, y_only=True)[..., None]
+                              for v in (lq, gt, sample))
+        return {"lq": self._norm(lq), "lq_path": self.lq_paths[index],
+                "gt": self._norm(gt), "gt_path": self.gt_paths[index],
+                "latent": latent, "latent_path": self.np_paths[index],
+                "sample": self._norm(sample),
+                "sample_path": self.sample_paths[index]}
