@@ -208,3 +208,48 @@ class CLIPTextEncoder(nn.Module):
         for blk in self.blocks[:upto]:
             x = blk(x, mask)
         return self.ln_final(x)
+
+
+class CLIPVisionTransformer(nn.Module):
+    """OpenAI-CLIP ViT visual tower returning EVERY resblock hidden state
+    (the reference modified its vendored clip/model.py:227-263 to return
+    ``(x0..x11, final)`` so ClipLoss can tap multi-layer features).
+
+    NHWC input (normalized); per-block states come back NLD ``(b, tokens, c)``
+    (the reference keeps torch's LND — identical numbers, transposed), the
+    last element is the projected ``(b, output_dim)`` embedding."""
+    input_resolution: int = 224
+    patch_size: int = 32
+    width: int = 768
+    layers: int = 12
+    heads: int = 12
+    output_dim: int = 512
+    act: str = "quick_gelu"
+
+    @nn.compact
+    def __call__(self, x):
+        b = x.shape[0]
+        x = nn.Conv(self.width, (self.patch_size, self.patch_size),
+                    strides=self.patch_size, padding="VALID", use_bias=False,
+                    name="conv1")(x)
+        x = x.reshape(b, -1, self.width)       # row-major tokens == torch
+        cls = self.param("class_embedding",
+                         nn.initializers.normal(self.width ** -0.5),
+                         (self.width,))
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls, (b, 1, self.width)).astype(x.dtype), x], 1)
+        pos = self.param("positional_embedding",
+                         nn.initializers.normal(self.width ** -0.5),
+                         ((self.input_resolution // self.patch_size) ** 2 + 1,
+                          self.width))
+        x = x + pos[None]
+        x = nn.LayerNorm(epsilon=1e-5, name="ln_pre")(x)
+        feats = []
+        for i in range(self.layers):
+            x = _TextBlock(self.width, self.heads, act=self.act,
+                           name=f"resblock_{i}")(x, 0.0)
+            feats.append(x)
+        pooled = nn.LayerNorm(epsilon=1e-5, name="ln_post")(x[:, 0])
+        proj = self.param("proj", nn.initializers.normal(self.width ** -0.5),
+                          (self.width, self.output_dim))
+        return tuple(feats) + (pooled @ proj,)

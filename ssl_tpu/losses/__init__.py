@@ -7,6 +7,7 @@ from ssl_tpu.utils.registry import LOSS_REGISTRY
 from ssl_tpu.losses import basic_loss as _basic  # noqa: F401
 from ssl_tpu.losses import gan_loss as _gan  # noqa: F401
 from ssl_tpu.losses import perceptual as _perc  # noqa: F401
+from ssl_tpu.losses import feature_sim as _fsim  # noqa: F401
 from ssl_tpu.losses.basic_loss import (  # noqa: F401
     CharbonnierLoss, CrossEntropyLoss, KLDistanceLoss, L1Loss, MSELoss, WeightedTVLoss,
 )

@@ -61,3 +61,82 @@ def calculate_ssim(img, img2, crop_border=0, input_order="HWC", test_y_channel=F
     img, img2 = _prep(img, img2, crop_border, test_y_channel, input_order)
     ssims = [_ssim_single(img[..., i], img2[..., i]) for i in range(img.shape[2])]
     return float(np.mean(ssims))
+
+
+def _rgb2ycbcr_pt(img, y_only=False):
+    """BT.601 RGB->YCbCr on (n, 3, h, w) [0,1] tensors (reference
+    color_util.py:186-208, the batched torch flavor)."""
+    import jax.numpy as jnp
+    x = img.transpose(0, 2, 3, 1)
+    if y_only:
+        w = jnp.asarray([[65.481], [128.553], [24.966]], img.dtype)
+        out = (x @ w).transpose(0, 3, 1, 2) + 16.0
+    else:
+        w = jnp.asarray([[65.481, -37.797, 112.0],
+                         [128.553, -74.203, -93.786],
+                         [24.966, 112.0, -18.214]], img.dtype)
+        b = jnp.asarray([16.0, 128.0, 128.0], img.dtype).reshape(1, 3, 1, 1)
+        out = (x @ w).transpose(0, 3, 1, 2) + b
+    return out / 255.0
+
+
+def _prep_pt(img, img2, crop_border, test_y_channel):
+    import jax.numpy as jnp
+    assert img.shape == img2.shape, f"Image shapes are different: {img.shape}, {img2.shape}."
+    img = jnp.asarray(img, jnp.float32)
+    img2 = jnp.asarray(img2, jnp.float32)
+    if crop_border != 0:
+        img = img[:, :, crop_border:-crop_border, crop_border:-crop_border]
+        img2 = img2[:, :, crop_border:-crop_border, crop_border:-crop_border]
+    if test_y_channel:
+        img = _rgb2ycbcr_pt(img, y_only=True)
+        img2 = _rgb2ycbcr_pt(img2, y_only=True)
+    return img, img2
+
+
+@METRIC_REGISTRY.register()
+def calculate_psnr_pt(img, img2, crop_border, test_y_channel=False, **kwargs):
+    """Batched on-device PSNR (reference psnr_ssim.py:52-81, torch flavor):
+    (n, 3/1, h, w) images in [0, 1], returns a per-image vector.  jnp fp32
+    (jittable; the reference computes in fp64 — agreement is within ~1e-4 dB,
+    pinned by tests/test_metrics_pt.py)."""
+    import jax.numpy as jnp
+    img, img2 = _prep_pt(img, img2, crop_border, test_y_channel)
+    mse = jnp.mean((img - img2) ** 2, axis=(1, 2, 3))
+    return 10.0 * jnp.log10(1.0 / (mse + 1e-8))
+
+
+def _ssim_pt(img, img2):
+    """(n, c, h, w) [0,255]: grouped valid-window Gaussian SSIM
+    (reference psnr_ssim.py:201-231)."""
+    import jax.numpy as jnp
+    from jax import lax
+    c1 = (0.01 * 255) ** 2
+    c2 = (0.03 * 255) ** 2
+    k = cv2.getGaussianKernel(11, 1.5)
+    window = jnp.asarray(np.outer(k, k.transpose()), img.dtype)
+    c = img.shape[1]
+    w = jnp.tile(window[None, None], (c, 1, 1, 1))  # (c, 1, 11, 11) grouped
+
+    def conv(x):
+        return lax.conv_general_dilated(
+            x, w, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=c)
+
+    mu1, mu2 = conv(img), conv(img2)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 ** 2, mu2 ** 2, mu1 * mu2
+    sigma1_sq = conv(img * img) - mu1_sq
+    sigma2_sq = conv(img2 * img2) - mu2_sq
+    sigma12 = conv(img * img2) - mu1_mu2
+    cs_map = (2 * sigma12 + c2) / (sigma1_sq + sigma2_sq + c2)
+    ssim_map = ((2 * mu1_mu2 + c1) / (mu1_sq + mu2_sq + c1)) * cs_map
+    return ssim_map.mean(axis=(1, 2, 3))
+
+
+@METRIC_REGISTRY.register()
+def calculate_ssim_pt(img, img2, crop_border, test_y_channel=False, **kwargs):
+    """Batched on-device SSIM (reference psnr_ssim.py:132-166, torch flavor):
+    (n, 3/1, h, w) in [0, 1], per-image vector out.  fp32 jnp (jittable);
+    fp64-oracle agreement pinned by tests/test_metrics_pt.py."""
+    img, img2 = _prep_pt(img, img2, crop_border, test_y_channel)
+    return _ssim_pt(img * 255.0, img2 * 255.0)

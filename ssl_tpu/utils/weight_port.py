@@ -1713,6 +1713,46 @@ def convert_openclip_text(sd: dict):
     return text, meta
 
 
+def convert_clip_vit(sd: dict):
+    """OpenAI-CLIP ViT VISUAL tower -> our archs/clip_arch.py
+    CLIPVisionTransformer tree (the backbone of the reference's ClipLoss,
+    Diffusion-Based-SR/basicsr/losses/basic_loss.py:706-830, which consumes
+    the vendored clip/model.py VisionTransformer modified to return every
+    resblock state).  Accepts keys with or without the ``visual.`` prefix.
+    Returns (params, meta) with meta for constructing the flax module."""
+    p = "visual." if "visual.conv1.weight" in sd else ""
+    if f"{p}conv1.weight" not in sd or f"{p}class_embedding" not in sd:
+        raise ValueError("no CLIP ViT visual tower found in checkpoint")
+    tree: dict = {
+        "conv1": {"kernel": _conv_w(sd[f"{p}conv1.weight"])},
+        "class_embedding": _to_np(sd[f"{p}class_embedding"]),
+        "positional_embedding": _to_np(sd[f"{p}positional_embedding"]),
+        "ln_pre": _ln(sd, f"{p}ln_pre"),
+        "ln_post": _ln(sd, f"{p}ln_post"),
+        "proj": _to_np(sd[f"{p}proj"]),
+    }
+    i = 0
+    while f"{p}transformer.resblocks.{i}.ln_1.weight" in sd:
+        base = f"{p}transformer.resblocks.{i}"
+        tree[f"resblock_{i}"] = {
+            "ln_1": _ln(sd, f"{base}.ln_1"),
+            "in_proj": {"kernel": _to_np(sd[f"{base}.attn.in_proj_weight"]).T,
+                        "bias": _to_np(sd[f"{base}.attn.in_proj_bias"])},
+            "out_proj": _dense(sd, f"{base}.attn.out_proj"),
+            "ln_2": _ln(sd, f"{base}.ln_2"),
+            "c_fc": _dense(sd, f"{base}.mlp.c_fc"),
+            "c_proj": _dense(sd, f"{base}.mlp.c_proj"),
+        }
+        i += 1
+    w = _to_np(sd[f"{p}conv1.weight"])
+    width, patch = int(w.shape[0]), int(w.shape[-1])
+    grid = int(round((tree["positional_embedding"].shape[0] - 1) ** 0.5))
+    meta = {"width": width, "patch_size": patch, "layers": i,
+            "heads": width // 64, "input_resolution": grid * patch,
+            "output_dim": int(tree["proj"].shape[1])}
+    return tree, meta
+
+
 # torchvision inception_v3 branch orders, matched to metrics/fid.py's
 # @nn.compact call order (flax auto-names _BasicConv_{i} inside each block)
 _FID_STEM = ["Conv2d_1a_3x3", "Conv2d_2a_3x3", "Conv2d_2b_3x3",

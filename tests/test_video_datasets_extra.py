@@ -245,7 +245,8 @@ def _ref_registered(patterns, registry_name):
         for f in _glob.glob(pattern):
             src = open(f).read()
             for m in re.finditer(
-                    r"@%s\.register\(\)\s*\nclass\s+(\w+)" % registry_name, src):
+                    r"@%s\.register\(\)\s*\n(?:class|def)\s+(\w+)" % registry_name,
+                    src):
                 names.add(m.group(1))
     return names
 
@@ -269,6 +270,29 @@ def test_arch_registry_covers_reference():
     assert ref
     missing = sorted(n for n in ref if n not in ARCH_REGISTRY)
     assert not missing, f"reference-registered archs missing here: {missing}"
+
+
+def test_model_loss_metric_registries_cover_reference():
+    """Same live diff for the other three registries (MODEL/LOSS/METRIC —
+    round 5 closed ClipLoss / PerceptualSimLoss / calculate_*_pt)."""
+    import ssl_tpu.losses  # noqa: F401
+    import ssl_tpu.metrics  # noqa: F401
+    import ssl_tpu.models  # noqa: F401
+    from ssl_tpu.utils.registry import (
+        LOSS_REGISTRY, METRIC_REGISTRY, MODEL_REGISTRY,
+    )
+
+    for patterns, reg_name, reg in [
+            (["/root/reference/*/basicsr/models/*.py"], "MODEL_REGISTRY",
+             MODEL_REGISTRY),
+            (["/root/reference/*/basicsr/losses/*.py"], "LOSS_REGISTRY",
+             LOSS_REGISTRY),
+            (["/root/reference/*/basicsr/metrics/*.py"], "METRIC_REGISTRY",
+             METRIC_REGISTRY)]:
+        ref = _ref_registered(patterns, reg_name)
+        assert ref, reg_name
+        missing = sorted(n for n in ref if n not in reg)
+        assert not missing, f"{reg_name} missing here: {missing}"
 
 
 # --------------------------------------- recurrent model fed by the dataset
