@@ -138,10 +138,13 @@ def _bias_pad(y0: jnp.ndarray, b0: jnp.ndarray) -> jnp.ndarray:
     return yp * (1.0 - border)[None, :, :, None] + b0 * border[None, :, :, None]
 
 
-# fixed edge-operator masks (ecbsr_arch.py:50-101), HW layout
-_SOBEL_X = jnp.asarray([[1.0, 0.0, -1.0], [2.0, 0.0, -2.0], [1.0, 0.0, -1.0]])
-_SOBEL_Y = jnp.asarray([[1.0, 2.0, 1.0], [0.0, 0.0, 0.0], [-1.0, -2.0, -1.0]])
-_LAPLACIAN = jnp.asarray([[0.0, 1.0, 0.0], [1.0, -4.0, 1.0], [0.0, 1.0, 0.0]])
+# fixed edge-operator masks (ecbsr_arch.py:50-101), HW layout.
+# numpy on purpose: device constants at import time would initialize the XLA
+# backend before jax.distributed.initialize() can run (multi-host CLIs)
+import numpy as _np
+_SOBEL_X = _np.asarray([[1.0, 0.0, -1.0], [2.0, 0.0, -2.0], [1.0, 0.0, -1.0]], _np.float32)
+_SOBEL_Y = _np.asarray([[1.0, 2.0, 1.0], [0.0, 0.0, 0.0], [-1.0, -2.0, -1.0]], _np.float32)
+_LAPLACIAN = _np.asarray([[0.0, 1.0, 0.0], [1.0, -4.0, 1.0], [0.0, 1.0, 0.0]], _np.float32)
 
 
 class _SeqConvEdge(nn.Module):

@@ -131,7 +131,11 @@ def device_prefetch(iterator, n: int = 2, sharding=None):
     import jax
 
     def to_device(batch):
-        return {k: (jax.device_put(v, sharding) if isinstance(v, np.ndarray) else v)
+        if sharding is None:
+            return {k: (jax.device_put(v) if isinstance(v, np.ndarray) else v)
+                    for k, v in batch.items()}
+        from ssl_tpu.parallel.mesh import host_to_global
+        return {k: (host_to_global(v, sharding) if isinstance(v, np.ndarray) else v)
                 for k, v in batch.items()}
 
     queue = collections.deque()

@@ -97,17 +97,27 @@ class BaseModel:
 
     # ------------------------------------------------------------ persistence
     def save_networks(self, state: TrainState, save_dir: str, current_iter: int):
-        """Save reference-style weight files: params + params_ema as npz trees."""
-        os.makedirs(save_dir, exist_ok=True)
+        """Save reference-style weight files: params + params_ema as npz trees.
+
+        Multi-host: EVERY process must call this at the same point — the
+        device_get of mesh-placed arrays participates in the runtime's
+        collective stream, so a rank-0-only call desynchronizes peers
+        (observed as a gloo size-mismatch crash).  Only process 0 touches
+        the filesystem."""
         import pickle
         payload = {"params": jax.device_get(state.params_g)}
         if state.ema_params_g is not None:
             payload["params_ema"] = jax.device_get(state.ema_params_g)
+        payload_d = ({"params": jax.device_get(state.params_d)}
+                     if state.params_d is not None else None)
+        if jax.process_index() != 0:
+            return
+        os.makedirs(save_dir, exist_ok=True)
         with open(os.path.join(save_dir, f"net_g_{current_iter}.pkl"), "wb") as f:
             pickle.dump(payload, f)
-        if state.params_d is not None:
+        if payload_d is not None:
             with open(os.path.join(save_dir, f"net_d_{current_iter}.pkl"), "wb") as f:
-                pickle.dump({"params": jax.device_get(state.params_d)}, f)
+                pickle.dump(payload_d, f)
 
     def host_state(self) -> dict:
         """Host-side mutable state to persist alongside the device TrainState
@@ -121,8 +131,19 @@ class BaseModel:
         import orbax.checkpoint as ocp
         path = os.path.abspath(os.path.join(state_dir, f"{current_iter}"))
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path, jax.device_get(state), force=True)
-        ckptr.wait_until_finished()
+        if jax.process_count() > 1:
+            # multi-host: EVERY process calls save with the device arrays —
+            # orbax coordinates (primary writes metadata, owners write
+            # shards, internal barrier needs all ranks).  A rank-0-only
+            # orbax call leaves its sync barrier unmatched (observed as a
+            # gloo collective-mismatch crash on the CPU backend).
+            ckptr.save(path, state, force=True)
+            ckptr.wait_until_finished()
+        else:
+            ckptr.save(path, jax.device_get(state), force=True)
+            ckptr.wait_until_finished()
+        if jax.process_index() != 0:
+            return
         hs = self.host_state()
         if hs:
             import pickle

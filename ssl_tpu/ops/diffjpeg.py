@@ -50,15 +50,15 @@ def _dct_matrix() -> np.ndarray:
     return d
 
 
-_DCT = jnp.asarray(_dct_matrix())
+_DCT = _dct_matrix()  # numpy: no device constant at import (multi-host init order)
 
-_RGB2YCBCR = jnp.asarray(np.array([
+_RGB2YCBCR = (np.array([
     [0.299, 0.587, 0.114],
     [-0.168736, -0.331264, 0.5],
     [0.5, -0.418688, -0.081312]], np.float32).T)
-_YCBCR_SHIFT = jnp.asarray(np.array([0.0, 128.0, 128.0], np.float32))
+_YCBCR_SHIFT = np.array([0.0, 128.0, 128.0], np.float32)
 
-_YCBCR2RGB = jnp.asarray(np.array([
+_YCBCR2RGB = (np.array([
     [1.0, 0.0, 1.402],
     [1.0, -0.344136, -0.714136],
     [1.0, 1.772, 0.0]], np.float32).T)

@@ -74,13 +74,27 @@ def replicate_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def host_to_global(v, sharding):
+    """Host array -> mesh-sharded jax.Array.
+
+    Single-process: plain (async) device_put.  Multi-process: each host
+    passes only its LOCAL batch rows and the global array is assembled from
+    the per-process shards (the DDP analogue of the reference's per-rank
+    loaders, dist_util.py — each host feeds exactly its own devices, nothing
+    is loaded twice or discarded)."""
+    if jax.process_count() == 1:
+        return jax.device_put(v, sharding)
+    return jax.make_array_from_process_local_data(sharding, np.asarray(v))
+
+
 def shard_batch(batch: dict, mesh: Mesh, axis_name: str = "data") -> dict:
-    """Device-put array leaves batch-sharded; non-arrays pass through."""
+    """Put array leaves batch-sharded; non-arrays pass through.  Multi-host:
+    leaves are per-process LOCAL rows (see host_to_global)."""
     sh = batch_sharding(mesh, axis_name)
     out = {}
     for k, v in batch.items():
         if isinstance(v, (np.ndarray, jax.Array)) and getattr(v, "ndim", 0) >= 1:
-            out[k] = jax.device_put(v, sh)
+            out[k] = host_to_global(v, sh)
         else:
             out[k] = v
     return out

@@ -37,9 +37,16 @@ def create_train_val_dataloader(opt, logger, n_data_shards: int = 1):
             dataset_enlarge_ratio = dataset_opt.get("dataset_enlarge_ratio", 1)
             train_set = build_dataset(dataset_opt)
             sampler = EnlargedSampler(len(train_set), world, rank, dataset_enlarge_ratio)
+            # each HOST loads only the rows for its own devices: the global
+            # batch is bpg × n_data_shards (the mesh 'data' width, spanning
+            # all processes), assembled from per-process shards in
+            # host_to_global — the DDP per-rank-loader semantics
+            assert n_data_shards % world == 0, \
+                f"data shards {n_data_shards} not divisible by processes {world}"
+            local_shards = n_data_shards // world
             local_opt = dict(dataset_opt)
             local_opt["batch_size_per_gpu"] = \
-                dataset_opt["batch_size_per_gpu"] * n_data_shards
+                dataset_opt["batch_size_per_gpu"] * local_shards
             train_loader = build_dataloader(train_set, local_opt, sampler=sampler,
                                             seed=opt["manual_seed"])
             if len(train_loader) == 0:
@@ -47,11 +54,11 @@ def create_train_val_dataloader(opt, logger, n_data_shards: int = 1):
                     f"dataset ({len(train_set)} imgs × enlarge "
                     f"{dataset_enlarge_ratio}) smaller than the host-local "
                     f"batch {local_opt['batch_size_per_gpu']} "
-                    f"(batch_size_per_gpu × {n_data_shards} data shards) — "
-                    "set dataset_enlarge_ratio or num_devices.")
+                    f"(batch_size_per_gpu × {local_shards} local data shards) "
+                    "— set dataset_enlarge_ratio or num_devices.")
             num_iter_per_epoch = math.ceil(
                 len(train_set) * dataset_enlarge_ratio /
-                (dataset_opt["batch_size_per_gpu"] * world * n_data_shards))
+                (dataset_opt["batch_size_per_gpu"] * n_data_shards))
             total_iters = int(opt["train"]["total_iter"])
             total_epochs = math.ceil(total_iters / num_iter_per_epoch)
             logger.info("Training statistics:"
@@ -73,8 +80,20 @@ def train_pipeline(root_path: str, args=None):
     from ssl_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()
     opt, parsed = parse_options(root_path, is_train=True, args=args)
-    if getattr(parsed, "launcher", "none") == "jax" or opt.get("num_processes", 1) > 1:
-        jax.distributed.initialize()
+    if (getattr(parsed, "launcher", "none") == "jax"
+            or opt.get("num_processes", 1) > 1
+            or os.environ.get("JAX_NUM_PROCESSES")):
+        # explicit env args (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+        # JAX_PROCESS_ID) support manual multi-host launches — the analogue of
+        # the reference's MASTER_ADDR/RANK torch launch (dist_util.py:28-57);
+        # without them initialize() auto-detects (TPU pods, SLURM, MPI)
+        env = os.environ
+        jax.distributed.initialize(
+            coordinator_address=env.get("JAX_COORDINATOR_ADDRESS"),
+            num_processes=(int(env["JAX_NUM_PROCESSES"])
+                           if env.get("JAX_NUM_PROCESSES") else None),
+            process_id=(int(env["JAX_PROCESS_ID"])
+                        if env.get("JAX_PROCESS_ID") else None))
 
     seed = opt["manual_seed"] + jax.process_index()
     np.random.seed(seed)
@@ -162,23 +181,34 @@ def train_pipeline(root_path: str, args=None):
                 msg_logger({"iter": current_iter, "epoch": epoch, "lrs": [lr],
                             "time": iter_timer.get_avg_time(),
                             "data_time": data_timer.get_avg_time(), **host_logs})
-            if save_freq and current_iter % int(save_freq) == 0 and jax.process_index() == 0:
-                logger.info("Saving models and training states.")
+            if save_freq and current_iter % int(save_freq) == 0:
+                # all processes enter (device_get is collective-stream-
+                # ordered); file writes are rank-0-gated inside
+                if jax.process_index() == 0:
+                    logger.info("Saving models and training states.")
                 model.save_networks(state, opt["path"]["models"], current_iter)
                 model.save_training_state(state, opt["path"]["training_states"], epoch, current_iter)
-            if val_freq and current_iter % int(val_freq) == 0 and jax.process_index() == 0:
+            if val_freq and current_iter % int(val_freq) == 0:
+                # validation is a COLLECTIVE program when params live on a
+                # multi-process mesh (the jitted forward spans all hosts), so
+                # every process must run it — only rank 0 logs and writes
+                # images (a rank-0-only gate here deadlocks rank 0 against
+                # peers that already moved on)
+                rank0 = jax.process_index() == 0
                 for val_loader in val_loaders:
-                    metrics = model.validation(state, val_loader, current_iter, tb_logger,
-                                               (opt.get("val") or {}).get("save_img", False))
-                    logger.info(f"Validation {val_loader.dataset.opt.get('name')}: {metrics}")
+                    metrics = model.validation(
+                        state, val_loader, current_iter,
+                        tb_logger if rank0 else None,
+                        (opt.get("val") or {}).get("save_img", False) and rank0)
+                    if rank0:
+                        logger.info(f"Validation {val_loader.dataset.opt.get('name')}: {metrics}")
             data_timer.start()
             iter_timer.start()
         epoch += 1
 
     logger.info("End of training.")
-    if jax.process_index() == 0:
-        model.save_networks(state, opt["path"]["models"], current_iter)
-        model.save_training_state(state, opt["path"]["training_states"], epoch, current_iter)
+    model.save_networks(state, opt["path"]["models"], current_iter)
+    model.save_training_state(state, opt["path"]["training_states"], epoch, current_iter)
     return state
 
 
