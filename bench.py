@@ -41,7 +41,11 @@ def main():
 
     from ssl_tpu.models import build_model
 
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    # batch 24 is this chip's measured throughput optimum (batch-scaling
+    # table, BASELINE.md round 5: 16->180.9, 24->184.6, 32->172.8,
+    # 48->156.9, 64->125.9); per-chip batch is a free parameter under DDP
+    # semantics — global batch comes from chips x per-chip batch
+    batch = int(os.environ.get("BENCH_BATCH", "24"))
     gt_size = int(os.environ.get("BENCH_GT_SIZE", "128"))
     steps = int(os.environ.get("BENCH_STEPS", "10"))
     scale = 4
@@ -59,7 +63,14 @@ def main():
         # A/B in STATUS §Perf)
         "network_g": {"type": "RRDBNet", "num_feat": 64, "num_block": 23, "num_grow_ch": 32,
                       "remat_policy": os.environ.get("BENCH_REMAT", "none"),
-                      "scan_unroll": int(os.environ.get("BENCH_UNROLL", "1")),
+                      # full unroll: the scanned trunk's 23 iterations become
+                      # straight-line code — XLA schedules across block
+                      # boundaries (isolated G fwd+bwd 37.3->33.3 ms; step
+                      # +3.1% at b24).  Exact math, identical param pytree;
+                      # one-time compile cost only (cached).  Partial unroll
+                      # (4) was measured SLOWER in round 3 — the win only
+                      # appears when the loop disappears entirely.
+                      "scan_unroll": int(os.environ.get("BENCH_UNROLL", "23")),
                       "compute_dtype": os.environ.get("BENCH_G_DTYPE", "bfloat16")},
         # bf16 D activations: the D bucket is bandwidth-bound (BASELINE.md MFU
         # table); params/SN iterates/logits stay fp32 (test_d_bf16_deviation)
