@@ -47,6 +47,9 @@ cdt = os.environ.get("BENCH_DTYPE") or None
 # BENCH_DECODER_REMAT=0 reverts to the whole-decoder jax.checkpoint (the
 # pre-round-4 scheme) for A/B attribution of vae.remat_decoder_blocks.
 dec_remat = os.environ.get("BENCH_DECODER_REMAT", "1") == "1"
+# BENCH_REMAT_SKIP=k exempts the k lowest-resolution decoder stages from
+# remat (vae.Decoder.remat_skip_lowres) — replay-FLOP vs memory trade.
+remat_skip = int(os.environ.get("BENCH_REMAT_SKIP", "0"))
 # BENCH_SKIP_FLOPS=1 skips the CPU cost-model subprocess (slow on this
 # 1-core host) — time-only rows, FLOPs columns NaN.
 skip_flops = os.environ.get("BENCH_SKIP_FLOPS", "0") == "1"
@@ -75,7 +78,8 @@ def _build(tag):
                                       use_flash_attention=flash, compute_dtype=cdt),
         vae=AutoencoderKL(ch=128, ch_mult=(1, 2, 4, 4), num_res_blocks=2,
                           embed_dim=4, use_flash_attention=flash,
-                          remat_decoder_blocks=dec_remat, compute_dtype=cdt),
+                          remat_decoder_blocks=dec_remat,
+                          remat_skip_lowres=remat_skip, compute_dtype=cdt),
         ssl_setting=SSLSetting(
             ssg=SSGConfig(q_store_dtype="bfloat16", stream_dtype="bfloat16"),
             mask_stride=3, capacity=(sz // 4) ** 2, impl="dense",
@@ -115,6 +119,12 @@ if os.environ.get("BENCH_MFU_MODE") == "flops":
 
 if skip_flops:
     costs = {t: {"flops": float("nan"), "bytes": float("nan")} for t in VARIANTS}
+elif os.environ.get("BENCH_COSTS_JSON"):
+    # precomputed cost-model output (the flops_mode JSON line) — the model is
+    # backend-independent, so a CPU-precomputed file saves the ~10-min 1-core
+    # lowering subprocess during chip sessions
+    with open(os.environ["BENCH_COSTS_JSON"]) as f:
+        costs = json.load(f)
 else:
     import subprocess
 

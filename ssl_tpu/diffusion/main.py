@@ -244,7 +244,7 @@ def train(args):
                         tb.add_scalar(f"losses/{k}", v, step)
             if image_every and step % image_every == 0:
                 _dump_images(step, device_batch)
-            if step % save_every == 0:
+            if save_every and step % save_every == 0:
                 import pickle
                 # params-only ckpt (what test_cli consumes) + full train
                 # state for --resume

@@ -118,13 +118,24 @@ class Decoder(nn.Module):
     forward live at once, which exceeds one v5e's HBM at 512² training
     shapes (the reference trains StableSR at 512² — configs/SSL/base.yaml).
     Exact math; forward-only sampling is untouched (remat only alters
-    differentiation)."""
+    differentiation).
+
+    ``remat_skip_lowres = k`` exempts the ResnetBlocks of the k
+    LOWEST-resolution stages (stage 0 = mid + the first up level at latent
+    resolution, stage 1 = 2x, ...) from remat: their backward replay is pure
+    extra FLOPs while their activations are small (latent-res saves are
+    4^stages cheaper than the full-res ones that actually pressure HBM) —
+    a replay-FLOP/memory trade for the 512^2 diffusion-SSL step where the
+    frozen-decoder dgrad chain is 2/3 of step FLOPs.  The mid AttnBlock
+    always stays remat'd (saving its seq^2 softmax would cost more HBM than
+    every ResnetBlock boundary combined).  Exact math either way."""
     ch: int = 128
     ch_mult: Sequence[int] = (1, 2, 4, 4)
     num_res_blocks: int = 2
     out_ch: int = 3
     use_flash_attention: bool = False
     remat_blocks: bool = True
+    remat_skip_lowres: int = 0
     compute_dtype: str | None = None
 
     @nn.compact
@@ -132,15 +143,22 @@ class Decoder(nn.Module):
         dt = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
         RB = nn.remat(ResnetBlock) if self.remat_blocks else ResnetBlock
         AB = nn.remat(AttnBlock) if self.remat_blocks else AttnBlock
+        L = len(self.ch_mult)
+
+        def _rb(stage):  # stage = resolution doublings above the latent
+            if self.remat_blocks and stage >= self.remat_skip_lowres:
+                return RB
+            return ResnetBlock
         mult = self.ch_mult[-1]
         h = nn.Conv(self.ch * mult, (3, 3), padding="SAME", name="conv_in",
                     dtype=dt)(z)
-        h = RB(h.shape[-1], dt, name="mid_block_1")(h)
+        h = _rb(0)(h.shape[-1], dt, name="mid_block_1")(h)
         h = AB(self.use_flash_attention, dt, name="mid_attn")(h)
-        h = RB(h.shape[-1], dt, name="mid_block_2")(h)
-        for i in reversed(range(len(self.ch_mult))):
+        h = _rb(0)(h.shape[-1], dt, name="mid_block_2")(h)
+        for i in reversed(range(L)):
             for j in range(self.num_res_blocks + 1):
-                h = RB(self.ch * self.ch_mult[i], dt, name=f"up_{i}_block_{j}")(h)
+                h = _rb(L - 1 - i)(self.ch * self.ch_mult[i], dt,
+                                   name=f"up_{i}_block_{j}")(h)
             if i != 0:
                 b, hh, ww, c = h.shape
                 h = jax.image.resize(h, (b, hh * 2, ww * 2, c), method="nearest")
@@ -272,6 +290,7 @@ class AutoencoderKL(nn.Module):
     num_res_blocks: int = 2
     use_flash_attention: bool = False
     remat_decoder_blocks: bool = True
+    remat_skip_lowres: int = 0   # see Decoder.remat_skip_lowres
     compute_dtype: str | None = None
 
     def setup(self):
@@ -282,6 +301,7 @@ class AutoencoderKL(nn.Module):
         self.decoder = Decoder(self.ch, self.ch_mult, self.num_res_blocks,
                                use_flash_attention=self.use_flash_attention,
                                remat_blocks=self.remat_decoder_blocks,
+                               remat_skip_lowres=self.remat_skip_lowres,
                                compute_dtype=self.compute_dtype)
         self.quant_conv = nn.Conv(2 * self.embed_dim, (1, 1))
         self.post_quant_conv = nn.Conv(self.embed_dim, (1, 1))

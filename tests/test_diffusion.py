@@ -75,6 +75,33 @@ def test_vae_decoder_block_remat_exact():
     np.testing.assert_allclose(np.asarray(g_r), np.asarray(g_n), atol=1e-6)
 
 
+def test_vae_decoder_remat_skip_lowres_exact():
+    """remat_skip_lowres (un-remat the k lowest-res decoder stages) is a pure
+    scheduling knob: identical param pytree, decode output, and gradients for
+    every k from 0 (round-4 default) through all-stages-skipped (= no remat
+    on any ResnetBlock)."""
+    kw = dict(ch=16, ch_mult=(1, 2, 4), num_res_blocks=1, embed_dim=4)
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 4, 4))
+    x0 = jnp.zeros((1, 16, 16, 3))
+    vaes = [AutoencoderKL(remat_skip_lowres=k, **kw) for k in range(4)]
+    v = vaes[0].init(jax.random.PRNGKey(0), x0)
+
+    def loss(zz, vae):
+        return jnp.mean(jnp.abs(vae.apply(v, zz, method=vae.decode)))
+
+    out0 = vaes[0].apply(v, z, method=vaes[0].decode)
+    g0 = jax.grad(loss)(z, vaes[0])
+    for vae in vaes[1:]:
+        assert (jax.tree_util.tree_structure(v)
+                == jax.tree_util.tree_structure(
+                    vae.init(jax.random.PRNGKey(0), x0)))
+        np.testing.assert_allclose(
+            np.asarray(vae.apply(v, z, method=vae.decode)), np.asarray(out0),
+            atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(jax.grad(loss)(z, vae)), np.asarray(g0), atol=1e-6)
+
+
 def test_unet_dualcond_shapes():
     unet = UNetModelDualcondV2(model_channels=32, channel_mult=(1, 2), num_heads=4,
                                context_dim=64, attention_resolutions=(2,))
